@@ -12,6 +12,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // legacy (non-ANSI) arithmetic: bad casts / div-by-zero yield NULL,
+      // matching the oracle queries' guarded CASE semantics
+      .config("spark.sql.ansi.enabled", "false")
+      // testdata timestamps: orders/lineitem are TIMESTAMP(MILLIS) ->
+      // read as session-UTC TIMESTAMP (not NTZ); events.ts is
+      // TIMESTAMP(NANOS) which Spark can only surface as a nanos long
+      // (Tables.load converts it back to a timestamp column)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,67 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** SimHash near-duplicate fingerprinting: a 64-bit signature whose
+  * Hamming distance approximates feature-set similarity.
+  *
+  * The per-document kernel is imperative bit-twiddling, so it runs as a
+  * typed map (Dataset), not a SQL expression; pair search is relational:
+  * block on 16-bit quarters (pigeonhole: hamming <= 3 implies at least
+  * one of 4 quarters identical), equi-join on (quarter index, quarter
+  * value), then verify with `bit_count(a ^ b)` — no cross-product.
+  */
+object SimHash {
+
+  /** 64-bit simhash of a token multiset (deterministic, seed-stable). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xffffffffL
+      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Adds a `simhash` column computed from an array-of-string column. */
+  def withSimhash(spark: SparkSession, df: DataFrame, id: String,
+      toksCol: String): DataFrame = {
+    import spark.implicits._
+    val pairs: Dataset[(Long, Long)] = df
+      .select(col(id).cast("long"), col(toksCol))
+      .as[(Long, Seq[String])]
+      .map { case (i, ts) => (i, simhash64(ts)) }
+    pairs.toDF(id, "simhash")
+  }
+
+  /** Near-dup id pairs with Hamming distance <= maxDist (<= 16 bits of
+    * the 4-quarter blocking guarantee holds for maxDist <= 3). */
+  def nearPairs(sim: DataFrame, id: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-quarter blocking only guarantees recall for maxDist <= 3")
+    val quartered = sim.select(
+      col(id).as("__id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("q"))
+      .withColumn("qval",
+        expr("shiftrightunsigned(simhash, CAST(q * 16 AS INT)) & 65535"))
+    val a = quartered.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
+      col("q"), col("qval"))
+    val b = quartered.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
+      col("q"), col("qval"))
+    a.join(b, Seq("q", "qval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

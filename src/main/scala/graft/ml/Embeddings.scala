@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over an `array<float>` embedding column.
+  *
+  * Fast path: dot/cosine as higher-order functions (`zip_with` +
+  * `aggregate`) — stays inside whole-stage codegen, no UDF, no shuffle.
+  *
+  * Scale paths:
+  *  - brute-force top-k: broadcast the (small) probe set against the
+  *    full corpus, rank per probe — one pass, no corpus shuffle;
+  *  - LSH bucketing (random hyperplanes): sign-pattern bucket id turns
+  *    ANN into an equi-join; recall/latency tuned by #planes.
+  */
+object Embeddings {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `corpus` rows per `probe` row.
+    * Probes must be small enough to broadcast (the 100TB pattern: the
+    * corpus is the big side and is never shuffled). */
+  def knnBrute(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(probes))
+      .withColumn("cosine", cosine(col("embedding"), col("probe_embedding")))
+    graft.ops.TopK.perGroup(joined,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+      k = k, rankCol = "rank")
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket id of an embedding under the given planes. */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(emb, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates = same-bucket pairs (equi-join on the
+    * bucket id), then exact cosine rank within candidates. */
+  def knnLsh(corpus: DataFrame, probes: DataFrame, k: Int,
+      planes: Array[Array[Double]]): DataFrame = {
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val p = probes.withColumn("bucket", lshBucket(col("probe_embedding"), planes))
+    val joined = c.join(broadcast(p), Seq("bucket"))
+      .withColumn("cosine", cosine(col("embedding"), col("probe_embedding")))
+    graft.ops.TopK.perGroup(joined,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+      k = k, rankCol = "rank")
+  }
+}

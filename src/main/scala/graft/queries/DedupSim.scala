@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.{Q, Tables}
+import graft.text.Text
+
+/** Wave 4b — near-duplicate detection and similarity search, the
+  * training-data-pipeline core. Oracle-matched variants use engine-
+  * portable exact arithmetic: md5 for permutation hashing, DECIMAL
+  * accumulation for dot products (order-free => bit-identical doubles
+  * in Spark and DuckDB). The xxhash64 / zip_with fast paths live in
+  * [[graft.dedup.MinHash]] / [[graft.ml.Embeddings]] (ScalaTest'd).
+  */
+object DedupSim {
+
+  /** Deterministic fixed-point accumulation for float dot products:
+    * floor(x * 1e15) is an IEEE-exact chain (float->double widening,
+    * double multiply, floor) yielding the identical BIGINT in Spark and
+    * DuckDB; summing longs is order-free. (A DECIMAL(30,15) cast is NOT
+    * portable: the engines round the 16th digit differently.) */
+  private def fx(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e15)).cast(LongType)
+  private val FxDiv = 1e15
+
+  /** Distinct (doc_id, 3-gram shingle) pairs. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+          .as("shingle"))
+
+  private val shingleSql =
+    """t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |      FROM documents),
+      |pos AS (SELECT unnest(range(1, 100000)) AS i),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM t, pos WHERE i <= len(toks) - 2)""".stripMargin
+
+  private val jaccardSql =
+    """sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |jac AS (SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b,
+      |               CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+      |        FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+      |                   JOIN sz sb ON doc_b = sb.doc_id)""".stripMargin
+
+  /** Exact shingle-set Jaccard on candidate pairs that share a shingle.
+    * Shared-shingle join bounds the pair space (no full cross-product). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sz.select(col("doc_id"), col("n").as("n_a")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sz.select(col("doc_id"), col("n").as("n_b")), col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
+  }
+
+  val ngramJaccard: Q = Q(
+    "q_dedup_ngram_jaccard",
+    s"""WITH $shingleSql,
+       |$jaccardSql
+       |SELECT doc_a, doc_b, common, n_a, n_b, jaccard
+       |FROM jac WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    jaccardPairs(s, d)
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banding, engine-portable form: permutation hash j of
+    * a shingle is md5("j:" + shingle); signature = 8 minima; 4 bands of
+    * 2; candidates share a band; candidates verified with exact Jaccard
+    * >= 0.5. Fast path (xxhash64) in [[graft.dedup.MinHash]]. */
+  val minhashLsh: Q = Q(
+    "q_dedup_minhash",
+    s"""WITH $shingleSql,
+       |perm AS (SELECT unnest(range(0, 8)) AS p),
+       |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+       |       FROM sh, perm GROUP BY doc_id, p),
+       |bands AS (SELECT doc_id, p // 2 AS band,
+       |                 string_agg(mh, '|' ORDER BY p) AS bkey
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$jaccardSql
+       |SELECT c.doc_a, c.doc_b, j.jaccard
+       |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+       |WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b""".stripMargin) { (s, d) =>
+    val sh = shingleRows(s, d)
+    val mh = sh
+      .withColumn("p", explode(sequence(lit(0), lit(7))))
+      .groupBy("doc_id", "p")
+      .agg(min(md5(concat(col("p").cast("string"), lit(":"), col("shingle")))).as("mh"))
+    val bands = mh
+      .withColumn("band", (col("p") / lit(2)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("|",
+        transform(array_sort(collect_list(struct(col("p"), col("mh")))),
+          x => x.getField("mh"))).as("bkey"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand.join(jaccardPairs(s, d), Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs — no oracle (murmur3-based bit kernel has no
+    * DuckDB equivalent); validated by SimHashSpec instead. */
+  val simhashPairs: Q = Q.noOracle("q_dedup_simhash") { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val sim = graft.dedup.SimHash.withSimhash(s, docs, "doc_id", "toks")
+    graft.dedup.SimHash.nearPairs(sim, "doc_id", maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- embedding similarity --------------------------------------------
+
+  /** (vec_id, label, i, v): one row per vector component, exact-double. */
+  private def components(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "vf")))
+      .withColumn("v", col("vf").cast(DoubleType))
+      .drop("vf")
+
+  private def norms(comp: DataFrame): DataFrame =
+    comp.groupBy("vec_id")
+      .agg(sqrt(sum(fx(col("v") * col("v"))).cast(DoubleType) / FxDiv).as("nrm"))
+
+  private val compSql =
+    """e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |pos AS (SELECT unnest(range(1, 65)) AS i),
+      |comp AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v FROM e, pos),
+      |norms AS (SELECT vec_id,
+      |                 SQRT(CAST(SUM(CAST(FLOOR(v*v*1e15) AS BIGINT)) AS DOUBLE) / 1e15) AS nrm
+      |          FROM comp GROUP BY vec_id)""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the
+    * candidate-blocking pattern; at 100TB the block key would be an LSH
+    * bucket — see [[graft.ml.Embeddings.lshBucket]]). Dot products are
+    * decimal-accumulated: order-free, so Spark and DuckDB agree bitwise. */
+  val embedCosineDup: Q = Q(
+    "q_embed_cosine_dup",
+    s"""WITH $compSql,
+       |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |                CAST(SUM(CAST(FLOOR(a.v * b.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+       |         FROM comp a JOIN comp b
+       |           ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |         GROUP BY 1, 2)
+       |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+       |FROM dots JOIN norms na ON id_a = na.vec_id
+       |          JOIN norms nb ON id_b = nb.vec_id
+       |WHERE dot / (na.nrm * nb.nrm) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val comp = components(s, d)
+    val nrm = norms(comp)
+    val a = comp.select(col("vec_id").as("id_a"), col("label"), col("i"), col("v").as("va"))
+    val b = comp.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("i").as("i_b"), col("v").as("vb"))
+    val dots = a.join(b,
+      col("i") === col("i_b") && col("label") === col("label_b") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(fx(col("va") * col("vb"))).cast(DoubleType) / FxDiv).as("dot"))
+    dots
+      .join(nrm.select(col("vec_id"), col("nrm").as("nrm_a")), col("id_a") === col("vec_id")).drop("vec_id")
+      .join(nrm.select(col("vec_id"), col("nrm").as("nrm_b")), col("id_b") === col("vec_id")).drop("vec_id")
+      .withColumn("cosine", col("dot") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= 0.8)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force cosine top-10 per probe (probes = every 100th vector),
+    * the ANN correctness baseline. Self-matches excluded. */
+  val annTopK: Q = Q(
+    "q_ann_topk",
+    s"""WITH $compSql,
+       |probes AS (SELECT vec_id AS probe_id FROM e WHERE vec_id % 100 = 0),
+       |dots AS (SELECT b.probe_id, a.vec_id,
+       |                CAST(SUM(CAST(FLOOR(a.v * c.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+       |         FROM comp a
+       |         JOIN (SELECT probe_id FROM probes) b ON a.vec_id <> b.probe_id
+       |         JOIN comp c ON c.vec_id = b.probe_id AND c.i = a.i
+       |         GROUP BY 1, 2),
+       |scored AS (SELECT dots.probe_id, dots.vec_id, dot / (na.nrm * np.nrm) AS cosine
+       |           FROM dots JOIN norms na ON dots.vec_id = na.vec_id
+       |                     JOIN norms np ON dots.probe_id = np.vec_id),
+       |ranked AS (SELECT probe_id, vec_id, cosine,
+       |                  ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                                     ORDER BY cosine DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT probe_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val comp = components(s, d)
+    val nrm = norms(comp)
+    val probeComp = comp.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("i").as("i_p"), col("v").as("vp"))
+    val dots = comp
+      .join(broadcast(probeComp),
+        col("i") === col("i_p") && col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg((sum(fx(col("v") * col("vp"))).cast(DoubleType) / FxDiv).as("dot"))
+    val scored = dots
+      .join(nrm.select(col("vec_id"), col("nrm").as("nrm_v")), Seq("vec_id"))
+      .join(nrm.select(col("vec_id").as("probe_id"), col("nrm").as("nrm_p")), Seq("probe_id"))
+      .withColumn("cosine", col("dot") / (col("nrm_v") * col("nrm_p")))
+    graft.ops.TopK.perGroup(scored,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+      k = 10, rankCol = "rank")
+      .select("probe_id", "rank", "vec_id", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** LSH-bucketed ANN (fast path; recall vs brute force is ScalaTest'd,
+    * no SQL oracle for seeded hyperplanes). */
+  val annLsh: Q = Q.noOracle("q_ann_lsh") { (s, d) =>
+    val emb = Tables.load(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_embedding"))
+    val planes = graft.ml.Embeddings.hyperplanes(dim = 64, numPlanes = 6, seed = 42L)
+    graft.ml.Embeddings.knnLsh(emb, probes, k = 10, planes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "rank", "vec_id", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** HLL sketch distinct — algorithmic, no cross-engine oracle;
+    * error bound vs exact is ScalaTest'd. */
+  val approxDistinct: Q = Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+    Tables.load(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(
+    ngramJaccard, minhashLsh, simhashPairs,
+    embedCosineDup, annTopK, annLsh, approxDistinct)
+}

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Wave 1 — relational core: scan/filter/project, hash aggregates,
+  * grouping sets, all join shapes, sort/limit/top-k, set ops.
+  *
+  * The reference delegated all of these to BigQuery on the published
+  * dataset (SURVEY.md §2.A tail note); here they are native Spark.
+  */
+object Relational {
+
+  private def lineitem(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def orders(s: SparkSession, d: String)   = Tables.load(s, d, "orders")
+  private def customer(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def supplier(s: SparkSession, d: String) = Tables.load(s, d, "supplier")
+  private def nation(s: SparkSession, d: String)   = Tables.load(s, d, "nation")
+  private def region(s: SparkSession, d: String)   = Tables.load(s, d, "region")
+
+  // -- scan + projection (R16 analog: etl.sh:20-29 star projection) -------
+  val scanProject: Q = Q(
+    "q_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin) {
+    (s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+  }
+
+  // -- predicates (R14 analog: etl.sh:16-17) ------------------------------
+  val filterPred: Q = Q(
+    "q_filter_pred",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+      |FROM lineitem
+      |WHERE (l_quantity > 30 AND l_discount <= 0.05) OR l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin) {
+    (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // the total order covers every output column.
+      lineitem(s, d)
+        .filter((col("l_quantity") > 30 && col("l_discount") <= 0.05) ||
+          col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+  }
+
+  // -- hash aggregate -----------------------------------------------------
+  val aggHash: Q = Q(
+    "q_agg_hash",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS n_rows,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(Money) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val aggDistinct: Q = Q(
+    "q_agg_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS distinct_parts,
+      |  COUNT(DISTINCT l_suppkey) AS distinct_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+  }
+
+  val aggHaving: Q = Q(
+    "q_agg_having",
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      .filter(col("n_orders") >= 10)
+      .orderBy("o_custkey")
+  }
+
+  // -- grouping-set family ------------------------------------------------
+  private val groupedAggSql =
+    """  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows""".stripMargin
+
+  val aggRollup: Q = Q(
+    "q_agg_rollup",
+    s"""SELECT l_returnflag, l_linestatus,
+       |$groupedAggSql
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val aggCube: Q = Q(
+    "q_agg_cube",
+    s"""SELECT l_returnflag, l_linestatus,
+       |$groupedAggSql
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val aggGroupingSets: Q = Q(
+    "q_agg_gsets",
+    s"""SELECT l_returnflag, l_linestatus,
+       |$groupedAggSql
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      // GROUPING SETS has no public DataFrame builder; SQL over a view is
+      // the idiomatic Spark route (same Catalyst Expand plan as rollup).
+      lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  COUNT(*) AS n_rows
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  // -- joins --------------------------------------------------------------
+  val joinInner: Q = Q(
+    "q_join_inner",
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinLeft: Q = Q(
+    "q_join_left",
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val joinFull: Q = Q(
+    "q_join_full",
+    """WITH big AS (
+      |  SELECT o_custkey, COUNT(*) AS n_big
+      |  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey),
+      |neg AS (
+      |  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0)
+      |SELECT COALESCE(o_custkey, c_custkey) AS custkey, n_big, c_acctbal
+      |FROM big FULL JOIN neg ON o_custkey = c_custkey
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    val big = orders(s, d).filter(col("o_totalprice") > 300000)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+    val neg = customer(s, d).filter(col("c_acctbal") < 0)
+      .select("c_custkey", "c_acctbal")
+    big.join(neg, col("o_custkey") === col("c_custkey"), "full")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_big"), col("c_acctbal"))
+      .orderBy("custkey")
+  }
+
+  val joinSemi: Q = Q(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val joinAnti: Q = Q(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Dim tables (region/nation/supplier) broadcast to every executor:
+    * the fact-side scan never shuffles for the join — the 100TB-safe
+    * star-join plan. */
+  val joinBroadcast: Q = Q(
+    "q_join_broadcast",
+    """SELECT r_name, n_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  // -- sort / limit / top-k ----------------------------------------------
+  val sortLimit: Q = Q(
+    "q_sort_limit",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      // re-sort after limit so the written row order is the declared one
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+  }
+
+  val topKGroup: Q = Q(
+    "q_topk_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    graft.ops.TopK.perGroup(
+      orders(s, d),
+      partitionBy = Seq(col("o_custkey")),
+      orderBy = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  // -- set operations -----------------------------------------------------
+  private val sides =
+    """SELECT c_custkey AS key, 'customer' AS side FROM customer
+      |UNION ALL SELECT o_custkey AS key, 'orders' AS side FROM orders""".stripMargin
+
+  val unionAll: Q = Q(
+    "q_union_all",
+    s"""SELECT key, side, COUNT(*) AS n FROM ($sides)
+       |GROUP BY key, side ORDER BY key, side""".stripMargin) { (s, d) =>
+    val c = customer(s, d).select(col("c_custkey").as("key"), lit("customer").as("side"))
+    val o = orders(s, d).select(col("o_custkey").as("key"), lit("orders").as("side"))
+    c.unionAll(o).groupBy("key", "side").agg(count(lit(1)).as("n"))
+      .orderBy("key", "side")
+  }
+
+  val unionDistinct: Q = Q(
+    "q_union_distinct",
+    """SELECT c_custkey AS key FROM customer
+      |UNION SELECT o_custkey FROM orders ORDER BY key""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_custkey").as("key"))
+      .union(orders(s, d).select(col("o_custkey").as("key")))
+      .distinct()
+      .orderBy("key")
+  }
+
+  val intersectQ: Q = Q(
+    "q_intersect",
+    """SELECT c_custkey AS key FROM customer
+      |INTERSECT SELECT o_custkey FROM orders ORDER BY key""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_custkey").as("key"))
+      .intersect(orders(s, d).select(col("o_custkey").as("key")))
+      .orderBy("key")
+  }
+
+  val exceptQ: Q = Q(
+    "q_except",
+    """SELECT c_custkey AS key FROM customer
+      |EXCEPT SELECT o_custkey FROM orders ORDER BY key""".stripMargin) { (s, d) =>
+    customer(s, d).select(col("c_custkey").as("key"))
+      .except(orders(s, d).select(col("o_custkey").as("key")))
+      .orderBy("key")
+  }
+
+  val all: Seq[Q] = Seq(
+    scanProject, filterPred,
+    aggHash, aggDistinct, aggHaving, aggRollup, aggCube, aggGroupingSets,
+    joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
+    sortLimit, topKGroup,
+    unionAll, unionDistinct, intersectQ, exceptQ)
+}

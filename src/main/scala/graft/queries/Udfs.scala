@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.{Base58, WeightedAvg}
+
+/** Wave 4c — user-defined function surface: typed UDAF and the base58
+  * address UDF (SURVEY.md §2.B `u_udaf_weighted` / `u_udf_base58`).
+  */
+object Udfs {
+
+  /** Volume-weighted average via the [[WeightedAvg]] Aggregator. The
+    * oracle is the algebraic equivalent in exact integer cents:
+    * sum(vc*wc)/100/sum(wc) — the same arithmetic the Aggregator does. */
+  val udafWeighted: Q = Q(
+    "q_udaf_weighted",
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+      |           * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+      |    / 100 / CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+      |    AS wavg_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      implicit val inEnc: Encoder[(Double, Double)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+      val wavg = udaf(WeightedAvg)
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+  }
+
+  /** Base58Check address derivation from deterministic pseudo-hash160
+    * payloads (md5(text) 16 bytes, zero-padded to 20). DuckDB has no
+    * base58, so correctness is golden-vector ScalaTest (Base58Spec);
+    * the query itself is the driver-visible rows-only entry. */
+  val udfBase58: Q = Q.noOracle("q_udf_base58") { (s, d) =>
+    val b58 = udf((bytes: Array[Byte]) =>
+      Base58.encodeChecked(0x00.toByte, bytes.padTo(20, 0x00.toByte)))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), to_binary(md5(col("text")), lit("hex")).as("h"))
+      .select(col("doc_id"), b58(col("h")).as("address"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(udafWeighted, udfBase58)
+}

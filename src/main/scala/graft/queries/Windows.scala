@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.{Q, Tables}
+import graft.functions.Exact._
+import graft.ops.{AsOf, Sessionize}
+
+/** Wave 2b — window functions, time bucketing, sessionization, and the
+  * time-oriented joins (range, as-of). All timestamp arithmetic is done
+  * in epoch-ms longs so Spark (us) and DuckDB (ns) agree exactly.
+  */
+object Windows {
+
+  val rank_ : Q = Q(
+    "q_window_rank",
+    """SELECT o_custkey, o_orderkey, o_orderpriority,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rnk,
+      |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_orderpriority, o_orderkey) AS rn
+      |FROM orders ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val byPrio = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    val full = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    Tables.load(s, d, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        rank().over(byPrio).as("rnk"),
+        dense_rank().over(byPrio).as("drnk"),
+        row_number().over(full).as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val lagLead: Q = Q(
+    "q_window_lag_lead",
+    """SELECT event_id, user_id,
+      |  LAG(event_id) OVER w AS prev_id,
+      |  LEAD(event_id) OVER w AS next_id,
+      |  epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w AS gap_ms
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events").withColumn("__ms", ms(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("__ms", "event_id")
+    ev.select(
+      col("event_id"), col("user_id"),
+      lag(col("event_id"), 1).over(w).as("prev_id"),
+      lead(col("event_id"), 1).over(w).as("next_id"),
+      (col("__ms") - lag(col("__ms"), 1).over(w)).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  /** Running (cumulative) revenue per customer — the sum runs in exact
+    * decimal so the running values are order-of-evaluation independent
+    * (DuckDB uses segment trees for window aggs; double would drift). */
+  val rowsFrame: Q = Q(
+    "q_window_frame",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate), o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, epoch_ms(o_orderdate), o_orderkey""".stripMargin) {
+    (s, d) =>
+      val o = Tables.load(s, d, "orders").withColumn("__ms", ms(col("o_orderdate")))
+      val w = Window.partitionBy("o_custkey").orderBy("__ms", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"),
+        col("__ms"))
+        .orderBy("o_custkey", "__ms", "o_orderkey")
+        .drop("__ms")
+  }
+
+  /** Sliding 7-day window per user via a RANGE frame on epoch-ms. */
+  val rangeFrame: Q = Q(
+    "q_window_range_frame",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events").withColumn("__ms", ms(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy(col("__ms"))
+      .rangeBetween(-604800000L, Window.currentRow)
+    ev.select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_7d"),
+      sum(dec(col("value"))).over(w).cast(DoubleType).as("sum_7d"))
+      .orderBy("event_id")
+  }
+
+  /** Tumbling 10-minute buckets — batch semantics of the reference's
+    * rotation-window id `epochSec / rotationTime` (`AvroWriter.java:45-49`). */
+  val tumblingBatch: Q = Q(
+    "q_tumbling_batch",
+    """SELECT epoch_ms(ts) // 600000 AS bucket_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM events GROUP BY bucket_id ORDER BY bucket_id""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .groupBy(graft.functions.Exact.bucket(ms(col("ts")), 600000L).as("bucket_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy("bucket_id")
+  }
+
+  /** Gap-based sessions (30-min inactivity) over the events stream. */
+  val sessionize: Q = Q(
+    "q_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN LAG(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, event_id, ms,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM e)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MIN(ms) AS start_ms, MAX(ms) AS end_ms
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events").withColumn("__ms", ms(col("ts")))
+    Sessionize.withSessionId(ev, col("user_id"), col("__ms"), col("event_id"),
+      gapMs = 1800000L)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("__ms")).as("start_ms"),
+        max(col("__ms")).as("end_ms"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Band (theta) join, equi-key-bounded so it scales: pairs are bounded
+    * per nation, the pattern for making range joins 100TB-safe. */
+  val joinRange: Q = Q(
+    "q_join_range",
+    """SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs,
+      |  MIN(s_suppkey) AS min_supp, MAX(c_custkey) AS max_cust
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey
+      | AND c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val sup = Tables.load(s, d, "supplier")
+    val cust = Tables.load(s, d, "customer")
+    sup.join(cust,
+      col("s_nationkey") === col("c_nationkey") &&
+        col("c_acctbal").between(col("s_acctbal") - 10, col("s_acctbal") + 10))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("s_suppkey")).as("min_supp"),
+        max(col("c_custkey")).as("max_cust"))
+      .orderBy("nationkey")
+  }
+
+  /** As-of join: each purchase matched to the user's latest login at or
+    * before it. Oracle uses the naive range-join+rank form; the engine
+    * uses the single-shuffle union+last_value pattern ([[graft.ops.AsOf]]). */
+  val joinAsOf: Q = Q(
+    "q_join_asof",
+    """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms
+      |           FROM events WHERE event_type = 'purchase'),
+      |     l AS (SELECT event_id AS login_id, user_id, epoch_ms(ts) AS l_ms
+      |           FROM events WHERE event_type = 'login')
+      |SELECT event_id, user_id, login_id, p_ms - l_ms AS gap_ms FROM (
+      |  SELECT p.event_id, p.user_id, l.login_id, p.p_ms, l.l_ms,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                       ORDER BY l.l_ms DESC, l.login_id DESC) AS rn
+      |  FROM p JOIN l ON p.user_id = l.user_id AND l.l_ms <= p.p_ms)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), ms(col("ts")).as("p_ms"))
+    val logins = ev.filter(col("event_type") === "login")
+      .select(col("event_id").as("login_id"), col("user_id"), ms(col("ts")).as("l_ms"))
+    AsOf.join(purchases, logins,
+      key = "user_id", leftTsMs = "p_ms", rightTsMs = "l_ms",
+      rightVals = Seq("login_id", "l_ms"), rightTiebreak = "login_id")
+      .filter(col("login_id").isNotNull) // inner as-of: drop unmatched
+      .select(
+        col("event_id"), col("user_id"), col("login_id"),
+        (col("p_ms") - col("l_ms")).cast(LongType).as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    rank_, lagLead, rowsFrame, rangeFrame,
+    tumblingBatch, sessionize, joinRange, joinAsOf)
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis building blocks for training-data pipelines, all as
+  * codegen-friendly Column expressions (no UDFs in the hot path —
+  * higher-order functions stay inside whole-stage codegen).
+  */
+object Text {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]; empty when the doc
+    * has fewer than n tokens (guard needed: Spark's `sequence(1, 0)`
+    * would count DOWN, not return empty). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish subword-count proxy: alpha runs + digit runs + leftovers.
+    * (A real BPE table is model-specific; this regex split gives the
+    * deterministic token-count shape pipelines budget with.) */
+  def regexTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Count of tokens that appear in a fixed marker vocabulary. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*))).cast(LongType)
+
+  // Tiny per-language marker vocabularies for the n-gram/stopword
+  // language-ID heuristic. Deliberately small and deterministic.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
+    "zh" -> Seq("de5", "le5", "shi4", "bu4", "wo3", "ni3", "ta1"))
+
+  /** Language-ID: argmax of marker-vocab hit counts with a fixed
+    * tie-break order (first language listed wins ties). */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+    // fold from the last language to the first: earlier langs win ties
+    // because the comparison is strict `>` on already-chosen best.
+    val (firstLang, firstScore) = scores.head
+    val (bestLang, _) = scores.tail.foldLeft((lit(firstLang), firstScore)) {
+      case ((accLang, accScore), (lang, score)) =>
+        (when(score > accScore, lit(lang)).otherwise(accLang),
+          when(score > accScore, score).otherwise(accScore))
+    }
+    bestLang
+  }
+
+  /** Quality-scoring feature columns (length / punctuation / stopword
+    * ratios) — the standard pre-training quality heuristics. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    val stop = markerCount(toks, langMarkers.head._2)
+    Seq(
+      "n_chars" -> length(text).cast(LongType),
+      "n_tokens" -> nTok,
+      "n_distinct_tokens" -> size(array_distinct(toks)).cast(LongType),
+      "n_punct" -> length(regexp_replace(text, "[a-z0-9 ]", "")).cast(LongType),
+      "avg_token_len" ->
+        (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / nTok.cast("double")),
+      "stopword_ratio" -> (stop.cast("double") / nTok.cast("double")),
+      "distinct_ratio" ->
+        (size(array_distinct(toks)).cast("double") / nTok.cast("double")))
+  }
+}
