@@ -1,0 +1,67 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI driver for the ingest surfaces — the Spark analog of the
+  * reference's `Main.java` wiring (source -> convert -> rotated Avro
+  * sink -> warehouse table; plus the pricing CSV path).
+  *
+  * Usage: runMain graft.IngestDemo <sfDir> <outDir>
+  * Writes rotated Avro container files from `events`, ingests a sample
+  * price CSV.gz, runs the streaming rotated sink on a file stream, and
+  * prints a one-line summary per stage.
+  */
+object IngestDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new File(outDir).mkdirs()
+
+    // 1. batch rotated Avro sink (R7): events -> daily container files
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select("event_id", "user_id", "event_type", "value", "ts_ms")
+    val avroDir = s"$outDir/avro"
+    ingest.AvroSink.write(ev, "ts_ms", rotationSeconds = 86400, outDir = avroDir)
+    val files = Option(new File(avroDir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).sorted
+    val readBack = ingest.AvroSink.readAll(avroDir).size
+    println(s"[demo] avro-sink: ${files.length} files, $readBack rows " +
+      s"(first=${files.headOption.getOrElse("-")})")
+
+    // 2. pricing CSV.gz ingest (ingest_prices.sh): typed load + replace
+    val gz = new File(outDir, "coinbaseUSD.csv.gz")
+    val os = new GZIPOutputStream(new FileOutputStream(gz))
+    os.write("2015-01-01 00:00:00,300.5,1.25\n2015-01-01 00:01:00,301.0,0.5\n".getBytes)
+    os.close()
+    val prices = ingest.Prices.read(spark, gz.getAbsolutePath)
+    ingest.Prices.replaceInto(prices, s"$outDir/prices")
+    val n = spark.read.parquet(s"$outDir/prices").count()
+    println(s"[demo] prices: $n rows, schema=${prices.schema.map(_.name).mkString(",")}")
+
+    // 3. streaming rotated sink (R1+R7): file stream -> rotated Avro
+    val streamIn = s"$outDir/stream_in"
+    ev.limit(100).write.mode("overwrite").parquet(streamIn)
+    val stream = spark.readStream.schema(ev.schema).parquet(streamIn)
+    val q = streaming.Streams.rotatedAvroSink(stream, "ts_ms", 86400,
+      s"$outDir/stream_avro", s"$outDir/chk", triggerSeconds = Some(1)).start()
+    q.processAllAvailable()
+    q.stop()
+    val sRows = ingest.AvroSink.readAll(s"$outDir/stream_avro").size
+    println(s"[demo] stream-sink: $sRows rows via micro-batch")
+    spark.stop()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: opaque `binary`
+  * payloads + typed metadata structs, processed in partition-sized
+  * batches.
+  *
+  * The Spark-side plumbing (schema, batch shape, partitioning) is real;
+  * the codec kernels are STUBBED deterministically — this container has
+  * no image/audio libraries, so `decodeStub` derives fake-but-stable
+  * dimensions from the payload bytes. Swap `decodeStub` for a real
+  * decoder (JNI/javacv) without touching the pipeline.
+  */
+object Multimodal {
+
+  /** One decoded asset's metadata (the typed half of the column pair). */
+  final case class MediaMeta(
+      width: Int, height: Int, channels: Int, format: String, nBytes: Long)
+
+  final case class Asset(asset_id: Long, payload: Array[Byte])
+  final case class DecodedAsset(
+      asset_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  /** STUB decoder — deterministic pseudo-decode from payload bytes.
+    * A real implementation would parse the container header here. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 64 + math.floorMod(h, 1024)
+    val ht = 64 + math.floorMod(h >> 10, 1024)
+    MediaMeta(w, ht, 3, "stub/rgb8", payload.length.toLong)
+  }
+
+  /** Attach decoded metadata to a binary column — batch-at-a-time via
+    * mapPartitions (the Scala analog of a pandas batch UDF): one codec
+    * init per partition, not per row. */
+  def decode(spark: SparkSession, assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // per-partition codec initialization would go here
+      it.map(a => DecodedAsset(a.asset_id, a.payload, decodeStub(a.payload)))
+    }
+  }
+
+  /** Deterministic stub feature vector (e.g. a perceptual hash /
+    * embedding in a real pipeline): fixed-length floats from bytes. */
+  def featuresStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction over decoded assets. */
+  def extractFeatures(spark: SparkSession, assets: Dataset[DecodedAsset], dim: Int = 8)
+      : DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => (a.asset_id, featuresStub(a.payload, dim), a.meta.width, a.meta.height))
+    }.toDF("asset_id", "features", "width", "height")
+  }
+
+  /** Frame sampling for a (stub) video payload: byte-range slices at a
+    * fixed stride standing in for decoded frames. */
+  def sampleFrames(spark: SparkSession, assets: Dataset[Asset], every: Int): DataFrame = {
+    import spark.implicits._
+    assets.flatMap { a =>
+      a.payload.grouped(every).zipWithIndex.map { case (chunk, i) =>
+        (a.asset_id, i.toLong, chunk)
+      }
+    }.toDF("asset_id", "frame_no", "frame_bytes")
+  }
+
+  /** Build a synthetic binary-asset table from the documents table
+    * (text bytes as stand-in payloads) — lets the whole pipeline run
+    * against driver testdata. */
+  def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("asset_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Asset]
+  }
+}

@@ -47,5 +47,14 @@ object Udfs {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(udafWeighted, udfBase58)
+  /** Multimodal binary-column pipeline (decode-stub -> features) over
+    * synthetic payloads; plumbing is real, codec is stubbed
+    * ([[graft.multimodal.Multimodal]]). Rows-only check (no oracle). */
+  val multimodalDecode: Q = Q.noOracle("q_multimodal_decode") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val decoded = Multimodal.decode(s, Multimodal.assetsFromDocuments(s, d))
+    Multimodal.extractFeatures(s, decoded).orderBy("asset_id")
+  }
+
+  val all: Seq[Q] = Seq(udafWeighted, udfBase58, multimodalDecode)
 }

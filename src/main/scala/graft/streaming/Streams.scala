@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming re-expression of the reference's ingest loop
+  * (SURVEY.md §3.1): P2P block feed -> converters -> rotated Avro sink
+  * becomes readStream -> transforms -> triggered sink. Thread pools,
+  * retries and the synchronized writer (`ThreadHelpers.java`,
+  * `BitcoinBlockHandler.java:61-76`, `AvroWriter.java:38`) dissolve
+  * into Spark's scheduler and epoch commit.
+  */
+object Streams {
+
+  /** Tumbling event-time window counts with a watermark — streaming
+    * semantics of the reference's rotation window (`AvroWriter.java:45-49`),
+    * tolerating `lateness` of out-of-order block arrivals. */
+  def tumblingCounts(
+      events: DataFrame,
+      tsCol: String,
+      widthSeconds: Long,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), s"$widthSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+
+  /** Streaming dedup within the watermark — the streaming repair of the
+    * reference's at-least-once append duplicates (R8/R14, `etl.sh:12-17`
+    * run continuously instead of as a batch ETL). State is bounded by
+    * the watermark horizon. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Rotated file sink: processing-time trigger defaults to the rotation
+    * interval (R7), overridable for tests/backfills where the micro-batch
+    * cadence should be faster than the file-bucket width. Each
+    * micro-batch appends Avro container files via
+    * [[graft.ingest.AvroSink]] (event-time bucketed inside the batch). */
+  def rotatedAvroSink(
+      events: DataFrame,
+      tsMsCol: String,
+      rotationSeconds: Long,
+      outDir: String,
+      checkpoint: String,
+      triggerSeconds: Option[Long] = None): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(
+        s"${triggerSeconds.getOrElse(rotationSeconds)} seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ingest.AvroSink.write(batch, tsMsCol, rotationSeconds, outDir)
+      }
+
+  /** Convenience: run a memory-sink query to completion for tests. */
+  def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.{MinHash, SimHash}
+import graft.text.Text
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val docShingles = Tables
+    .load(spark, SharedSpark.sf001, "documents")
+    .select(col("doc_id"),
+      array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    .cache()
+
+  /** Exact Jaccard >= 0.9 pairs (ground truth for recall checks). */
+  private lazy val truePairs: Set[(Long, Long)] = {
+    val ex = docShingles.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sz = ex.groupBy("doc_id").count()
+    val a = ex.toDF("da", "s"); val b = ex.toDF("db", "s")
+    a.join(b, "s").filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      .join(sz.toDF("da", "na"), "da").join(sz.toDF("db", "nb"), "db")
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.9)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("MinHash LSH candidates recover all Jaccard>=0.9 pairs (recall)") {
+    assert(truePairs.nonEmpty, "testdata should contain planted near-dups")
+    val cand = MinHash.candidatePairs(docShingles.toDF(), "doc_id", "sh",
+      k = 16, numBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truePairs -- cand
+    assert(missed.isEmpty, s"LSH missed high-sim pairs: $missed")
+  }
+
+  test("MinHash signature is deterministic and length-k") {
+    val sig = docShingles.limit(1)
+      .select(MinHash.signature(col("sh"), 16)).head.getSeq[Long](0)
+    val sig2 = docShingles.limit(1)
+      .select(MinHash.signature(col("sh"), 16)).head.getSeq[Long](0)
+    assert(sig.length == 16 && sig == sig2)
+  }
+
+  test("SimHash: identical inputs collide, near inputs are close, far inputs far") {
+    val base = (1 to 200).map(i => s"tok$i")
+    val near = base.updated(0, "CHANGED")
+    val far = (1 to 200).map(i => s"other$i")
+    val h0 = SimHash.simhash64(base)
+    assert(SimHash.simhash64(base) == h0) // deterministic
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h0, SimHash.simhash64(near)) <= 8)
+    assert(ham(h0, SimHash.simhash64(far)) > 8)
+  }
+
+  test("SimHash.nearPairs finds planted duplicate via quarter blocking") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i")),
+      (2L, (1 to 100).map(i => s"w$i")), // exact dup of 1
+      (3L, (1 to 100).map(i => s"z$i"))).toDF("doc_id", "toks")
+    val sim = SimHash.withSimhash(spark, docs, "doc_id", "toks")
+    val pairs = SimHash.nearPairs(sim, "doc_id", maxDist = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("approx_count_distinct within 15% of exact (HLL bound)") {
+    val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+    val row = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.15, s"approx=$a exact=$e")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured Streaming specs (SURVEY.md §2.B s_stream_*): these have
+  * no SQL oracle, so MemoryStream-driven ScalaTest is the gate. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("s_stream_tumbling: watermarked tumbling window counts") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "v")
+    val q = Streams.runToMemory(
+      Streams.tumblingCounts(df, "ts", widthSeconds = 60), "tumbling", "complete")
+    try {
+      mem.addData((ts(0), "a"), (ts(10), "b"), (ts(59), "c"), (ts(60), "d"), (ts(100), "e"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .select(unix_timestamp(col("window_start")).as("w"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows == Map(0L -> 3L, 60L -> 2L))
+    } finally q.stop()
+  }
+
+  test("s_stream_dedup: duplicates dropped within the watermark " +
+    "(streaming repair of the at-least-once append, etl.sh:12-17)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "block_id")
+    val q = Streams.runToMemory(
+      Streams.dedupWithinWatermark(df, "ts", Seq("block_id")), "dedup")
+    try {
+      mem.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L), (ts(3), 1L), (ts(4), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("block_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("s_stream_rotate_sink: micro-batches land as rotated Avro container files") {
+    implicit val ctx = spark.sqlContext
+    val out = Files.createTempDirectory("rotsink").toString
+    val chk = Files.createTempDirectory("rotchk").toString
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("ts_ms", "payload")
+    val q = Streams.rotatedAvroSink(df, "ts_ms", rotationSeconds = 60,
+      outDir = out, checkpoint = chk).start()
+    try {
+      // two rotation windows: 0..59s and 60..119s (event time)
+      mem.addData((1000L, "a"), (2000L, "b"), (61000L, "c"))
+      q.processAllAvailable()
+      val rows = graft.ingest.AvroSink.readAll(out)
+      assert(rows.map(_("payload")).toSet == Set("a", "b", "c"))
+      val files = new java.io.File(out).listFiles().map(_.getName).sorted
+      assert(files.exists(_.startsWith("1970.01.01.00.00.00")))
+      assert(files.exists(_.startsWith("1970.01.01.00.01.00")))
+    } finally q.stop()
+  }
+}
