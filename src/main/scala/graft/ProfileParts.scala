@@ -13,6 +13,7 @@ object ProfileParts {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -51,6 +52,29 @@ object ProfileParts {
     val mhCols = (0 until 8).map(p =>
       min(md5(concat(lit(s"$p:"), col("shingle")))).as(s"mh$p"))
     t("minhash signatures")(sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*).count())
+
+    // cosine kernels: interpreted HOF vs native codegen expression
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_embedding"))
+    val crossed = emb.crossJoin(broadcast(probes))
+    t("cosine HOF")(crossed.filter(
+      graft.ml.Embeddings.cosine(col("embedding"), col("probe_embedding")) > 0.99).count())
+    t("cosine native")(crossed.filter(
+      graft.ml.Embeddings.cosineNative(col("embedding"), col("probe_embedding")) > 0.99).count())
+    t("cosine native again")(crossed.filter(
+      graft.ml.Embeddings.cosineNative(col("embedding"), col("probe_embedding")) > 0.99).count())
+
+    // SQL registration surface of the extension + its type-check error
+    val one = spark.sql(
+      "SELECT graft_cosine(array(cast(0.6 as float), cast(0.8 as float)), " +
+        "array(cast(0.6 as float), cast(0.8 as float))) AS c").head.getDouble(0)
+    println(s"[parts] sql graft_cosine(self) = $one")
+    try spark.sql("SELECT graft_cosine(1, 2)").collect()
+    catch {
+      case e: Exception =>
+        println("[parts] type-check: " + e.getMessage.linesIterator.next().take(140))
+    }
     spark.stop()
   }
 }

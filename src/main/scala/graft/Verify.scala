@@ -15,6 +15,7 @@ object Verify {
       // legacy (non-ANSI) arithmetic: bad casts / div-by-zero yield NULL,
       // matching the oracle queries' guarded CASE semantics
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // testdata timestamps: orders/lineitem are TIMESTAMP(MILLIS) ->
       // read as session-UTC TIMESTAMP (not NTZ); events.ts is
       // TIMESTAMP(NANOS) which Spark can only surface as a nanos long

@@ -23,12 +23,18 @@ object Embeddings {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd native kernel ([[graft.plans.CosineSimilarity]]);
+    * requires `spark.sql.extensions=graft.plans.GraftExtensions`.
+    * ~10x faster than the interpreted HOF form above in hot loops. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** Brute-force cosine top-k of `corpus` rows per `probe` row.
     * Probes must be small enough to broadcast (the 100TB pattern: the
     * corpus is the big side and is never shuffled). */
   def knnBrute(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val joined = corpus.crossJoin(broadcast(probes))
-      .withColumn("cosine", cosine(col("embedding"), col("probe_embedding")))
+      .withColumn("cosine", cosineNative(col("embedding"), col("probe_embedding")))
     graft.ops.TopK.perGroup(joined,
       partitionBy = Seq(col("probe_id")),
       orderBy = Seq(col("cosine").desc, col("vec_id").asc),
@@ -57,7 +63,7 @@ object Embeddings {
     val c = corpus.withColumn("bucket", lshBucket(col("embedding"), planes))
     val p = probes.withColumn("bucket", lshBucket(col("probe_embedding"), planes))
     val joined = c.join(broadcast(p), Seq("bucket"))
-      .withColumn("cosine", cosine(col("embedding"), col("probe_embedding")))
+      .withColumn("cosine", cosineNative(col("embedding"), col("probe_embedding")))
     graft.ops.TopK.perGroup(joined,
       partitionBy = Seq(col("probe_id")),
       orderBy = Seq(col("cosine").desc, col("vec_id").asc),

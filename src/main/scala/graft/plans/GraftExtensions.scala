@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native expressions
+  * (SparkSessionExtensions is the supported plug-in point — set
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * Kept deliberately small: SURVEY.md §4.3 — every declared operator
+  * lowers to built-in plans, so no custom Rule/Strategy is injected;
+  * only scalar kernels that benefit from codegen live here.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+  }
+}

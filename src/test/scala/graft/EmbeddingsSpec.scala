@@ -10,6 +10,32 @@ class EmbeddingsSpec extends AnyFunSuite {
 
   private lazy val emb = Tables.load(spark, SharedSpark.sf001, "embeddings").cache()
 
+  test("native codegen cosine agrees with the HOF formulation") {
+    val pairs = emb.limit(50).crossJoin(
+      emb.limit(50).select(col("vec_id").as("vid2"), col("embedding").as("e2")))
+    val diffs = pairs.select(
+      abs(Embeddings.cosine(col("embedding"), col("e2")) -
+        Embeddings.cosineNative(col("embedding"), col("e2"))).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    // HOF zip_with multiplies in FLOAT precision before the double sum;
+    // the native kernel widens each element first, so they agree only to
+    // single-precision epsilon (the native result is the more accurate).
+    assert(diffs < 1e-6, s"max diff $diffs")
+  }
+
+  test("native cosine null semantics: null array and zero vector -> null") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (None, Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 2.0f))))
+      .toDF("a", "b")
+    val out = df.select(Embeddings.cosineNative(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0)) // zero norm
+  }
+
   test("cosine of a vector with itself is 1") {
     val c = emb.limit(5)
       .select(Embeddings.cosine(col("embedding"), col("embedding")))
