@@ -16,6 +16,7 @@ object Verify {
       // matching the oracle queries' guarded CASE semantics
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // testdata timestamps: orders/lineitem are TIMESTAMP(MILLIS) ->
       // read as session-UTC TIMESTAMP (not NTZ); events.ts is
       // TIMESTAMP(NANOS) which Spark can only surface as a nanos long

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via flatMapGroupsWithState: gap-based session
+  * windows emitted on timeout — the stateful-streaming analog of
+  * [[graft.ops.Sessionize]] (and of the reference's per-entity
+  * accumulation that lived in its worker pool, `ThreadHelpers.java`,
+  * re-expressed as managed per-key state with event-time timeouts).
+  *
+  * State per user is O(1) (open-session aggregate only); sessions close
+  * when the watermark passes start of the inactivity gap — bounded
+  * memory at any scale.
+  */
+object StatefulSessions {
+
+  final case class Event(user_id: Long, ts_ms: Long)
+  final case class OpenSession(start_ms: Long, end_ms: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** `useTimeouts = false` disables the idle-timeout close (sessions
+    * then close only when a later event arrives past the gap) — used by
+    * deterministic tests; production keeps the timeout so the LAST
+    * session of an idle key still flushes. */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long,
+      useTimeouts: Boolean = true): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val timeoutMode =
+      if (useTimeouts) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .selectExpr("user_id", "ts_ms")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), timeoutMode) {
+        (user: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start_ms, s.end_ms, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
+                  open = Some(s.copy(end_ms = e.ts_ms, n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
+                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (useTimeouts) state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

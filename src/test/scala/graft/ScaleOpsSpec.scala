@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Bucketing, Skew}
+
+/** Scale-pattern specs: salting and bucketed co-located joins. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("saltedCount matches plain groupBy count under heavy skew") {
+    // one hot key (90%) + a long tail
+    val rows = (1 to 10000).map(i => if (i % 10 != 0) 1L else (i % 100).toLong)
+    val df = rows.toDF("k")
+    val plain = df.groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Skew.saltedCount(df, col("k"), saltBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin matches plain join results under skew") {
+    val fact = ((1 to 5000).map(_ => 7L) ++ (1 to 100).map(_.toLong)).toDF("k")
+    val dim = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "v")
+    val plain = fact.join(dim, "k").groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val salted = Skew.saltedJoin(fact, dim, "k", saltBuckets = 8)
+      .groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted == plain)
+    assert(salted(7L) == 5001L) // 5000 hot rows + key 7 from the tail
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = Tables.load(spark, SharedSpark.sf001, "orders")
+    val lineitem = Tables.load(spark, SharedSpark.sf001, "lineitem")
+    Bucketing.writeBucketed(
+      orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      lineitem.select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 4)
+    val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    assert(joined.count() == lineitem.count())
+    assert(Bucketing.isExchangeFree(joined),
+      "bucketed equi-join should have no Exchange in the physical plan:\n" +
+        joined.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("user_id", "ts_ms")
+    val sessions = graft.streaming.StatefulSessions.sessionize(spark, df, gapMs = 60000,
+      useTimeouts = false)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions separated by a > 60s gap, fed in one batch
+      mem.addData((1L, 0L), (1L, 1000L), (1L, 200000L), (2L, 5L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // first session of user 1 closed by the in-batch gap
+      assert(closed.contains((1L, 0L, 1000L, 2L)))
+    } finally q.stop()
+  }
+}
