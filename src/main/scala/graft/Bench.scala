@@ -17,10 +17,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: JIT + codegen + parquet footer caches, so the
-    // first timed query doesn't absorb JVM start-up costs.
-    SparkEntry.queries.get("q_agg_hash").foreach { fn =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Untimed warm-up (JMH-style): run every query once at the smallest
+    // SF to JIT-compile each plan shape's whole-stage-codegen classes.
+    // (Input-table .cache() was tried and REVERTED: the single-partition
+    // InMemoryRelation serializes the map side of the shingle-heavy
+    // queries — 2s -> 38s for q_dedup_minhash.)
+    // Disable with SPARK_GRAFT_COLD=1 for cold numbers.
+    if (!sys.env.contains("SPARK_GRAFT_COLD")) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
     }
     // Optional subset for local profiling: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -19,8 +19,11 @@ object TextQueries {
       |  FROM documents)
       |SELECT token, COUNT(*) AS n FROM tok
       |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+    // split+explode then a codegen'd filter — NOT filter() inside the
+    // array (HOF lambdas run interpreted; see Text.shingleSetUdf note)
     Tables.load(s, d, "documents")
-      .select(explode(toks).as("token"))
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
