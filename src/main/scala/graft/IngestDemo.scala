@@ -63,6 +63,15 @@ object IngestDemo {
     q.stop()
     val sRows = ingest.AvroSink.readAll(s"$outDir/stream_avro").size
     println(s"[demo] stream-sink: $sRows rows via micro-batch")
+
+    // 4. nested BQRow golden blocks -> rotated NESTED Avro (the
+    //    reference's actual container-file shape, BQRow.avsc:1-51)
+    val blocks = ingest.Bitcoin.goldenBlocks(spark)
+    ingest.AvroSink.write(blocks, "timestamp", 86400, s"$outDir/blocks_avro")
+    val back = ingest.AvroSink.readAll(s"$outDir/blocks_avro")
+    val etlRows = ingest.Bitcoin.etl(blocks).count()
+    println(s"[demo] nested-avro: ${back.size} blocks round-tripped, " +
+      s"etl(golden) = $etlRows rows")
     spark.stop()
   }
 }

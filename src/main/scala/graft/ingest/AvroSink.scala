@@ -30,22 +30,32 @@ import org.apache.spark.sql.types._
   */
 object AvroSink {
 
-  /** Spark schema -> Avro record schema (nullable via union-with-null,
-    * mirroring BQRow.avsc's `["null", T]` convention). */
+  /** Spark schema -> Avro schema (nullable via union-with-null,
+    * mirroring BQRow.avsc's `["null", T]` convention). Recursive:
+    * nested STRUCTs become records, ARRAYs become avro arrays — the
+    * shape of the reference's block -> transactions[] -> inputs[]
+    * model (`BQRow.avsc:1-51`). */
+  private def avroType(dt: DataType, name: String): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType => Schema.create(Schema.Type.LONG) // epoch micros
+    case ArrayType(elem, containsNull) =>
+      val e = avroType(elem, name + "_item")
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), e) else e)
+    case st: StructType => avroSchema(st, name)
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+
   def avroSchema(schema: StructType, name: String): Schema = {
     val fields = SchemaBuilder.record(name).namespace("graft").fields()
     schema.fields.foldLeft(fields) { (fs, f) =>
-      val base = f.dataType match {
-        case LongType => Schema.create(Schema.Type.LONG)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case TimestampType => Schema.create(Schema.Type.LONG) // epoch micros
-        case other => throw new IllegalArgumentException(s"unsupported: $other")
-      }
+      val base = avroType(f.dataType, name + "_" + f.name)
       if (f.nullable)
         fs.name(f.name)
           .`type`(Schema.createUnion(Schema.create(Schema.Type.NULL), base))
@@ -54,6 +64,33 @@ object AvroSink {
     }
     fields.endRecord()
   }
+
+  /** Spark row value -> Avro generic value, recursively. `avro` is the
+    * NON-NULL branch schema for this position. */
+  private def toAvro(dt: DataType, avro: Schema, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (TimestampType, ts: java.sql.Timestamp) => java.lang.Long.valueOf(ts.getTime * 1000L)
+    case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
+    case (ArrayType(elem, _), s: scala.collection.Seq[_]) =>
+      val elemSchema = nonNull(avro.getElementType)
+      val out = new java.util.ArrayList[Any](s.length)
+      s.foreach(x => out.add(toAvro(elem, elemSchema, x)))
+      out
+    case (st: StructType, row: Row) =>
+      val rec = new GenericData.Record(avro)
+      st.fields.zipWithIndex.foreach { case (f, i) =>
+        rec.put(f.name, toAvro(f.dataType, nonNull(avro.getField(f.name).schema()), row.get(i)))
+      }
+      rec
+    case (_, x) => x
+  }
+
+  /** Unwrap a `["null", T]` union to T. */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.toArray.map(_.asInstanceOf[Schema])
+        .find(_.getType != Schema.Type.NULL).get
+    else s
 
   private val fileFmt =
     DateTimeFormatter.ofPattern("yyyy.MM.dd.HH.mm.ss").withZone(ZoneOffset.UTC)
@@ -91,16 +128,10 @@ object AvroSink {
             case None => val w1 = open(bucket); current = Some((bucket, w1)); w1
           }
           val rec = new GenericData.Record(avro)
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
+          schema.fields.foreach { f =>
             val v = row.get(row.fieldIndex(f.name))
-            val converted = (f.dataType, v) match {
-              case (_, null) => null
-              case (TimestampType, ts: java.sql.Timestamp) =>
-                java.lang.Long.valueOf(ts.getTime * 1000L)
-              case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
-              case _ => v
-            }
-            rec.put(f.name, converted)
+            rec.put(f.name,
+              toAvro(f.dataType, nonNull(avro.getField(f.name).schema()), v))
           }
           w.append(rec)
         }

@@ -56,5 +56,14 @@ object Udfs {
     Multimodal.extractFeatures(s, decoded).orderBy("asset_id")
   }
 
-  val all: Seq[Q] = Seq(udafWeighted, udfBase58, multimodalDecode)
+  /** The reference's etl.sh on the golden BQRow fixture — reference-
+    * fidelity surface (schema + quirks), rows-only check: the fixture
+    * is hand-built, not driver data, so no DuckDB oracle. Expected
+    * output is hand-verified in BitcoinSpec. */
+  val bitcoinEtlGolden: Q = Q.noOracle("q_bitcoin_etl_golden") { (s, _) =>
+    graft.ingest.Bitcoin.etl(graft.ingest.Bitcoin.goldenBlocks(s))
+      .orderBy("block_id", "transaction_id")
+  }
+
+  val all: Seq[Q] = Seq(udafWeighted, udfBase58, multimodalDecode, bitcoinEtlGolden)
 }
