@@ -29,6 +29,12 @@ object Embeddings {
   def cosineNative(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
+  /** Fixed-point exact dot (sum of floor(ai*bi*1e15) as BIGINT) — the
+    * engine-portable kernel ([[graft.plans.FxDotProduct]]): bit-equal
+    * to the posexplode+grouped-SUM formulation at array speed. */
+  def fxDot(a: Column, b: Column): Column =
+    call_function("graft_fxdot", a, b)
+
   /** Brute-force cosine top-k of `corpus` rows per `probe` row.
     * Probes must be small enough to broadcast (the 100TB pattern: the
     * corpus is the big side and is never shuffled). */

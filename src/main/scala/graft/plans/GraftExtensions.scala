@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fxdot"),
+      new ExpressionInfo(classOf[FxDotProduct].getName, "graft_fxdot"),
+      (children: Seq[Expression]) => FxDotProduct(children(0), children(1))))
   }
 }

@@ -195,23 +195,24 @@ object DedupSim {
        |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
        |FROM dots JOIN norms na ON id_a = na.vec_id
        |          JOIN norms nb ON id_b = nb.vec_id
-       |WHERE dot / (na.nrm * nb.nrm) >= 0.8
+       |WHERE dot / (na.nrm * nb.nrm) >= 0.35
        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val comp = components(s, d)
-    val nrm = norms(comp)
-    val a = comp.select(col("vec_id").as("id_a"), col("label"), col("i"), col("v").as("va"))
-    val b = comp.select(col("vec_id").as("id_b"), col("label").as("label_b"),
-      col("i").as("i_b"), col("v").as("vb"))
-    val dots = a.join(b,
-      col("i") === col("i_b") && col("label") === col("label_b") &&
-        col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(fx(col("va") * col("vb"))).cast(DoubleType) / FxDiv).as("dot"))
-    dots
-      .join(nrm.select(col("vec_id"), col("nrm").as("nrm_a")), col("id_a") === col("vec_id")).drop("vec_id")
-      .join(nrm.select(col("vec_id"), col("nrm").as("nrm_b")), col("id_b") === col("vec_id")).drop("vec_id")
+    // Spark side: same VALUES as the oracle's posexplode+grouped-SUM,
+    // but fused into the graft_fxdot kernel (order-free long sum =>
+    // bit-identical) over a label-blocked pair join — no component
+    // explosion, no 64x shuffle rows.
+    import graft.ml.Embeddings.fxDot
+    val emb = Tables.load(s, d, "embeddings")
+    val withNorm = emb.withColumn("nrm",
+      sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("label"),
+      col("embedding").as("ea"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("label").as("label_b"),
+      col("embedding").as("eb"), col("nrm").as("nrm_b"))
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("dot", fxDot(col("ea"), col("eb")).cast(DoubleType) / FxDiv)
       .withColumn("cosine", col("dot") / (col("nrm_a") * col("nrm_b")))
-      .filter(col("cosine") >= 0.8)
+      .filter(col("cosine") >= 0.35)
       .select("id_a", "id_b", "cosine")
       .orderBy("id_a", "id_b")
   }
@@ -237,19 +238,16 @@ object DedupSim {
        |           FROM scored)
        |SELECT probe_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
-    val comp = components(s, d)
-    val nrm = norms(comp)
-    val probeComp = comp.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("i").as("i_p"), col("v").as("vp"))
-    val dots = comp
-      .join(broadcast(probeComp),
-        col("i") === col("i_p") && col("vec_id") =!= col("probe_id"))
-      .groupBy("probe_id", "vec_id")
-      .agg((sum(fx(col("v") * col("vp"))).cast(DoubleType) / FxDiv).as("dot"))
-    val scored = dots
-      .join(nrm.select(col("vec_id"), col("nrm").as("nrm_v")), Seq("vec_id"))
-      .join(nrm.select(col("vec_id").as("probe_id"), col("nrm").as("nrm_p")), Seq("probe_id"))
-      .withColumn("cosine", col("dot") / (col("nrm_v") * col("nrm_p")))
+    import graft.ml.Embeddings.fxDot
+    val withNorm = Tables.load(s, d, "embeddings").withColumn("nrm",
+      sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
+    val probes = withNorm.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("ep"),
+        col("nrm").as("nrm_p"))
+    val scored = withNorm
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", fxDot(col("embedding"), col("ep")).cast(DoubleType) / FxDiv)
+      .withColumn("cosine", col("dot") / (col("nrm") * col("nrm_p")))
     graft.ops.TopK.perGroup(scored,
       partitionBy = Seq(col("probe_id")),
       orderBy = Seq(col("cosine").desc, col("vec_id").asc),
