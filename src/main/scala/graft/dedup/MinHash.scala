@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection (shingle -> minhash signature
-  * -> band -> bucket-join), the standard web-scale text dedup pipeline.
+  * -> band -> bucket-join), the standard web-scale text dedup pipeline
+  * (Broder 1997, "On the resemblance and containment of documents";
+  * banding analysis per Leskovec/Rajaraman/Ullman, MMDS ch. 3).
   *
   * Scale design: candidate generation is an equi-join on (band, bandKey)
   * — a plain hash shuffle, no pairwise cross-product. With b bands of r

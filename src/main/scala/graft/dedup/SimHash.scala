@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
 
 /** SimHash near-duplicate fingerprinting: a 64-bit signature whose
-  * Hamming distance approximates feature-set similarity.
+  * Hamming distance approximates feature-set similarity (Charikar 2002,
+  * "Similarity estimation techniques from rounding algorithms"; the
+  * quarter-blocking search is Manku/Jain/Sarma, WWW 2007).
   *
   * The per-document kernel is imperative bit-twiddling, so it runs as a
   * typed map (Dataset), not a SQL expression; pair search is relational:

@@ -47,7 +47,8 @@ object Embeddings {
       k = k, rankCol = "rank")
   }
 
-  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  /** Deterministic random hyperplanes (seeded) for sign-LSH
+    * (random-hyperplane rounding, Charikar 2002). */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
