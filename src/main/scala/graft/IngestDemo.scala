@@ -64,6 +64,18 @@ object IngestDemo {
     val sRows = ingest.AvroSink.readAll(s"$outDir/stream_avro").size
     println(s"[demo] stream-sink: $sRows rows via micro-batch")
 
+    // 3b. built-in session windows over a file stream
+    Tables.load(spark, sfDir, "events").limit(500)
+      .write.mode("overwrite").parquet(s"$outDir/sess_in")
+    val evStream = spark.readStream.schema(
+      Tables.load(spark, sfDir, "events").schema).parquet(s"$outDir/sess_in")
+    val sq = streaming.Streams.sessionCounts(evStream, "ts", "user_id", gap = "30 minutes")
+      .writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("complete").start()
+    sq.processAllAvailable(); sq.stop()
+    val nSessions = spark.table("demo_sessions").count()
+    println(s"[demo] session-windows: $nSessions sessions from 500 events")
+
     // 4. nested BQRow golden blocks -> rotated NESTED Avro (the
     //    reference's actual container-file shape, BQRow.avsc:1-51)
     val blocks = ingest.Bitcoin.goldenBlocks(spark)

@@ -28,6 +28,22 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("n_events"))
 
+  /** Built-in session windows (gap-close semantics) — the declarative
+    * sibling of [[StatefulSessions]]: Spark manages merge/expiry state,
+    * the watermark bounds it. */
+  def sessionCounts(
+      events: DataFrame,
+      tsCol: String,
+      entityCol: String,
+      gap: String,
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(col(entityCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entityCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Streaming dedup within the watermark — the streaming repair of the
     * reference's at-least-once append duplicates (R8/R14, `etl.sh:12-17`
     * run continuously instead of as a batch ETL). State is bounded by

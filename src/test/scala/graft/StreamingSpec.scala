@@ -32,6 +32,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_session_window: built-in session windows merge within gap") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = Streams.runToMemory(
+      Streams.sessionCounts(df, "ts", "user_id", gap = "60 seconds"),
+      "swin", "complete")
+    try {
+      // user 1: events at 0s and 30s merge (gap < 60s); 500s is separate
+      mem.addData((ts(0), 1L), (ts(30), 1L), (ts(500), 1L), (ts(5), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("swin")
+        .select("user_id", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.count(_._1 == 1L) == 2) // two sessions for user 1
+      assert(rows.toSet == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("s_stream_dedup: duplicates dropped within the watermark " +
     "(streaming repair of the at-least-once append, etl.sh:12-17)") {
     implicit val ctx = spark.sqlContext
