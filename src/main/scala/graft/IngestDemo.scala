@@ -76,6 +76,14 @@ object IngestDemo {
     val nSessions = spark.table("demo_sessions").count()
     println(s"[demo] session-windows: $nSessions sessions from 500 events")
 
+    // 3c. time-partitioned warehouse layout + partition pruning
+    ops.TimePartitioned.writeByDate(
+      Tables.load(spark, sfDir, "events"), "ts", s"$outDir/events_by_date")
+    val pruned = ops.TimePartitioned.readRange(
+      spark, s"$outDir/events_by_date", "2024-01-05", "2024-01-07")
+    println(s"[demo] partition-pruning: ${pruned.count()} rows from 3 partitions, " +
+      s"prunes=${ops.TimePartitioned.prunes(pruned)}")
+
     // 4. nested BQRow golden blocks -> rotated NESTED Avro (the
     //    reference's actual container-file shape, BQRow.avsc:1-51)
     val blocks = ingest.Bitcoin.goldenBlocks(spark)

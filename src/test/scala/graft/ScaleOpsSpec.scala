@@ -47,6 +47,24 @@ class ScaleOpsSpec extends AnyFunSuite {
         joined.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("time-partitioned writes prune to the queried date range") {
+    import graft.ops.TimePartitioned
+    val dest = java.nio.file.Files.createTempDirectory("tpart").toString
+    val ev = Tables.load(spark, SharedSpark.sf001, "events")
+    TimePartitioned.writeByDate(ev, "ts", dest)
+    val dirs = new java.io.File(dest).listFiles().count(_.getName.startsWith("p_date="))
+    assert(dirs >= 25, s"expected ~30 daily partitions, got $dirs")
+    val pruned = TimePartitioned.readRange(spark, dest, "2024-01-05", "2024-01-07")
+    assert(TimePartitioned.prunes(pruned), pruned.queryExecution.executedPlan.toString.take(800))
+    // result equals the unpartitioned filter
+    val expected = ev.filter(
+      to_date(col("ts")) >= "2024-01-05" && to_date(col("ts")) <= "2024-01-07").count()
+    assert(pruned.count() == expected)
+    // and the scan reads only 3 of the ~30 partitions
+    val scanned = pruned.select(col("p_date")).distinct().count()
+    assert(scanned == 3)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
