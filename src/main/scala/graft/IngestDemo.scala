@@ -76,6 +76,19 @@ object IngestDemo {
     val nSessions = spark.table("demo_sessions").count()
     println(s"[demo] session-windows: $nSessions sessions from 500 events")
 
+    // 3b2. stream-stream interval join (events vs a price-like stream)
+    val evSchema = Tables.load(spark, sfDir, "events").schema
+    val lStream = spark.readStream.schema(evSchema).parquet(s"$outDir/sess_in")
+      .select(col("ts").as("t_ts"), col("user_id").as("t_key"), col("event_id"))
+    val rStream = spark.readStream.schema(evSchema).parquet(s"$outDir/sess_in")
+      .select(col("ts").as("p_ts"), col("user_id").as("p_key"), col("value"))
+    val ivq = streaming.Streams.intervalJoin(lStream, rStream,
+      "t_key", "p_key", "t_ts", "p_ts", interval = "30 MINUTES")
+      .writeStream.format("memory").queryName("demo_ivjoin").start()
+    ivq.processAllAvailable(); ivq.stop()
+    println(s"[demo] interval-join: ${spark.table("demo_ivjoin").count()} matches " +
+      "within 30min trailing window")
+
     // 3c. time-partitioned warehouse layout + partition pruning
     ops.TimePartitioned.writeByDate(
       Tables.load(spark, sfDir, "events"), "ts", s"$outDir/events_by_date")

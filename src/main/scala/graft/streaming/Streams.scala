@@ -78,6 +78,24 @@ object Streams {
         graft.ingest.AvroSink.write(batch, tsMsCol, rotationSeconds, outDir)
       }
 
+  /** Stream-stream interval join: each left event matched to right
+    * events of the same key within a trailing time interval — the
+    * streaming form of the reference's implied prices-by-time join
+    * (`ingest_prices.sh:10`; SURVEY R18 note). Watermarks on BOTH
+    * sides bound the join state; `interval` is how far back a right
+    * row may be relative to the left event. */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      interval: String, lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    l.join(r, expr(
+      s"$leftKey = $rightKey AND " +
+        s"$rightTs BETWEEN $leftTs - INTERVAL $interval AND $leftTs"))
+  }
+
   /** Convenience: run a memory-sink query to completion for tests. */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

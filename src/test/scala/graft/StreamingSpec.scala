@@ -67,6 +67,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_interval_join: trades match prices within the trailing interval") {
+    implicit val ctx = spark.sqlContext
+    val trades = MemoryStream[(Timestamp, String, Long)]
+    val prices = MemoryStream[(Timestamp, String, Double)]
+    val joined = Streams.intervalJoin(
+      trades.toDF().toDF("t_ts", "t_sym", "trade_id"),
+      prices.toDF().toDF("p_ts", "p_sym", "price"),
+      leftKey = "t_sym", rightKey = "p_sym",
+      leftTs = "t_ts", rightTs = "p_ts",
+      interval = "60 SECONDS")
+    val q = Streams.runToMemory(joined, "ivjoin")
+    try {
+      // base offset: an event at exactly epoch 0 ties with Spark's
+      // INITIAL watermark (0) and is dropped as late — real data never
+      // sits at epoch 0, tests shouldn't either
+      val b = 100000L
+      prices.addData((ts(b), "BTC", 100.0), (ts(b + 30), "BTC", 101.0),
+        (ts(b + 200), "BTC", 105.0))
+      trades.addData((ts(b + 40), "BTC", 1L), (ts(b + 500), "BTC", 2L))
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin")
+        .select("trade_id", "price").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      // trade 1 @+40s sees prices @+0s and @+30s (within 60s); trade 2
+      // @+500s sees nothing (last price @+200s is 300s stale)
+      assert(rows == Set((1L, 100.0), (1L, 101.0)))
+    } finally q.stop()
+  }
+
   test("s_stream_rotate_sink: micro-batches land as rotated Avro container files") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("rotsink").toString
