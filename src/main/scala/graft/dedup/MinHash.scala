@@ -35,6 +35,8 @@ object MinHash {
     * `df` must carry `id` and a shingle array column `shCol`. */
   def candidatePairs(df: DataFrame, id: String, shCol: String,
       k: Int = 8, numBands: Int = 4): DataFrame = {
+    require(k % numBands == 0,
+      s"k=$k must be divisible by numBands=$numBands or trailing hashes are never banded")
     val rows = k / numBands
     val banded = df
       .select(col(id).as("__id"),

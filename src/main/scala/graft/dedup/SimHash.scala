@@ -36,7 +36,9 @@ object SimHash {
     out
   }
 
-  /** Adds a `simhash` column computed from an array-of-string column. */
+  /** Computes (id, simhash) PAIRS from an array-of-string column — the
+    * result carries ONLY those two columns (join back on `id` to
+    * enrich); `id` must be numeric (cast to long). */
   def withSimhash(spark: SparkSession, df: DataFrame, id: String,
       toksCol: String): DataFrame = {
     import spark.implicits._

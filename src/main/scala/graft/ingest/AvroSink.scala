@@ -69,7 +69,10 @@ object AvroSink {
     * NON-NULL branch schema for this position. */
   private def toAvro(dt: DataType, avro: Schema, v: Any): Any = (dt, v) match {
     case (_, null) => null
-    case (TimestampType, ts: java.sql.Timestamp) => java.lang.Long.valueOf(ts.getTime * 1000L)
+    case (TimestampType, ts: java.sql.Timestamp) =>
+      // full micros: getTime() is ms-truncated; nanos carries the rest
+      java.lang.Long.valueOf(ts.toInstant.getEpochSecond * 1000000L +
+        ts.toInstant.getNano / 1000L)
     case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
     case (ArrayType(elem, _), s: scala.collection.Seq[_]) =>
       val elemSchema = nonNull(avro.getElementType)
@@ -98,8 +101,14 @@ object AvroSink {
   /** Write `df` as rotated Avro container files under `outDir`.
     * One file per (time bucket, partition); the bucket derives from the
     * epoch-ms column `tsMsCol` — event time, the deterministic batch
-    * analog of the reference's processing-wall-clock rotation. */
-  def write(df: DataFrame, tsMsCol: String, rotationSeconds: Long, outDir: String): Unit = {
+    * analog of the reference's processing-wall-clock rotation.
+    *
+    * `suffix` disambiguates files across multiple write() invocations
+    * into the same directory (e.g. streaming micro-batches): the
+    * deterministic stamp+partition name would otherwise COLLIDE and
+    * DataFileWriter.create truncates existing files — silent data loss. */
+  def write(df: DataFrame, tsMsCol: String, rotationSeconds: Long, outDir: String,
+      suffix: String = ""): Unit = {
     val bucketed = df.withColumn("__bucket",
       graft.functions.Exact.bucket(col(tsMsCol), rotationSeconds * 1000))
     val schema = StructType(df.schema.fields)
@@ -117,7 +126,7 @@ object AvroSink {
         def open(bucket: Long): DataFileWriter[GenericRecord] = {
           val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
           val stamp = fileFmt.format(Instant.ofEpochSecond(bucket * rotationSeconds))
-          w.create(avro, new File(outDir, s"$stamp-p$pid.avro"))
+          w.create(avro, new File(outDir, s"$stamp-p$pid$suffix.avro"))
           w
         }
         rows.foreach { row =>

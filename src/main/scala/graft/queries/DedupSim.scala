@@ -160,18 +160,6 @@ object DedupSim {
 
   // ---- embedding similarity --------------------------------------------
 
-  /** (vec_id, label, i, v): one row per vector component, exact-double. */
-  private def components(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "embeddings")
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("i", "vf")))
-      .withColumn("v", col("vf").cast(DoubleType))
-      .drop("vf")
-
-  private def norms(comp: DataFrame): DataFrame =
-    comp.groupBy("vec_id")
-      .agg(sqrt(sum(fx(col("v") * col("v"))).cast(DoubleType) / FxDiv).as("nrm"))
-
   private val compSql =
     """e AS (SELECT vec_id, label, embedding FROM embeddings),
       |pos AS (SELECT unnest(range(1, 65)) AS i),

@@ -128,7 +128,7 @@ object TextQueries {
       |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |           FROM documents)
       |SELECT doc_id, i AS pos, toks[i] AS token
-      |FROM t, (SELECT unnest(range(1, 5000)) AS i) p
+      |FROM t, (SELECT unnest(range(1, 100000)) AS i) p
       |WHERE i <= len(toks) AND doc_id < 100
       |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
     val spark = s

@@ -10,9 +10,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * accumulation that lived in its worker pool, `ThreadHelpers.java`,
   * re-expressed as managed per-key state with event-time timeouts).
   *
-  * State per user is O(1) (open-session aggregate only); sessions close
-  * when the watermark passes start of the inactivity gap — bounded
-  * memory at any scale.
+  * State per user is O(1) (open-session aggregate only). Sessions
+  * close (a) immediately when a later in-order event arrives past the
+  * gap (event-time), or (b) via a PROCESSING-time idle timeout of
+  * `gapMs` — a pragmatic flush for live streams where wall clock
+  * tracks event time. For historical backfills, where wall clock and
+  * event time diverge, disable timeouts (`useTimeouts = false`) or the
+  * replay speed will split/hold sessions incorrectly; an
+  * EventTimeTimeout variant would need a watermark on the input.
   */
 object StatefulSessions {
 

@@ -74,8 +74,12 @@ object Streams {
       .trigger(Trigger.ProcessingTime(
         s"${triggerSeconds.getOrElse(rotationSeconds)} seconds"))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ingest.AvroSink.write(batch, tsMsCol, rotationSeconds, outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch id in the filename: a later micro-batch hitting an
+        // already-written bucket must append a NEW container file, not
+        // truncate the earlier one
+        graft.ingest.AvroSink.write(batch, tsMsCol, rotationSeconds, outDir,
+          suffix = s"-b$batchId")
       }
 
   /** Stream-stream interval join: each left event matched to right

@@ -113,6 +113,13 @@ class StreamingSpec extends AnyFunSuite {
       val files = new java.io.File(out).listFiles().map(_.getName).sorted
       assert(files.exists(_.startsWith("1970.01.01.00.00.00")))
       assert(files.exists(_.startsWith("1970.01.01.00.01.00")))
+      // second micro-batch hitting the SAME event-time bucket must not
+      // truncate batch 1's container file (regression: deterministic
+      // file names collided across batches)
+      mem.addData((3000L, "d"), (4000L, "e"))
+      q.processAllAvailable()
+      val all = graft.ingest.AvroSink.readAll(out).map(_("payload")).toSet
+      assert(all == Set("a", "b", "c", "d", "e"))
     } finally q.stop()
   }
 }
