@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
 
 /** Deterministic-numerics helpers.
   *
@@ -29,8 +29,12 @@ object Exact {
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
   /** Epoch milliseconds of a timestamp column (ns/us precision agnostic:
-    * both Spark (us) and DuckDB (ns) truncate toward zero to ms). */
-  def ms(c: Column): Column = unix_millis(c)
+    * both Spark (us) and DuckDB (ns) truncate toward zero to ms).
+    * The cast makes this total over TIMESTAMP_NTZ too — a session
+    * without our NTZ-off config (e.g. the driver's own smoke session)
+    * reads the millis-precision parquet columns as NTZ, and
+    * unix_millis rejects NTZ directly. No-op for plain TIMESTAMP. */
+  def ms(c: Column): Column = unix_millis(c.cast(TimestampType))
 
   /** Integer floor-division bucket id (non-negative inputs).
     * `(x - x % w) / w`: the numerator is exactly divisible, so the

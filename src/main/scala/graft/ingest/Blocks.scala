@@ -27,7 +27,7 @@ object Blocks {
     val lineitem = Tables.load(spark, dir, "lineitem")
     val header = orders.select(
       col("o_orderkey").as("block_id"),
-      unix_millis(col("o_orderdate")).as("ts_ms"),
+      graft.functions.Exact.ms(col("o_orderdate")).as("ts_ms"),
       col("o_custkey"),
       col("o_orderstatus"),
       col("o_totalprice"),
