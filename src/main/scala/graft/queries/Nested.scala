@@ -118,13 +118,16 @@ object Nested {
 
   val nestCollect: Q = Q(
     "q_nest_collect",
-    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+    """SELECT l_orderkey,
+      |       array_to_string(list(l_linenumber ORDER BY l_linenumber), '|') AS line_numbers,
       |       COUNT(*) AS n_lines
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
     Tables.load(s, d, "lineitem")
       .groupBy("l_orderkey")
       .agg(
-        array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+        concat_ws("|",
+          array_sort(collect_list(col("l_linenumber"))).cast("array<string>"))
+          .as("line_numbers"),
         count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey")
   }

@@ -218,13 +218,20 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Anti join with a restricted right side (customers with no BIG
+    * orders) so the result is non-empty — every custkey has at least
+    * one order in the driver data, so the unrestricted form proves
+    * nothing. */
   val joinAnti: Q = Q(
     "q_join_anti",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }
@@ -314,12 +321,16 @@ object Relational {
       .orderBy("key")
   }
 
+  /** EXCEPT with a restricted right side so the difference is non-empty
+    * (all customer keys appear in unrestricted orders). */
   val exceptQ: Q = Q(
     "q_except",
     """SELECT c_custkey AS key FROM customer
-      |EXCEPT SELECT o_custkey FROM orders ORDER BY key""".stripMargin) { (s, d) =>
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY key""".stripMargin) { (s, d) =>
     customer(s, d).select(col("c_custkey").as("key"))
-      .except(orders(s, d).select(col("o_custkey").as("key")))
+      .except(orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("key")))
       .orderBy("key")
   }
 

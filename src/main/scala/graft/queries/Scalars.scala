@@ -87,7 +87,7 @@ object Scalars {
       |  GREATEST(l_quantity, l_discount * 100) AS g,
       |  LEAST(l_tax, l_discount) AS l,
       |  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents_floor,
-      |  SIGN(l_quantity - 25) AS sgn
+      |  CAST(SIGN(l_quantity - 25) AS BIGINT) AS sgn
       |FROM lineitem
       |ORDER BY l_orderkey, l_linenumber, abs_dev, price_h, pk_mod, price_sqrt, g, l""".stripMargin) {
     (s, d) =>
@@ -102,7 +102,7 @@ object Scalars {
       greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
       least(col("l_tax"), col("l_discount")).as("l"),
       floor(col("l_extendedprice") * 100).cast(LongType).as("cents_floor"),
-      signum(col("l_quantity") - 25).as("sgn"))
+      signum(col("l_quantity") - 25).cast(LongType).as("sgn"))
       .orderBy("l_orderkey", "l_linenumber", "abs_dev", "price_h", "pk_mod",
         "price_sqrt", "g", "l")
   }
@@ -131,9 +131,9 @@ object Scalars {
       |SELECT doc_id,
       |  len(toks) AS n_tokens,
       |  len(list_distinct(toks)) AS n_distinct,
-      |  list_slice(toks, 1, 3) AS first3,
+      |  array_to_string(list_slice(toks, 1, 3), '|') AS first3,
       |  list_contains(toks, 'spark') AS has_spark,
-      |  list_sort(list_slice(toks, 1, 5)) AS first5_sorted,
+      |  array_to_string(list_sort(list_slice(toks, 1, 5)), '|') AS first5_sorted,
       |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_len
       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = split(col("text"), " ")
@@ -141,9 +141,9 @@ object Scalars {
       col("doc_id"),
       size(toks).cast(LongType).as("n_tokens"),
       size(array_distinct(toks)).cast(LongType).as("n_distinct"),
-      slice(toks, 1, 3).as("first3"),
+      concat_ws("|", slice(toks, 1, 3)).as("first3"),
       array_contains(toks, "spark").as("has_spark"),
-      array_sort(slice(toks, 1, 5)).as("first5_sorted"),
+      concat_ws("|", array_sort(slice(toks, 1, 5))).as("first5_sorted"),
       aggregate(transform(toks, x => length(x)), lit(0), (acc, x) => acc + x)
         .cast(LongType).as("total_len"))
       .orderBy("doc_id")
@@ -161,7 +161,7 @@ object Scalars {
       |  m['qty'][1] AS qty_from_map,
       |  m['disc_pct'][1] AS disc_from_map,
       |  CAST(cardinality(m) AS BIGINT) AS m_size,
-      |  list_sort(map_keys(m)) AS keys_sorted
+      |  array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted
       |FROM t ORDER BY l_orderkey, l_linenumber, qty_from_map, disc_from_map""".stripMargin) {
     (s, d) =>
     val m = map(
@@ -172,7 +172,7 @@ object Scalars {
       element_at(m, "qty").as("qty_from_map"),
       element_at(m, "disc_pct").as("disc_from_map"),
       size(m).cast(LongType).as("m_size"),
-      array_sort(map_keys(m)).as("keys_sorted"))
+      concat_ws("|", array_sort(map_keys(m))).as("keys_sorted"))
       .orderBy("l_orderkey", "l_linenumber", "qty_from_map", "disc_from_map")
   }
 

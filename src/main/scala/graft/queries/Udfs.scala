@@ -49,11 +49,23 @@ object Udfs {
 
   /** Multimodal binary-column pipeline (decode-stub -> features) over
     * synthetic payloads; plumbing is real, codec is stubbed
-    * ([[graft.multimodal.Multimodal]]). Rows-only check (no oracle). */
+    * ([[graft.multimodal.Multimodal]]). Rows-only check (no oracle).
+    * The driver-visible projection is scalar-only: the float feature
+    * vector is serialized as fixed-point longs (floor(x*1e6)) so the
+    * checker never sees an array column and the string is
+    * float-formatting-independent. */
   val multimodalDecode: Q = Q.noOracle("q_multimodal_decode") { (s, d) =>
     import graft.multimodal.Multimodal
     val decoded = Multimodal.decode(s, Multimodal.assetsFromDocuments(s, d))
-    Multimodal.extractFeatures(s, decoded).orderBy("asset_id")
+    Multimodal.extractFeatures(s, decoded)
+      .select(
+        col("asset_id"),
+        concat_ws("|",
+          transform(col("features"),
+            x => floor(x.cast("double") * 1e6).cast("long").cast("string")))
+          .as("features_fx"),
+        col("width"), col("height"))
+      .orderBy("asset_id")
   }
 
   /** The reference's etl.sh on the golden BQRow fixture — reference-
@@ -61,7 +73,11 @@ object Udfs {
     * is hand-built, not driver data, so no DuckDB oracle. Expected
     * output is hand-verified in BitcoinSpec. */
   val bitcoinEtlGolden: Q = Q.noOracle("q_bitcoin_etl_golden") { (s, _) =>
+    // Driver-visible projection is scalar-only: the nested input/output
+    // struct arrays are serialized via to_json (binary -> base64 inside).
     graft.ingest.Bitcoin.etl(graft.ingest.Bitcoin.goldenBlocks(s))
+      .withColumn("inputs", to_json(col("inputs")))
+      .withColumn("outputs", to_json(col("outputs")))
       .orderBy("block_id", "transaction_id")
   }
 

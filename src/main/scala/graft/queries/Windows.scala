@@ -124,8 +124,8 @@ object Windows {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
       |s AS (
       |  SELECT user_id, event_id, ms,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM e)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |       MIN(ms) AS start_ms, MAX(ms) AS end_ms
@@ -165,33 +165,34 @@ object Windows {
       .orderBy("nationkey")
   }
 
-  /** As-of join: each purchase matched to the user's latest login at or
-    * before it. Oracle uses the naive range-join+rank form; the engine
-    * uses the single-shuffle union+last_value pattern ([[graft.ops.AsOf]]). */
+  /** As-of join: each purchase matched to the user's latest signup at or
+    * before it (the reference's pricing-join shape, `ingest_prices.sh:10`).
+    * Oracle uses the naive range-join+rank form; the engine uses the
+    * single-shuffle union+last_value pattern ([[graft.ops.AsOf]]). */
   val joinAsOf: Q = Q(
     "q_join_asof",
     """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms
       |           FROM events WHERE event_type = 'purchase'),
-      |     l AS (SELECT event_id AS login_id, user_id, epoch_ms(ts) AS l_ms
-      |           FROM events WHERE event_type = 'login')
-      |SELECT event_id, user_id, login_id, p_ms - l_ms AS gap_ms FROM (
-      |  SELECT p.event_id, p.user_id, l.login_id, p.p_ms, l.l_ms,
+      |     l AS (SELECT event_id AS signup_id, user_id, epoch_ms(ts) AS s_ms
+      |           FROM events WHERE event_type = 'signup')
+      |SELECT event_id, user_id, signup_id, p_ms - s_ms AS gap_ms FROM (
+      |  SELECT p.event_id, p.user_id, l.signup_id, p.p_ms, l.s_ms,
       |    ROW_NUMBER() OVER (PARTITION BY p.event_id
-      |                       ORDER BY l.l_ms DESC, l.login_id DESC) AS rn
-      |  FROM p JOIN l ON p.user_id = l.user_id AND l.l_ms <= p.p_ms)
+      |                       ORDER BY l.s_ms DESC, l.signup_id DESC) AS rn
+      |  FROM p JOIN l ON p.user_id = l.user_id AND l.s_ms <= p.p_ms)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
     val ev = Tables.load(s, d, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), ms(col("ts")).as("p_ms"))
-    val logins = ev.filter(col("event_type") === "login")
-      .select(col("event_id").as("login_id"), col("user_id"), ms(col("ts")).as("l_ms"))
-    AsOf.join(purchases, logins,
-      key = "user_id", leftTsMs = "p_ms", rightTsMs = "l_ms",
-      rightVals = Seq("login_id", "l_ms"), rightTiebreak = "login_id")
-      .filter(col("login_id").isNotNull) // inner as-of: drop unmatched
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), ms(col("ts")).as("s_ms"))
+    AsOf.join(purchases, signups,
+      key = "user_id", leftTsMs = "p_ms", rightTsMs = "s_ms",
+      rightVals = Seq("signup_id", "s_ms"), rightTiebreak = "signup_id")
+      .filter(col("signup_id").isNotNull) // inner as-of: drop unmatched
       .select(
-        col("event_id"), col("user_id"), col("login_id"),
-        (col("p_ms") - col("l_ms")).cast(LongType).as("gap_ms"))
+        col("event_id"), col("user_id"), col("signup_id"),
+        (col("p_ms") - col("s_ms")).cast(LongType).as("gap_ms"))
       .orderBy("event_id")
   }
 
