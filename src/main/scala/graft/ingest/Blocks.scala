@@ -41,7 +41,15 @@ object Blocks {
   }
 
   /** Simulates the reference's at-least-once duplicate rows
-    * (`Main.java:189-202` retry-append): every 10th block appears twice. */
+    * (`Main.java:189-202` retry-append): every 10th block appears twice.
+    * Duplication is a single narrow explode (1 or 2 copies per row) —
+    * a self-union would re-derive the whole nest subplan for the
+    * duplicated slice and break the join's output partitioning, forcing
+    * the downstream dedup window to re-shuffle. */
   def withDuplicates(blocks: DataFrame): DataFrame =
-    blocks.unionAll(blocks.filter(col("block_id") % 10 === 0))
+    blocks
+      .withColumn("__copy",
+        explode(when(col("block_id") % 10 === 0, array(lit(1), lit(2)))
+          .otherwise(array(lit(1)))))
+      .drop("__copy")
 }

