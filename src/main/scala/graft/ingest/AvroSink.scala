@@ -98,6 +98,9 @@ object AvroSink {
   private val fileFmt =
     DateTimeFormatter.ofPattern("yyyy.MM.dd.HH.mm.ss").withZone(ZoneOffset.UTC)
 
+  /** Per-invocation token for the default file-name suffix. */
+  private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Write `df` as rotated Avro container files under `outDir`.
     * One file per (time bucket, partition); the bucket derives from the
     * epoch-ms column `tsMsCol` — event time, the deterministic batch
@@ -106,9 +109,14 @@ object AvroSink {
     * `suffix` disambiguates files across multiple write() invocations
     * into the same directory (e.g. streaming micro-batches): the
     * deterministic stamp+partition name would otherwise COLLIDE and
-    * DataFileWriter.create truncates existing files — silent data loss. */
+    * DataFileWriter.create truncates existing files — silent data loss.
+    * When omitted, a per-invocation sequence token is used so two
+    * batch write() calls into one directory can never truncate each
+    * other; pass an explicit suffix (e.g. -b<batchId>) for names that
+    * must be stable across JVMs. */
   def write(df: DataFrame, tsMsCol: String, rotationSeconds: Long, outDir: String,
-      suffix: String = ""): Unit = {
+      suffix: String = null): Unit = {
+    val sfx = if (suffix != null) suffix else s"-w${writeSeq.getAndIncrement()}"
     val bucketed = df.withColumn("__bucket",
       graft.functions.Exact.bucket(col(tsMsCol), rotationSeconds * 1000))
     val schema = StructType(df.schema.fields)
@@ -126,7 +134,7 @@ object AvroSink {
         def open(bucket: Long): DataFileWriter[GenericRecord] = {
           val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
           val stamp = fileFmt.format(Instant.ofEpochSecond(bucket * rotationSeconds))
-          w.create(avro, new File(outDir, s"$stamp-p$pid$suffix.avro"))
+          w.create(avro, new File(outDir, s"$stamp-p$pid$sfx.avro"))
           w
         }
         rows.foreach { row =>

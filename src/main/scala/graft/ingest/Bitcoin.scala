@@ -71,17 +71,58 @@ object Bitcoin {
   }
 
   // -- golden fixture (FIXTURES.md §1: ~6 blocks, every quirk) -----------
+  // The fixture carries only RAW script bytes; every derived column
+  // (script string, error, address) is computed by the real decoder
+  // ([[graft.functions.BtcScript]]) exactly as the reference's
+  // per-record converter does (`BitcoinBlockHandler.java:130-187`).
 
-  private def in(script: Array[Byte], scriptStr: String, scriptErr: String,
-      seq: Long, pubkey: String, pubkeyErr: String): Row =
-    Row(script, scriptStr, scriptErr, seq, pubkey, pubkeyErr)
+  import graft.functions.BtcScript
 
-  private def out(sat: java.lang.Long, script: Array[Byte], scriptStr: String,
-      scriptErr: String, pubkey: String, pubkeyErr: String): Row =
-    Row(sat, script, scriptStr, scriptErr, pubkey, pubkeyErr)
+  /** Input row from raw scriptSig bytes (`BitcoinBlockHandler.java:130-157`):
+    * script string + error from the decoder; coinbase pubkey is "" never
+    * null (`:144-145`), others derive the P2PKH sender address. */
+  private def in(script: Array[Byte], seq: Long, coinbase: Boolean = false): Row = {
+    val (s, serr) = BtcScript.decodeToString(script)
+    val (pk, pkerr) =
+      if (coinbase) ("", null) else BtcScript.inputAddress(script)
+    Row(script, s, serr, seq, pk, pkerr)
+  }
+
+  /** Output row from raw scriptPubKey bytes (`BitcoinBlockHandler.java:159-187`). */
+  private def out(sat: java.lang.Long, script: Array[Byte]): Row = {
+    val (s, serr) = BtcScript.decodeToString(script)
+    val (pk, pkerr) = BtcScript.outputAddress(script)
+    Row(sat, script, s, serr, pk, pkerr)
+  }
 
   private def tx(id: String, inputs: Seq[Row], outputs: Seq[Row]): Row =
     Row(id, inputs, outputs)
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** secp256k1 generator-point compressed pubkey (the classic public
+    * test vector; its P2PKH address is 1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH). */
+  private[graft] val VectorPubkeyHex =
+    "0279be667ef9dcbbac55a06295ce870b07029bfcdb2dce28d959f2815b16f81798"
+
+  /** Raw fixture scripts, parsed (never pre-decoded):
+    *  CoinbaseSig: push of 2 arbitrary bytes (coinbase scripts are free-form)
+    *  SpendSig:    P2PKH scriptSig = sig push + pubkey push
+    *  TruncatedSig: push claims more bytes than remain -> decode error
+    *  P2pkhPubkey: DUP HASH160 push20 EQUALVERIFY CHECKSIG (20 zero bytes
+    *               -> the well-known address 1111111111111111111114oLvT2)
+    *  P2shPubkey:  HASH160 push20 EQUAL -> a version-5 "3..." address
+    */
+  private[graft] val CoinbaseSig = Array[Byte](0x02, 0x01, 0x02)
+  private[graft] val SpendSig: Array[Byte] =
+    Array[Byte](0x08, 1, 2, 3, 4, 5, 6, 7, 8) ++
+      (hexBytes("21") ++ hexBytes(VectorPubkeyHex))
+  private[graft] val TruncatedSig = Array[Byte](0x05, 0x01)
+  private[graft] val P2pkhPubkey: Array[Byte] =
+    hexBytes("76a914" + "00" * 20 + "88ac")
+  private[graft] val P2shPubkey: Array[Byte] =
+    hexBytes("a914" + "00" * 20 + "87")
 
   /** Hand-built golden blocks:
     *  b1: normal block, coinbase "" input + one P2PKH output
@@ -89,18 +130,15 @@ object Bitcoin {
     *  b2: transactions = [] (vanishes under the inner unnest)
     *  b3: script-decode error (value null, *_error set) + null satoshis
     *  b4: work overflow -> work_error
-    *  b5: two transactions (explode multiplicity)
+    *  b5: two transactions (explode multiplicity; P2SH output)
     */
   def goldenBlocks(spark: SparkSession): DataFrame = {
-    val coinbase = in(Array[Byte](1, 2), "PUSHDATA(2)[0102]", null, 4294967295L, "", null)
-    val spend = in(Array[Byte](3), "PUSHDATA(1)[03]", null, 0L,
-      "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM", null)
-    val badScript = in(Array[Byte](-1), null, "Script decode failed: truncated", 1L,
-      null, "no address for unparseable script")
-    val pay = out(5000000000L, Array[Byte](4), "DUP HASH160 [...] EQUALVERIFY CHECKSIG",
-      null, "1111111111111111111114oLvT2", null)
-    val nullSat = out(null, Array[Byte](5), null, "Script decode failed: bad opcode",
-      null, "no address")
+    val coinbase = in(CoinbaseSig, 4294967295L, coinbase = true)
+    val spend = in(SpendSig, 0L)
+    val badScript = in(TruncatedSig, 1L)
+    val pay = out(5000000000L, P2pkhPubkey)
+    val nullSat = out(null, TruncatedSig)
+    val payP2sh = out(1200000000L, P2shPubkey)
 
     val (b1wt, b1we) = workTerahash(BigInt("4295032833"))
     val b1 = Row("b1", "b0", "m1", 1230000000000L, 486604799L, 2083236893L, 1L,
@@ -116,7 +154,7 @@ object Bitcoin {
     val b5 = Row("b5", "b4", "m5", 1230002400000L, 486604799L, 45L, 1L,
       0L, null, Seq(
         tx("t5a", Seq(spend), Seq(pay)),
-        tx("t5b", Seq(spend), Seq(pay, nullSat))))
+        tx("t5b", Seq(spend), Seq(payP2sh, nullSat))))
 
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(b1, b1, b2, b3, b4, b5)), // b1 duplicated

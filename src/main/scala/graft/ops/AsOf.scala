@@ -41,13 +41,19 @@ object AsOf {
       .withColumn("__ts", col(rightTsMs))
       .withColumn("__tag", lit(0))
       .withColumn("__tb", col(rightTiebreak).cast("long"))
+    // Right values travel as ONE struct so a single last(ignoreNulls)
+    // carries them atomically — per-column fills could mix values from
+    // different right rows when a right column is null.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val lAll = lTagged.select(
-      (left.columns.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tb")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      (left.columns.map(col) ++ Seq(col("__ts"), col("__tag"), col("__tb")) :+
+        lit(null).cast(rvType).as("__rv")): _*)
     val rAll = rTagged.select(
       (left.columns.map(c =>
         if (c == key) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("__ts"), col("__tag"), col("__tb")) ++ rightVals.map(col)): _*)
+        Seq(col("__ts"), col("__tag"), col("__tb")) :+
+        struct(rightVals.map(col): _*).as("__rv")): _*)
 
     // rights sort before lefts at equal ts (__tag 0 < 1) => "<=" semantics;
     // among equal-ts rights the largest tiebreak is seen last => wins.
@@ -56,9 +62,10 @@ object AsOf {
       .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightVals.foldLeft(lAll.unionByName(rAll)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__tag") === 1).drop("__ts", "__tag", "__tb")
+    val filled = lAll.unionByName(rAll)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    rightVals.foldLeft(filled.filter(col("__tag") === 1)) { (df, c) =>
+      df.withColumn(c, col(s"__rv.$c"))
+    }.drop("__ts", "__tag", "__tb", "__rv")
   }
 }

@@ -18,7 +18,10 @@ object Skew {
     * where some key values are pathologically hot.
     * `aggs` must be re-aggregable (sum of partial sums etc.). */
   def saltedCount(df: DataFrame, key: Column, saltBuckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    // hash(key, partition id) is retry-deterministic (a re-executed task
+    // re-reads the same split); monotonically_increasing_id is not —
+    // salt values would shift under task retry.
+    df.withColumn("__salt", pmod(hash(key, spark_partition_id()), lit(saltBuckets)))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy("__key")
@@ -35,7 +38,7 @@ object Skew {
       key: String,
       saltBuckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(col(key), spark_partition_id()), lit(saltBuckets)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

@@ -79,8 +79,11 @@ object DedupSim {
     val sizes = Tables.load(s, d, "documents")
       .select(col("doc_id"),
         size(Text.shingleSetUdf(3)(col("text"))).cast("long").as("n"))
-    val common = capped.as("a")
-      .join(capped.as("b"),
+    // merge hints: without them the planner broadcasts the (small here)
+    // b-side, which recomputes the shingle frame and cannot scale —
+    // the hinted SMJ feeds both sides from ONE reused exchange instead.
+    val common = capped.hint("merge").as("a")
+      .join(capped.hint("merge").as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))

@@ -81,5 +81,39 @@ object Udfs {
       .orderBy("block_id", "transaction_id")
   }
 
-  val all: Seq[Q] = Seq(udafWeighted, udfBase58, multimodalDecode, bitcoinEtlGolden)
+  /** The declared UDTF (`u_udtf_explode_scripts`): 1 tx row -> N script-
+    * op rows, decoding RAW script bytes with the real parser
+    * ([[graft.functions.BtcScript]] — the reference's scriptSig /
+    * scriptPubKey decode, `BitcoinBlockHandler.java:136-141,171-178`).
+    * Undecodable scripts produce no op rows (inner generator semantics);
+    * their error surfaces in the `*_script_string_error` columns of the
+    * ETL output instead. No oracle: the input is the golden fixture and
+    * DuckDB has no script decoder; ScriptDecodeSpec covers the vectors. */
+  val udtfExplodeScripts: Q = Q.noOracle("q_udtf_explode_scripts") { (s, _) =>
+    import graft.functions.BtcScript
+    val opsUdf = udf { (bytes: Array[Byte]) =>
+      try BtcScript.parse(bytes).map(o => (o.name, o.pushHex))
+      catch { case _: BtcScript.ScriptDecodeException => Seq.empty[(String, String)] }
+    }
+    val txs = graft.ingest.Bitcoin.goldenBlocks(s)
+      .select(col("block_id"), explode(col("transactions")).as("tx"))
+      .select(col("block_id"), col("tx.transaction_id").as("transaction_id"),
+        col("tx.inputs").as("ins"), col("tx.outputs").as("outs"))
+    def side(arr: String, sideName: String, scriptField: String) = txs
+      .select(col("block_id"), col("transaction_id"), lit(sideName).as("side"),
+        posexplode(col(arr)).as(Seq("elem_idx", "e")))
+      .select(col("block_id"), col("transaction_id"), col("side"),
+        col("elem_idx"), col(s"e.$scriptField").as("script_bytes"))
+    side("ins", "input", "input_script_bytes")
+      .unionAll(side("outs", "output", "output_script_bytes"))
+      .select(col("block_id"), col("transaction_id"), col("side"), col("elem_idx"),
+        posexplode(opsUdf(col("script_bytes"))).as(Seq("op_idx", "op")))
+      .select(col("block_id"), col("transaction_id"), col("side"),
+        col("elem_idx"), col("op_idx"),
+        col("op._1").as("op_name"), col("op._2").as("push_hex"))
+      .orderBy("block_id", "transaction_id", "side", "elem_idx", "op_idx")
+  }
+
+  val all: Seq[Q] = Seq(
+    udafWeighted, udfBase58, multimodalDecode, bitcoinEtlGolden, udtfExplodeScripts)
 }

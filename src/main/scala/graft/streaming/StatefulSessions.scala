@@ -56,7 +56,12 @@ object StatefulSessions {
             sorted.foreach { e =>
               open match {
                 case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
-                  open = Some(s.copy(end_ms = e.ts_ms, n = s.n + 1))
+                  // out-of-order events within the gap extend the session
+                  // in BOTH directions — never rewind end_ms backwards
+                  open = Some(s.copy(
+                    start_ms = math.min(s.start_ms, e.ts_ms),
+                    end_ms = math.max(s.end_ms, e.ts_ms),
+                    n = s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
                   open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))

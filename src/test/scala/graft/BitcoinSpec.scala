@@ -53,7 +53,8 @@ class BitcoinSpec extends AnyFunSuite {
     val b3 = etl.filter(etl("block_id") === "b3").head
     val in0 = b3.getSeq[Row](b3.fieldIndex("inputs")).head
     assert(in0.getAs[String]("input_script_string") == null)
-    assert(in0.getAs[String]("input_script_string_error").startsWith("Script decode failed"))
+    assert(in0.getAs[String]("input_script_string_error") ==
+      "Push of data element that is larger than remaining data")
     val out0 = b3.getSeq[Row](b3.fieldIndex("outputs")).head
     assert(out0.isNullAt(out0.fieldIndex("output_satoshis")))
   }

@@ -32,6 +32,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_observe_listener: per-batch progress listener fires with row/state counts " +
+    "(R11, the Main.java:154-160 queue monitor analog)") {
+    implicit val ctx = spark.sqlContext
+    val listener = new graft.streaming.ProgressListener(quiet = true)
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Streams.runToMemory(
+      Streams.tumblingCounts(mem.toDF().toDF("ts", "v"), "ts", widthSeconds = 60),
+      "observed", "complete")
+    try {
+      mem.addData((ts(0), "a"), (ts(10), "b"), (ts(70), "c"))
+      q.processAllAvailable()
+      // listener events are delivered async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while ((listener.batchesSeen.get() == 0 || listener.maxStateRows.get() == 0) &&
+        System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(listener.batchesSeen.get() > 0)
+      assert(listener.inputRowsSeen.get() == 3)
+      assert(listener.maxStateRows.get() > 0) // the windowed agg keeps state rows
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("s_stream_session_window: built-in session windows merge within gap") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
