@@ -76,4 +76,51 @@ object Embeddings {
       orderBy = Seq(col("cosine").desc, col("vec_id").asc),
       k = k, rankCol = "rank")
   }
+
+  // ---- IVF (inverted-file) ANN — the other classic scale path ---------
+
+  /** Coarse-quantizer centroids as a deterministic corpus sample (every
+    * `every`-th vector). k-means iterations would refine them; the
+    * partition/probe PLUMBING — the scale-relevant part — is identical
+    * either way. */
+  def centroids(corpus: DataFrame, every: Int): DataFrame =
+    corpus.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+  /** Index build: assign every corpus vector to its nearest centroid.
+    * Centroids broadcast; the argmax is a map-side-combining max_by
+    * aggregate, so the corpus crosses the wire ONCE — at 100TB this is
+    * a write-time cost (like bucketing), not a per-query one. */
+  def assignIvf(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("__s", cosineNative(col("embedding"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        // struct order (score, id): ties break to the larger centroid_id
+        max_by(col("centroid_id"), struct(col("__s"), col("centroid_id")))
+          .as("centroid_id"))
+
+  /** IVF search: each probe ranks the centroids (broadcast, tiny),
+    * keeps the `nprobe` nearest lists, and scans ONLY those corpus
+    * partitions via an equi-join on centroid_id — never the full
+    * corpus. Recall is tuned by nprobe/every. */
+  def knnIvf(corpus: DataFrame, probes: DataFrame, k: Int,
+      every: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, every)
+    val assigned = assignIvf(corpus, cents)
+    val probeLists = graft.ops.TopK.perGroup(
+      probes.crossJoin(broadcast(cents))
+        .withColumn("__s", cosineNative(col("probe_embedding"), col("centroid"))),
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("__s").desc, col("centroid_id").asc),
+      k = nprobe, rankCol = "__pr")
+      .select("probe_id", "probe_embedding", "centroid_id")
+    val joined = assigned.join(broadcast(probeLists), Seq("centroid_id"))
+      .withColumn("cosine", cosineNative(col("embedding"), col("probe_embedding")))
+    graft.ops.TopK.perGroup(joined,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+      k = k, rankCol = "rank")
+  }
 }

@@ -289,6 +289,18 @@ object DedupSim {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF-partitioned ANN (coarse quantizer + nprobe lists — the
+    * inverted-file scale path; recall vs brute force is ScalaTest'd). */
+  val annIvf: Q = Q.noOracle("q_ann_ivf") { (s, d) =>
+    val emb = Tables.load(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_embedding"))
+    graft.ml.Embeddings.knnIvf(emb, probes, k = 10, every = 50, nprobe = 4)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "rank", "vec_id", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
   /** HLL sketch distinct — algorithmic, no cross-engine oracle;
     * error bound vs exact is ScalaTest'd. */
   val approxDistinct: Q = Q.noOracle("q_agg_approx_distinct") { (s, d) =>
@@ -302,5 +314,5 @@ object DedupSim {
 
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
-    embedCosineDup, annTopK, annLsh, approxDistinct)
+    embedCosineDup, annTopK, annLsh, annIvf, approxDistinct)
 }
