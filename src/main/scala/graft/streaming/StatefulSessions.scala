@@ -8,16 +8,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * windows emitted on timeout — the stateful-streaming analog of
   * [[graft.ops.Sessionize]] (and of the reference's per-entity
   * accumulation that lived in its worker pool, `ThreadHelpers.java`,
-  * re-expressed as managed per-key state with event-time timeouts).
+  * re-expressed as managed per-key state with timeouts).
   *
   * State per user is O(1) (open-session aggregate only). Sessions
   * close (a) immediately when a later in-order event arrives past the
-  * gap (event-time), or (b) via a PROCESSING-time idle timeout of
-  * `gapMs` — a pragmatic flush for live streams where wall clock
-  * tracks event time. For historical backfills, where wall clock and
-  * event time diverge, disable timeouts (`useTimeouts = false`) or the
-  * replay speed will split/hold sessions incorrectly; an
-  * EventTimeTimeout variant would need a watermark on the input.
+  * gap (event-time), or (b) via an idle timeout of `gapMs` — a
+  * PROCESSING-time one in [[sessionize]] (pragmatic for live streams
+  * where wall clock tracks event time), or a WATERMARK-driven
+  * EVENT-time one in [[sessionizeEventTime]] (correct for historical
+  * backfills, where replay speed and event time diverge).
   */
 object StatefulSessions {
 
@@ -72,6 +71,58 @@ object StatefulSessions {
             open.foreach { s =>
               state.update(s)
               if (useTimeouts) state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Event-time variant: the idle timeout fires when the WATERMARK
+    * passes `end_ms + gapMs`, so sessions close by stream progress, not
+    * wall clock — replay-speed-independent (correct for backfills).
+    * `events` must carry a TimestampType column `ts` (the watermark
+    * column) alongside `user_id`; `lateness` bounds state. */
+  def sessionizeEventTime(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long,
+      lateness: String = "10 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .selectExpr("user_id", "ts", "CAST(unix_millis(ts) AS LONG) AS ts_ms")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start_ms, s.end_ms, s.n))
+          } else {
+            val sorted = rows.map(r => Event(r._1, r._3)).toSeq.sortBy(_.ts_ms)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
+                  open = Some(s.copy(
+                    start_ms = math.min(s.start_ms, e.ts_ms),
+                    end_ms = math.max(s.end_ms, e.ts_ms),
+                    n = s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
+                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fires once the watermark (event time) passes the gap edge
+              state.setTimeoutTimestamp(s.end_ms + gapMs)
             }
             closed.result().iterator
           }

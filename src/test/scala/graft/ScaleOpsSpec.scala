@@ -84,4 +84,34 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(closed.contains((1L, 0L, 1000L, 2L)))
     } finally q.stop()
   }
+
+  test("event-time sessionization: watermark passing the gap edge closes the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val sessions = graft.streaming.StatefulSessions.sessionizeEventTime(
+      spark, df, gapMs = 60000, lateness = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+      // batch 1: user 1 events at 100s and 130s (one open session).
+      // (Nothing at 0s: with zero lateness the initial watermark is 0
+      // and a 0s event would be dropped as late.)
+      mem.addData((1L, ts(100)), (1L, ts(130)))
+      q.processAllAvailable()
+      // batch 2: a user-2 event at 600s advances the WATERMARK far past
+      // user 1's gap edge (130s + 60s) -> the idle timeout closes user 1's
+      // session on the NEXT trigger, no user-1 event needed
+      mem.addData((2L, ts(600)))
+      q.processAllAvailable()
+      mem.addData((2L, ts(1200))) // extra trigger so the timeout fires
+      q.processAllAvailable()
+      val closed = spark.table("et_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.contains((1L, 100000L, 130000L, 2L)),
+        s"expected user-1 session closed by event-time timeout, got ${closed.mkString(",")}")
+    } finally q.stop()
+  }
 }
