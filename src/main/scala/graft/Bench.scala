@@ -11,7 +11,10 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE stays ON (the 100TB posture: runtime re-plan, skew splits);
+      // SPARK_GRAFT_AQE=false exists for measuring its per-query cost
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
