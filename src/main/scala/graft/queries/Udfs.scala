@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.{Q, Tables}
 import graft.functions.{Base58, WeightedAvg}
 
@@ -68,6 +69,28 @@ object Udfs {
       .orderBy("asset_id")
   }
 
+  /** Video-style frame sampling over binary payloads
+    * ([[graft.multimodal.Multimodal.sampleFrames]]): fixed-stride byte
+    * slices stand in for decoded frames; the driver-visible projection
+    * fingerprints each frame (md5) instead of exposing the bytes. The
+    * oracle reproduces the slicing with char-based substring — exact
+    * because the corpus is ASCII (bytes == chars). */
+  val multimodalFrames: Q = Q(
+    "q_multimodal_frames",
+    """WITH pos AS (SELECT unnest(range(0, 4096)) AS frame_no)
+      |SELECT doc_id AS asset_id, frame_no,
+      |  CAST(length(substring(text, CAST(frame_no*128 + 1 AS BIGINT), 128)) AS BIGINT) AS frame_len,
+      |  md5(substring(text, CAST(frame_no*128 + 1 AS BIGINT), 128)) AS frame_md5
+      |FROM documents, pos WHERE frame_no*128 < length(text)
+      |ORDER BY asset_id, frame_no""".stripMargin) { (s, d) =>
+    import graft.multimodal.Multimodal
+    Multimodal.sampleFrames(s, Multimodal.assetsFromDocuments(s, d), every = 128)
+      .select(col("asset_id"), col("frame_no"),
+        length(col("frame_bytes")).cast(LongType).as("frame_len"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy("asset_id", "frame_no")
+  }
+
   /** The reference's etl.sh on the golden BQRow fixture — reference-
     * fidelity surface (schema + quirks), rows-only check: the fixture
     * is hand-built, not driver data, so no DuckDB oracle. Expected
@@ -115,5 +138,6 @@ object Udfs {
   }
 
   val all: Seq[Q] = Seq(
-    udafWeighted, udfBase58, multimodalDecode, bitcoinEtlGolden, udtfExplodeScripts)
+    udafWeighted, udfBase58, multimodalDecode, multimodalFrames,
+    bitcoinEtlGolden, udtfExplodeScripts)
 }
