@@ -62,17 +62,8 @@ object BtcScript {
     0xb7 -> "NOP8", 0xb8 -> "NOP9", 0xb9 -> "NOP10"
   ) ++ (1 to 16).map(n => (0x50 + n) -> n.toString).toMap
 
-  private val HexDigits = "0123456789abcdef".toCharArray
-  private def hex(b: Array[Byte], from: Int, len: Int): String = {
-    val out = new Array[Char](len * 2)
-    var i = 0
-    while (i < len) {
-      out(2 * i) = HexDigits((b(from + i) >> 4) & 0xf)
-      out(2 * i + 1) = HexDigits(b(from + i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  private def hex(b: Array[Byte], from: Int, len: Int): String =
+    Hex.bytesToHex(b, from, len)
 
   /** Parse script bytes into operations; throws [[ScriptDecodeException]]
     * on truncated pushes (the messages mirror the reference decoder's). */
@@ -126,8 +117,7 @@ object BtcScript {
     try (display(parse(bytes)), null)
     catch { case e: ScriptDecodeException => (null, e.getMessage) }
 
-  private def hexToBytes(h: String): Array[Byte] =
-    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def hexToBytes(h: String): Array[Byte] = Hex.hexToBytes(h)
 
   /** Destination address of a scriptPubKey: P2PKH (version 0x00) or
     * P2SH (version 0x05); anything else is the reference's
@@ -152,10 +142,13 @@ object BtcScript {
   def inputAddress(bytes: Array[Byte]): (String, String) =
     try {
       val pushes = parse(bytes)
-      if (pushes.length == 2 && pushes.forall(_.pushHex != null)) {
+      if (pushes.length != 2)
+        (null, s"Script not of right size, expecting 2 but got ${pushes.length}")
+      else if (pushes.exists(_.pushHex == null))
+        (null, "Script not in the standard scriptSig form: expected a sig push and a pubkey push")
+      else {
         val pubkey = hexToBytes(pushes(1).pushHex)
         (Base58.encodeChecked(0x00.toByte, Ripemd160.hash160(pubkey)), null)
-      } else
-        (null, s"Script not of right size, expecting 2 but got ${pushes.length}")
+      }
     } catch { case e: ScriptDecodeException => (null, e.getMessage) }
 }

@@ -98,7 +98,12 @@ object AvroSink {
   private val fileFmt =
     DateTimeFormatter.ofPattern("yyyy.MM.dd.HH.mm.ss").withZone(ZoneOffset.UTC)
 
-  /** Per-invocation token for the default file-name suffix. */
+  /** Per-invocation token for the default file-name suffix. The JVM
+    * component makes the default unique ACROSS processes too — a second
+    * `runMain` into the same directory must not recreate `-w0` and
+    * truncate the first run's files. */
+  private val jvmToken: String =
+    java.lang.Long.toUnsignedString(System.nanoTime(), 36)
   private val writeSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Write `df` as rotated Avro container files under `outDir`.
@@ -116,7 +121,9 @@ object AvroSink {
     * must be stable across JVMs. */
   def write(df: DataFrame, tsMsCol: String, rotationSeconds: Long, outDir: String,
       suffix: String = null): Unit = {
-    val sfx = if (suffix != null) suffix else s"-w${writeSeq.getAndIncrement()}"
+    val sfx =
+      if (suffix != null) suffix
+      else s"-w$jvmToken-${writeSeq.getAndIncrement()}"
     val bucketed = df.withColumn("__bucket",
       graft.functions.Exact.bucket(col(tsMsCol), rotationSeconds * 1000))
     val schema = StructType(df.schema.fields)

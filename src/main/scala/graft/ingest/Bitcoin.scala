@@ -98,8 +98,7 @@ object Bitcoin {
   private def tx(id: String, inputs: Seq[Row], outputs: Seq[Row]): Row =
     Row(id, inputs, outputs)
 
-  private def hexBytes(h: String): Array[Byte] =
-    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def hexBytes(h: String): Array[Byte] = graft.functions.Hex.hexToBytes(h)
 
   /** secp256k1 generator-point compressed pubkey (the classic public
     * test vector; its P2PKH address is 1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH). */

@@ -18,10 +18,13 @@ object Skew {
     * where some key values are pathologically hot.
     * `aggs` must be re-aggregable (sum of partial sums etc.). */
   def saltedCount(df: DataFrame, key: Column, saltBuckets: Int): DataFrame =
-    // hash(key, partition id) is retry-deterministic (a re-executed task
-    // re-reads the same split); monotonically_increasing_id is not —
-    // salt values would shift under task retry.
-    df.withColumn("__salt", pmod(hash(key, spark_partition_id()), lit(saltBuckets)))
+    // Row-content hash: retry-deterministic (unlike
+    // monotonically_increasing_id, whose values shift when a task is
+    // re-executed) AND spreads a hot key's rows within one scan
+    // partition (unlike spark_partition_id, which collapses to a single
+    // salt per key per partition — useless on clustered/sorted data).
+    // Only fully-identical rows share a salt.
+    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy("__key")
@@ -38,7 +41,7 @@ object Skew {
       key: String,
       saltBuckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), spark_partition_id()), lit(saltBuckets)))
+      pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

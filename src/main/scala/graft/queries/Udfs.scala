@@ -85,6 +85,7 @@ object Udfs {
       |ORDER BY asset_id, frame_no""".stripMargin) { (s, d) =>
     import graft.multimodal.Multimodal
     Multimodal.sampleFrames(s, Multimodal.assetsFromDocuments(s, d), every = 128)
+      .filter(col("frame_no") < 4096) // mirror the oracle's range() bound
       .select(col("asset_id"), col("frame_no"),
         length(col("frame_bytes")).cast(LongType).as("frame_len"),
         md5(col("frame_bytes")).as("frame_md5"))

@@ -52,22 +52,8 @@ object StatefulSessions {
             val sorted = rows.toSeq.sortBy(_.ts_ms)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
-                  // out-of-order events within the gap extend the session
-                  // in BOTH directions — never rewind end_ms backwards
-                  open = Some(s.copy(
-                    start_ms = math.min(s.start_ms, e.ts_ms),
-                    end_ms = math.max(s.end_ms, e.ts_ms),
-                    n = s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
-                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
-                case None =>
-                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
-              }
-            }
+            sorted.foreach(e => step(user, e, gapMs,
+              s => open = Some(s), () => open, closed))
             open.foreach { s =>
               state.update(s)
               if (useTimeouts) state.setTimeoutDuration(gapMs)
@@ -76,6 +62,35 @@ object StatefulSessions {
           }
       }
   }
+
+  /** One event against the open session. Merge only when the event is
+    * within `gapMs` of the session INTERVAL on either side (a late
+    * event arbitrarily far BEFORE start must not be absorbed); a
+    * cross-batch straggler older than start - gap closes immediately as
+    * its own singleton (every later event is even further from it). */
+  private def step(
+      user: Long,
+      e: Event,
+      gapMs: Long,
+      setOpen: OpenSession => Unit,
+      getOpen: () => Option[OpenSession],
+      closed: scala.collection.mutable.Builder[ClosedSession, Seq[ClosedSession]]): Unit =
+    getOpen() match {
+      case Some(s) if e.ts_ms >= s.start_ms - gapMs && e.ts_ms - s.end_ms <= gapMs =>
+        // in-gap (possibly out-of-order): extend in BOTH directions,
+        // never rewind end_ms backwards
+        setOpen(s.copy(
+          start_ms = math.min(s.start_ms, e.ts_ms),
+          end_ms = math.max(s.end_ms, e.ts_ms),
+          n = s.n + 1))
+      case Some(s) if e.ts_ms < s.start_ms - gapMs =>
+        closed += ClosedSession(user, e.ts_ms, e.ts_ms, 1)
+      case Some(s) =>
+        closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
+        setOpen(OpenSession(e.ts_ms, e.ts_ms, 1))
+      case None =>
+        setOpen(OpenSession(e.ts_ms, e.ts_ms, 1))
+    }
 
   /** Event-time variant: the idle timeout fires when the WATERMARK
     * passes `end_ms + gapMs`, so sessions close by stream progress, not
@@ -105,20 +120,8 @@ object StatefulSessions {
             val sorted = rows.map(r => Event(r._1, r._3)).toSeq.sortBy(_.ts_ms)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { e =>
-              open match {
-                case Some(s) if e.ts_ms - s.end_ms <= gapMs =>
-                  open = Some(s.copy(
-                    start_ms = math.min(s.start_ms, e.ts_ms),
-                    end_ms = math.max(s.end_ms, e.ts_ms),
-                    n = s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
-                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
-                case None =>
-                  open = Some(OpenSession(e.ts_ms, e.ts_ms, 1))
-              }
-            }
+            sorted.foreach(e => step(user, e, gapMs,
+              s => open = Some(s), () => open, closed))
             open.foreach { s =>
               state.update(s)
               // fires once the watermark (event time) passes the gap edge

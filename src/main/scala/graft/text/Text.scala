@@ -62,25 +62,16 @@ object Text {
     * hex strings compare bytewise in both). Computing all k minima per
     * row removes the explode + k-way aggregate (and its shuffle)
     * entirely from the signature stage. */
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   def md5MinhashSigUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (shingles: Seq[String]) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val minima = new Array[String](k)
-      val hex = new Array[Char](32)
       shingles.foreach { sh =>
         var p = 0
         while (p < k) {
           md.reset()
-          val hash = md.digest((p.toString + ":" + sh).getBytes("UTF-8"))
-          var i = 0
-          while (i < 16) {
-            hex(2 * i) = HexDigits((hash(i) >> 4) & 0xf)
-            hex(2 * i + 1) = HexDigits(hash(i) & 0xf)
-            i += 1
-          }
-          val h = new String(hex)
+          val h = graft.functions.Hex.bytesToHex(
+            md.digest((p.toString + ":" + sh).getBytes("UTF-8")))
           if (minima(p) == null || h < minima(p)) minima(p) = h
           p += 1
         }

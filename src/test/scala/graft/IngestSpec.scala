@@ -47,7 +47,7 @@ class IngestSpec extends AnyFunSuite {
     assert(rows.size == 4)
     assert(rows.map(_("name")).toSet == Set("r1", "r2", "r3", "r4"))
     val files = new File(out).listFiles().map(_.getName)
-    assert(files.forall(_.matches("""\d{4}\.\d{2}\.\d{2}\.\d{2}\.\d{2}\.\d{2}-p\d+-w\d+\.avro""")))
+    assert(files.forall(_.matches("""\d{4}\.\d{2}\.\d{2}\.\d{2}\.\d{2}\.\d{2}-p\d+-w[0-9a-z]+-\d+\.avro""")))
     assert(files.exists(_.startsWith("1970.01.01.00.00.00")))
     assert(files.exists(_.startsWith("1970.01.01.00.01.00")))
     assert(files.exists(_.startsWith("1970.01.01.02.00.00")))

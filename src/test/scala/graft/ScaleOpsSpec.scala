@@ -85,6 +85,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late straggler far BEFORE the open session closes as its own singleton " +
+    "(never absorbed into a session it isn't within gap of)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val df = mem.toDF().toDF("user_id", "ts_ms")
+    val sessions = graft.streaming.StatefulSessions.sessionize(spark, df, gapMs = 60000,
+      useTimeouts = false)
+    val q = sessions.writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 200000L), (1L, 230000L)) // open session [200s, 230s]
+      q.processAllAvailable()
+      mem.addData((1L, 10000L)) // 190s older than start, way past the gap
+      q.processAllAvailable()
+      mem.addData((1L, 250000L)) // in-gap: extends the open session, no split
+      q.processAllAvailable()
+      val closed = spark.table("straggler_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(closed.contains((1L, 10000L, 10000L, 1L)),
+        s"straggler should close as a singleton, got ${closed.mkString(",")}")
+      // the open session was NOT rewound to the straggler
+      assert(!closed.exists(c => c._2 == 10000L && c._3 >= 200000L))
+    } finally q.stop()
+  }
+
   test("event-time sessionization: watermark passing the gap edge closes the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
