@@ -144,7 +144,23 @@ object TextQueries {
       .orderBy("doc_id", "pos")
   }
 
+  /** Winnowing fingerprints ([[graft.text.Winnow]] — the rolling-hash
+    * document fingerprinting of the north star): per-doc count plus the
+    * first/last selected hash. No SQL oracle (the rolling hash has no
+    * DuckDB equivalent); the substring-match guarantee is
+    * property-tested in WinnowSpec. */
+  val docWinnow: Q = graft.Q.noOracle("q_doc_winnow") { (s, d) =>
+    val fps = graft.text.Winnow.fingerprintUdf(k = 5, w = 4)(col("text"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        element_at(col("fps"), 1).as("fp_first"),
+        element_at(col("fps"), -1).as("fp_last"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    textTokens, textQuality, textLangId, docFingerprint, dedupExact,
+    textTokens, textQuality, textLangId, docFingerprint, docWinnow, dedupExact,
     explodeTokensTyped)
 }
