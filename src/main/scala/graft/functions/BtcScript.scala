@@ -145,7 +145,8 @@ object BtcScript {
       if (pushes.length != 2)
         (null, s"Script not of right size, expecting 2 but got ${pushes.length}")
       else if (pushes.exists(_.pushHex == null))
-        (null, "Script not in the standard scriptSig form: expected a sig push and a pubkey push")
+        // the reference decoder's wording for a structurally wrong spend
+        (null, "Script did not match expected form: " + display(pushes))
       else {
         val pubkey = hexToBytes(pushes(1).pushHex)
         (Base58.encodeChecked(0x00.toByte, Ripemd160.hash160(pubkey)), null)

@@ -7,6 +7,18 @@ object Hex {
 
   def bytesToHex(b: Array[Byte]): String = bytesToHex(b, 0, b.length)
 
+  /** Hot-loop overload: encode into a caller-reused char buffer
+    * (buf.length must be >= 2*len) — one String alloc, no char[]. */
+  def bytesToHex(b: Array[Byte], len: Int, buf: Array[Char]): String = {
+    var i = 0
+    while (i < len) {
+      buf(2 * i) = Digits((b(i) >> 4) & 0xf)
+      buf(2 * i + 1) = Digits(b(i) & 0xf)
+      i += 1
+    }
+    new String(buf, 0, 2 * len)
+  }
+
   def bytesToHex(b: Array[Byte], from: Int, len: Int): String = {
     val out = new Array[Char](len * 2)
     var i = 0

@@ -17,14 +17,21 @@ object Skew {
   /** Two-phase salted aggregation: count/sum-style aggregates by `key`
     * where some key values are pathologically hot.
     * `aggs` must be re-aggregable (sum of partial sums etc.). */
+  /** Salt choice, deliberately layered: a row-content hash alone is
+    * fully deterministic but collapses for IDENTICAL rows (a key-only
+    * projection of a hot key gets one salt — no spread); a partition-id
+    * salt collapses on clustered/single-file data; so the salt mixes the
+    * content hash with monotonically_increasing_id, which spreads every
+    * row. mono_id makes the stage INDETERMINATE to the scheduler, which
+    * is exactly the engine-level guarantee needed: on a task retry Spark
+    * rolls back and recomputes dependent stages rather than mixing
+    * outputs salted two different ways (the re-aggregation result is
+    * salt-independent anyway). */
+  private def salt(allCols: Seq[Column], saltBuckets: Int): Column =
+    pmod(hash(allCols :+ monotonically_increasing_id(): _*), lit(saltBuckets))
+
   def saltedCount(df: DataFrame, key: Column, saltBuckets: Int): DataFrame =
-    // Row-content hash: retry-deterministic (unlike
-    // monotonically_increasing_id, whose values shift when a task is
-    // re-executed) AND spreads a hot key's rows within one scan
-    // partition (unlike spark_partition_id, which collapses to a single
-    // salt per key per partition — useless on clustered/sorted data).
-    // Only fully-identical rows share a salt.
-    df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
+    df.withColumn("__salt", salt(df.columns.map(col), saltBuckets))
       .groupBy(key.as("__key"), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy("__key")
@@ -41,7 +48,7 @@ object Skew {
       key: String,
       saltBuckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(saltBuckets)))
+      salt(fact.columns.map(col), saltBuckets))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

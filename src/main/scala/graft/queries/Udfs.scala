@@ -77,7 +77,10 @@ object Udfs {
     * because the corpus is ASCII (bytes == chars). */
   val multimodalFrames: Q = Q(
     "q_multimodal_frames",
-    """WITH pos AS (SELECT unnest(range(0, 4096)) AS frame_no)
+    // the position range is derived from the data (longest document), so
+    // the oracle can never truncate frames that the engine emits
+    """WITH pos AS (SELECT unnest(range(0,
+      |         (SELECT MAX(length(text)) // 128 + 1 FROM documents))) AS frame_no)
       |SELECT doc_id AS asset_id, frame_no,
       |  CAST(length(substring(text, CAST(frame_no*128 + 1 AS BIGINT), 128)) AS BIGINT) AS frame_len,
       |  md5(substring(text, CAST(frame_no*128 + 1 AS BIGINT), 128)) AS frame_md5
@@ -85,7 +88,6 @@ object Udfs {
       |ORDER BY asset_id, frame_no""".stripMargin) { (s, d) =>
     import graft.multimodal.Multimodal
     Multimodal.sampleFrames(s, Multimodal.assetsFromDocuments(s, d), every = 128)
-      .filter(col("frame_no") < 4096) // mirror the oracle's range() bound
       .select(col("asset_id"), col("frame_no"),
         length(col("frame_bytes")).cast(LongType).as("frame_len"),
         md5(col("frame_bytes")).as("frame_md5"))

@@ -49,48 +49,68 @@ object StatefulSessions {
             state.remove()
             Iterator(ClosedSession(user, s.start_ms, s.end_ms, s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts_ms)
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach(e => step(user, e, gapMs,
-              s => open = Some(s), () => open, closed))
+            val (closed, open) = processBatch(user, rows.toSeq, gapMs, state.getOption)
             open.foreach { s =>
               state.update(s)
               if (useTimeouts) state.setTimeoutDuration(gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }
 
-  /** One event against the open session. Merge only when the event is
-    * within `gapMs` of the session INTERVAL on either side (a late
-    * event arbitrarily far BEFORE start must not be absorbed); a
-    * cross-batch straggler older than start - gap closes immediately as
-    * its own singleton (every later event is even further from it). */
-  private def step(
+  /** Sessionize an ASCENDING event run: fold each event into the open
+    * session when it is within `gapMs` of the session interval on
+    * either side (out-of-order events within the gap extend start_ms /
+    * end_ms, never rewind), else close and start anew. Pure
+    * (Option-in / Option-out): no mutable capture. */
+  private def sessionRun(
       user: Long,
-      e: Event,
+      events: Seq[Event],
       gapMs: Long,
-      setOpen: OpenSession => Unit,
-      getOpen: () => Option[OpenSession],
-      closed: scala.collection.mutable.Builder[ClosedSession, Seq[ClosedSession]]): Unit =
-    getOpen() match {
-      case Some(s) if e.ts_ms >= s.start_ms - gapMs && e.ts_ms - s.end_ms <= gapMs =>
-        // in-gap (possibly out-of-order): extend in BOTH directions,
-        // never rewind end_ms backwards
-        setOpen(s.copy(
-          start_ms = math.min(s.start_ms, e.ts_ms),
-          end_ms = math.max(s.end_ms, e.ts_ms),
-          n = s.n + 1))
-      case Some(s) if e.ts_ms < s.start_ms - gapMs =>
-        closed += ClosedSession(user, e.ts_ms, e.ts_ms, 1)
-      case Some(s) =>
-        closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
-        setOpen(OpenSession(e.ts_ms, e.ts_ms, 1))
-      case None =>
-        setOpen(OpenSession(e.ts_ms, e.ts_ms, 1))
+      initial: Option[OpenSession]): (Seq[ClosedSession], Option[OpenSession]) = {
+    val closed = Seq.newBuilder[ClosedSession]
+    val open = events.foldLeft(initial) { (openAcc, e) =>
+      openAcc match {
+        case Some(s) if e.ts_ms >= s.start_ms - gapMs && e.ts_ms - s.end_ms <= gapMs =>
+          Some(s.copy(
+            start_ms = math.min(s.start_ms, e.ts_ms),
+            end_ms = math.max(s.end_ms, e.ts_ms),
+            n = s.n + 1))
+        case Some(s) =>
+          closed += ClosedSession(user, s.start_ms, s.end_ms, s.n)
+          Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+        case None =>
+          Some(OpenSession(e.ts_ms, e.ts_ms, 1))
+      }
     }
+    (closed.result(), open)
+  }
+
+  /** One micro-batch for one user. Events older than the open session's
+    * gap edge (cross-batch stragglers) must not be absorbed into a
+    * session they are not within gap of; they are sessionized TOGETHER
+    * (stragglers within gap of each other merge) and all resulting late
+    * sessions close at end of batch — with O(1) state we cannot keep a
+    * second open session for them, so a straggler arriving in a LATER
+    * batch within gap of these starts a fresh late session (the
+    * bounded-state tradeoff; the batch analog would merge them). */
+  private def processBatch(
+      user: Long,
+      batch: Seq[Event],
+      gapMs: Long,
+      open: Option[OpenSession]): (Seq[ClosedSession], Option[OpenSession]) = {
+    val sorted = batch.sortBy(_.ts_ms)
+    val (stragglers, current) = open match {
+      case Some(s) => sorted.partition(_.ts_ms < s.start_ms - gapMs)
+      case None => (Seq.empty[Event], sorted)
+    }
+    val (lateClosed, lateOpen) = sessionRun(user, stragglers, gapMs, None)
+    val (curClosed, curOpen) = sessionRun(user, current, gapMs, open)
+    val allLate = lateClosed ++
+      lateOpen.map(s => ClosedSession(user, s.start_ms, s.end_ms, s.n))
+    (allLate ++ curClosed, curOpen)
+  }
 
   /** Event-time variant: the idle timeout fires when the WATERMARK
     * passes `end_ms + gapMs`, so sessions close by stream progress, not
@@ -117,17 +137,14 @@ object StatefulSessions {
             state.remove()
             Iterator(ClosedSession(user, s.start_ms, s.end_ms, s.n))
           } else {
-            val sorted = rows.map(r => Event(r._1, r._3)).toSeq.sortBy(_.ts_ms)
-            var open = state.getOption
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach(e => step(user, e, gapMs,
-              s => open = Some(s), () => open, closed))
+            val events = rows.map(r => Event(r._1, r._3)).toSeq
+            val (closed, open) = processBatch(user, events, gapMs, state.getOption)
             open.foreach { s =>
               state.update(s)
               // fires once the watermark (event time) passes the gap edge
               state.setTimeoutTimestamp(s.end_ms + gapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

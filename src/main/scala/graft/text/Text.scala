@@ -66,12 +66,13 @@ object Text {
     udf { (shingles: Seq[String]) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val minima = new Array[String](k)
+      val buf = new Array[Char](32) // reused across k * |shingles| digests
       shingles.foreach { sh =>
         var p = 0
         while (p < k) {
           md.reset()
           val h = graft.functions.Hex.bytesToHex(
-            md.digest((p.toString + ":" + sh).getBytes("UTF-8")))
+            md.digest((p.toString + ":" + sh).getBytes("UTF-8")), 16, buf)
           if (minima(p) == null || h < minima(p)) minima(p) = h
           p += 1
         }

@@ -98,16 +98,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     try {
       mem.addData((1L, 200000L), (1L, 230000L)) // open session [200s, 230s]
       q.processAllAvailable()
-      mem.addData((1L, 10000L)) // 190s older than start, way past the gap
+      // two stragglers within gap of EACH OTHER, both far before start:
+      // they must sessionize together, not as two singletons
+      mem.addData((1L, 10000L), (1L, 20000L))
+      q.processAllAvailable()
+      // and an isolated straggler in a later batch closes alone
+      mem.addData((1L, 100000L))
       q.processAllAvailable()
       mem.addData((1L, 250000L)) // in-gap: extends the open session, no split
       q.processAllAvailable()
       val closed = spark.table("straggler_sessions")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      assert(closed.contains((1L, 10000L, 10000L, 1L)),
-        s"straggler should close as a singleton, got ${closed.mkString(",")}")
-      // the open session was NOT rewound to the straggler
-      assert(!closed.exists(c => c._2 == 10000L && c._3 >= 200000L))
+      assert(closed.contains((1L, 10000L, 20000L, 2L)),
+        s"clustered stragglers should close as ONE session, got ${closed.mkString(",")}")
+      assert(closed.contains((1L, 100000L, 100000L, 1L)),
+        s"isolated straggler should close as a singleton, got ${closed.mkString(",")}")
+      // the open session was NOT rewound to any straggler
+      assert(!closed.exists(c => c._2 <= 100000L && c._3 >= 200000L))
     } finally q.stop()
   }
 
