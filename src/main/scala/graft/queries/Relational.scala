@@ -93,6 +93,35 @@ object Relational {
         .orderBy("l_returnflag")
   }
 
+  /** Exact percentiles on integer cents. Quartile fractions (0, .25, .5,
+    * .75) are exact binary fractions, so linear interpolation between
+    * two integer values is bit-identical no matter how the engine
+    * associates the formula — the ONLY percentile points that are
+    * portable across Spark `percentile` and DuckDB `quantile_cont`
+    * (p90's 0.1 fraction rounds differently). Scale note: exact
+    * percentile buffers each group's values — at 100TB use
+    * approx_percentile (t-digest); the exact form here doubles as its
+    * correctness baseline. */
+  val aggPercentile: Q = Q(
+    "q_agg_percentile",
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.25) AS p25_cents,
+      |  quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.5) AS median_cents,
+      |  quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.75) AS p75_cents,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(cents, lit(0.25)).as("p25_cents"),
+          percentile(cents, lit(0.5)).as("median_cents"),
+          percentile(cents, lit(0.75)).as("p75_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+  }
+
   val aggHaving: Q = Q(
     "q_agg_having",
     """SELECT o_custkey, COUNT(*) AS n_orders,
@@ -336,7 +365,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     scanProject, filterPred,
-    aggHash, aggDistinct, aggHaving, aggRollup, aggCube, aggGroupingSets,
+    aggHash, aggDistinct, aggPercentile, aggHaving, aggRollup, aggCube, aggGroupingSets,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     sortLimit, topKGroup,
     unionAll, unionDistinct, intersectQ, exceptQ)
