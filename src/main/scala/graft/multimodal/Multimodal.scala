@@ -64,6 +64,31 @@ object Multimodal {
     }.toDF("asset_id", "features", "width", "height")
   }
 
+  /** STUB resize — nearest-neighbor downsample over the raw payload
+    * bytes (a real implementation would operate on the decoded pixel
+    * buffer): deterministic, length-exact, order-preserving. */
+  def resizeStub(payload: Array[Byte], outLen: Int): Array[Byte] = {
+    if (payload.isEmpty || outLen <= 0) return Array.emptyByteArray
+    val n = math.min(outLen, payload.length)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = payload((i.toLong * payload.length / n).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Resize every asset's payload to at most `targetBytes` — same
+    * partition-batched shape as [[decode]] (codec init once per
+    * partition, not per row). */
+  def resize(spark: SparkSession, assets: Dataset[Asset], targetBytes: Int): Dataset[Asset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => Asset(a.asset_id, resizeStub(a.payload, targetBytes)))
+    }
+  }
+
   /** Frame sampling for a (stub) video payload: byte-range slices at a
     * fixed stride standing in for decoded frames. */
   def sampleFrames(spark: SparkSession, assets: Dataset[Asset], every: Int): DataFrame = {

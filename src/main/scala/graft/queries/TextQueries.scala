@@ -31,6 +31,23 @@ object TextQueries {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  /** Token counting both ways (the budgeting pair): whitespace tokens
+    * and BPE-ish subword tokens ([[Text.regexTokens]] — alpha/digit
+    * runs, the deterministic stand-in for a model-specific BPE table). */
+  val textTokenCounts: Q = Q(
+    "q_text_token_counts",
+    """SELECT doc_id,
+      |  len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_ws_tokens,
+      |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_subword_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(Text.regexTokens(col("text"))).cast("long").as("n_subword_tokens"))
+      .orderBy("doc_id")
+  }
+
   val textQuality: Q = Q(
     "q_text_quality",
     """WITH t AS (SELECT doc_id, text,
@@ -161,6 +178,6 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(
-    textTokens, textQuality, textLangId, docFingerprint, docWinnow, dedupExact,
-    explodeTokensTyped)
+    textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
+    docWinnow, dedupExact, explodeTokensTyped)
 }

@@ -36,4 +36,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L))
     assert(rows.last.getAs[Array[Byte]]("frame_bytes").length == 10)
   }
+
+  test("resize: deterministic nearest-neighbor downsample, never upsamples") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val assets = Seq(Multimodal.Asset(1L, payload)).toDS()
+    val out = Multimodal.resize(spark, assets, targetBytes = 10)
+      .collect().head.payload
+    assert(out.length == 10)
+    assert(out.toSeq == Seq.tabulate(10)(i => (i * 10).toByte)) // every 10th byte
+    // target larger than the payload: keep original length (no upsample)
+    val same = Multimodal.resize(spark, assets, targetBytes = 500)
+      .collect().head.payload
+    assert(same.toSeq == payload.toSeq)
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 10).isEmpty)
+  }
 }
