@@ -118,6 +118,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("single-batch stateful sessionization agrees with the batch operator " +
+    "(closed sessions == batch sessions minus each user's open tail)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val gap = 60000L
+    // deterministic scatter: 7 users, unique strictly-increasing-per-user ts
+    val evs = (0 until 210).map { i =>
+      val u = i % 7L
+      (u, (i / 7) * ((u + 2) * 20000L) + u) // per-user stride straddles the gap
+    }
+    // batch truth
+    val batch = graft.ops.Sessionize.withSessionId(
+      evs.toDF("user_id", "ts_ms"), col("user_id"), col("ts_ms"), col("ts_ms"), gap)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts_ms")).as("s"), max(col("ts_ms")).as("e"),
+        count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val lastPerUser = batch.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+    // streaming, everything in ONE micro-batch, no timeouts: emits every
+    // session EXCEPT each user's still-open tail
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StatefulSessions.sessionize(
+      spark, mem.toDF().toDF("user_id", "ts_ms"), gapMs = gap, useTimeouts = false)
+      .writeStream.format("memory").queryName("equiv_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch -- lastPerUser,
+        s"streaming/batch divergence:\n only-stream=${(streamed -- batch).mkString(",")}" +
+          s"\n missing=${(batch -- lastPerUser -- streamed).mkString(",")}")
+    } finally q.stop()
+  }
+
   test("event-time sessionization: watermark passing the gap edge closes the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
