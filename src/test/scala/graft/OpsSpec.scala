@@ -70,4 +70,20 @@ class OpsSpec extends AnyFunSuite {
     assert(joined(101L).isEmpty)       // no login at-or-before ms=5
     assert(joined(102L).isEmpty)       // user 2's only login is after ms=10
   }
+
+  test("AsOf.join fill is atomic: a null column in the latest right row is " +
+    "NOT backfilled from an older right row") {
+    val left = Seq((100L, 1L, 100L)).toDF("event_id", "user_id", "p_ms")
+    // older right row has label "a"; the LATEST right row's label is null —
+    // a per-column fill would mix "a" with the newer row's code 2
+    val right = Seq(
+      (10L, 1L, 10L, Some("a"), 1L),
+      (11L, 1L, 50L, Option.empty[String], 2L))
+      .toDF("login_id", "user_id", "l_ms", "label", "code")
+    val row = AsOf.join(left, right, "user_id", "p_ms", "l_ms",
+      rightVals = Seq("label", "code"), rightTiebreak = "login_id")
+      .select("label", "code").head
+    assert(row.isNullAt(0), "label must come from the SAME (latest) right row -> null")
+    assert(row.getLong(1) == 2L)
+  }
 }
