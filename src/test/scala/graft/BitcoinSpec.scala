@@ -65,6 +65,19 @@ class BitcoinSpec extends AnyFunSuite {
     assert(b4.getAs[String]("work_error") != null)
   }
 
+  test("BlockEtl pipeline: re-running appends duplicates, the dedup ETL repairs them") {
+    val work = java.nio.file.Files.createTempDirectory("blocketl").toString
+    val r1 = graft.ingest.BlockEtl.run(spark, blocks.toDF(), work, rotationSeconds = 600)
+    assert(r1.avroFiles > 0)
+    assert(r1.warehouseRows == 6) // 5 blocks + the duplicated b1
+    assert(r1.etlRows == 5) // dedup keeps one b1; empty b2 vanishes
+    // the at-least-once append: a re-run doubles the warehouse but the
+    // REPLACE'd ETL output is unchanged — etl.sh's whole reason to exist
+    val r2 = graft.ingest.BlockEtl.run(spark, blocks.toDF(), work, rotationSeconds = 600)
+    assert(r2.warehouseRows == 12)
+    assert(r2.etlRows == 5)
+  }
+
   test("nested blocks round-trip through the rotated Avro sink") {
     val dir = java.nio.file.Files.createTempDirectory("btcavro").toString
     AvroSink.write(blocks.toDF(), "timestamp", rotationSeconds = 86400, outDir = dir)
