@@ -32,10 +32,14 @@ object BlockEtl {
     val warehouseDir = s"$workDir/warehouse"
     val destDir = s"$workDir/transactions"
 
-    // R7: rotated Avro container files, event-time bucketed
+    // R7: rotated Avro container files, event-time bucketed.
+    // avroFiles reports THIS run's output (the directory accumulates
+    // across re-runs by design — append semantics).
+    def countAvro() = Option(new java.io.File(avroDir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).count(_.getName.endsWith(".avro"))
+    val before = countAvro()
     AvroSink.write(blocks, "timestamp", rotationSeconds, avroDir)
-    val avroFiles = Option(new java.io.File(avroDir).listFiles())
-      .getOrElse(Array.empty).count(_.getName.endsWith(".avro"))
+    val avroFiles = countAvro() - before
 
     // R8: warehouse append (parquet stands in for the BQ table). The
     // rotated files are the transport format; the warehouse loads the
@@ -52,9 +56,18 @@ object BlockEtl {
     Result(avroFiles, warehouseRows, etlRows)
   }
 
+  private val KnownFlags = Set("workdir", "input", "rotationtime", "threads")
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    // strict flag parsing: unknown or value-less flags abort instead of
+    // silently falling back (a typo'd --workdir must not send the
+    // warehouse to a fresh temp dir)
+    val opts = args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && KnownFlags(k.drop(2)) =>
+        k.drop(2) -> v
+      case bad =>
+        sys.error(s"usage: BlockEtl [--workdir D] [--input P|golden] " +
+          s"[--rotationtime S] [--threads N]; offending args: ${bad.mkString(" ")}")
     }.toMap
     val workDir = opts.getOrElse("workdir",
       java.nio.file.Files.createTempDirectory("blocketl").toString)

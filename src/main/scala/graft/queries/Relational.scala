@@ -109,7 +109,8 @@ object Relational {
       |  quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.5) AS median_cents,
       |  quantile_cont(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), 0.75) AS p75_cents,
       |  COUNT(*) AS n_rows
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin) {
     (s, d) =>
       val cents = round(col("l_extendedprice") * 100, 0).cast("long")
       lineitem(s, d)

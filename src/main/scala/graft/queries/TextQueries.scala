@@ -39,7 +39,7 @@ object TextQueries {
     """SELECT doc_id,
       |  len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS n_ws_tokens,
       |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_subword_tokens
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.load(s, d, "documents")
       .select(
         col("doc_id"),
