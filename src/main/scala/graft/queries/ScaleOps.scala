@@ -60,5 +60,29 @@ object ScaleOps {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(skewSaltedAgg, skewSaltedJoin, joinBucketed)
+  /** Deterministic stratified sampling: per-class md5-prefix thresholds
+    * (purchases kept 100%, clicks ~25%, the rest ~6.25%). Hash-gated
+    * sampling is the 100TB downsampling pattern: reproducible across
+    * runs, engines, and retries (rand() is none of those), stable under
+    * re-partitioning, and pushes down as an ordinary filter. The md5
+    * hex STRING comparison is the portable form — both engines compare
+    * identical lowercase-hex bytes. */
+  val sampleStratified: Q = Q(
+    "q_sample_stratified",
+    """SELECT event_id, event_type, user_id FROM events
+      |WHERE CASE event_type WHEN 'purchase' THEN true
+      |      WHEN 'click' THEN md5(CAST(event_id AS VARCHAR)) < '4'
+      |      ELSE md5(CAST(event_id AS VARCHAR)) < '1' END
+      |ORDER BY event_id NULLS FIRST""".stripMargin) { (s, d) =>
+    val h = md5(col("event_id").cast("string").cast("binary"))
+    Tables.load(s, d, "events")
+      .filter(
+        when(col("event_type") === "purchase", lit(true))
+          .when(col("event_type") === "click", h < "4")
+          .otherwise(h < "1"))
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified)
 }
