@@ -84,5 +84,28 @@ object ScaleOps {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified)
+  /** Leakage-safe dataset split: every row of an ENTITY lands in the
+    * same train/val/test bucket because the gate hashes the entity key,
+    * not the row (~80/10/10 by md5 prefix). The group-consistency is
+    * what separates this from row sampling — eval rows must never share
+    * a user with training rows. */
+  val splitByKey: Q = Q(
+    "q_split_bykey",
+    """SELECT CASE WHEN md5(CAST(user_id AS VARCHAR)) < 'cc' THEN 'train'
+      |            WHEN md5(CAST(user_id AS VARCHAR)) < 'e6' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       COUNT(*) AS n_events,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY split ORDER BY split NULLS FIRST""".stripMargin) { (s, d) =>
+    val h = md5(col("user_id").cast("string").cast("binary"))
+    Tables.load(s, d, "events")
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("split")
+  }
+
+  val all: Seq[Q] = Seq(
+    skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey)
 }
