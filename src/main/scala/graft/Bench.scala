@@ -61,11 +61,29 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the last ~2000 chars of output and parses
+    // the JSON line out of that tail, so the line must stay SHORT enough
+    // to survive whole (round 3's 9-decimal values pushed it past the
+    // budget and truncated the front of the line). 3 decimals = 1ms
+    // resolution, ~1.75k chars at 70 queries; if the registry grows past
+    // the budget, degrade to 2 decimals rather than risk truncation.
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def render(dec: Int): String = {
+      val qs = results
+        .map { case (k, v) => "\"" + k + "\":" + s"%.${dec}f".format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    val line = { val l3 = render(3); if (l3.length <= 1850) l3 else render(2) }
+    // Full-precision copy for local profiling (not part of the contract).
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

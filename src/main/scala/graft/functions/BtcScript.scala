@@ -126,9 +126,16 @@ object BtcScript {
     try {
       val ops = parse(bytes)
       ops.map(o => (o.name, o.pushHex)) match {
-        case Seq(("DUP", null), ("HASH160", null), ("PUSHDATA(20)", h),
-            ("EQUALVERIFY", null), ("CHECKSIG", null)) =>
+        // P2PKH per bitcoinj isSentToAddress: structural match on chunk
+        // count + a 20-byte push payload (ANY push encoding — a
+        // PUSHDATA1-wrapped hash is still a valid address there).
+        case Seq(("DUP", null), ("HASH160", null), (_, h),
+            ("EQUALVERIFY", null), ("CHECKSIG", null))
+            if h != null && h.length == 40 =>
           (Base58.encodeChecked(0x00.toByte, hexToBytes(h)), null)
+        // P2SH per bitcoinj isPayToScriptHash: byte-exact template
+        // (0xa9 0x14 <20 bytes> 0x87) — a direct push only, which is
+        // exactly the PUSHDATA(20) display form.
         case Seq(("HASH160", null), ("PUSHDATA(20)", h), ("EQUAL", null)) =>
           (Base58.encodeChecked(0x05.toByte, hexToBytes(h)), null)
         case _ =>
@@ -141,15 +148,26 @@ object BtcScript {
     * the reference's getFromAddress (`BitcoinBlockHandler.java:148-153`). */
   def inputAddress(bytes: Array[Byte]): (String, String) =
     try {
-      val pushes = parse(bytes)
-      if (pushes.length != 2)
-        (null, s"Script not of right size, expecting 2 but got ${pushes.length}")
-      else if (pushes.exists(_.pushHex == null))
-        // the reference decoder's wording for a structurally wrong spend
-        (null, "Script did not match expected form: " + display(pushes))
+      val ops = parse(bytes)
+      if (ops.length != 2)
+        (null, s"Script not of right size, expecting 2 but got ${ops.length}")
       else {
-        val pubkey = hexToBytes(pushes(1).pushHex)
-        (Base58.encodeChecked(0x00.toByte, Ripemd160.hash160(pubkey)), null)
+        // bitcoinj getPubKey: two "large" (>2 byte) pushes -> the second
+        // is the pubkey; a large push followed by CHECKSIG -> the first
+        // is. A 1-2 byte 'pubkey' is NOT accepted (degenerate spends
+        // error out, matching the reference's error column).
+        val big0 = ops(0).pushHex != null && ops(0).pushHex.length > 4
+        val big1 = ops(1).pushHex != null && ops(1).pushHex.length > 4
+        val pubkeyHex =
+          if (big0 && big1) ops(1).pushHex
+          else if (big0 && ops(1).name == "CHECKSIG") ops(0).pushHex
+          else null
+        if (pubkeyHex == null)
+          (null, "Script did not match expected form: " + display(ops))
+        else {
+          val pubkey = hexToBytes(pubkeyHex)
+          (Base58.encodeChecked(0x00.toByte, Ripemd160.hash160(pubkey)), null)
+        }
       }
     } catch { case e: ScriptDecodeException => (null, e.getMessage) }
 }

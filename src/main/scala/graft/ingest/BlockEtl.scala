@@ -63,7 +63,10 @@ object BlockEtl {
     // silently falling back (a typo'd --workdir must not send the
     // warehouse to a fresh temp dir)
     val opts = args.grouped(2).map {
-      case Array(k, v) if k.startsWith("--") && KnownFlags(k.drop(2)) =>
+      // a value may not itself look like a flag: "--input --workdir /x"
+      // must abort, not read "--workdir" as the input path
+      case Array(k, v) if k.startsWith("--") && KnownFlags(k.drop(2)) &&
+          !v.startsWith("--") =>
         k.drop(2) -> v
       case bad =>
         sys.error(s"usage: BlockEtl [--workdir D] [--input P|golden] " +

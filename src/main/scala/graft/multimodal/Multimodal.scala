@@ -102,12 +102,22 @@ object Multimodal {
 
   /** Build a synthetic binary-asset table from the documents table
     * (text bytes as stand-in payloads) — lets the whole pipeline run
-    * against driver testdata. */
+    * against driver testdata.
+    *
+    * Contract: the corpus must be ASCII. The frames oracle
+    * (q_multimodal_frames) reproduces byte slicing with character
+    * substrings, which is only exact when bytes == chars; a non-ASCII
+    * document would silently shift offsets, so it raises instead. */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
+    val enc = encode(col("text"), "UTF-8")
     graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"),
-        encode(col("text"), "UTF-8").as("payload"))
+        when(octet_length(enc) === length(col("text")), enc)
+          .otherwise(raise_error(concat(
+            lit("non-ASCII document (byte!=char offsets break frame "),
+            lit("slicing): "), col("doc_id"))))
+          .as("payload"))
       .as[Asset]
   }
 }

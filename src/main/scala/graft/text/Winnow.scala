@@ -65,7 +65,14 @@ object Winnow {
       if (!picked.contains(minPos)) picked.put(minPos, hashes(minPos))
       start += 1
     }
-    picked.values.toArray.distinct.sorted
+    // Present in the SAME unsigned order used to select window minima,
+    // so fp_first/fp_last are the unsigned min/max fingerprints.
+    picked.values.toArray.distinct.sorted(UnsignedOrdering)
+  }
+
+  /** Unsigned Long ordering — matches the selection comparison above. */
+  private object UnsignedOrdering extends Ordering[Long] {
+    def compare(a: Long, b: Long): Int = java.lang.Long.compareUnsigned(a, b)
   }
 
   /** Compiled UDF: text -> sorted distinct fingerprint array. */

@@ -59,6 +59,29 @@ class ScriptDecodeSpec extends AnyFunSuite {
       (null, "Cannot cast this script to a pay-to-address type"))
   }
 
+  test("P2PKH output matches structurally, not by push encoding (bitcoinj isSentToAddress)") {
+    // PUSHDATA1-wrapped 20-byte hash: same template, explicit push opcode
+    val wrapped = hexBytes("76a9" + "4c14" + "00" * 20 + "88ac")
+    assert(BtcScript.outputAddress(wrapped) ==
+      ("1111111111111111111114oLvT2", null))
+    // but P2SH stays byte-exact (bitcoinj isPayToScriptHash): a
+    // PUSHDATA1-wrapped hash is NOT a P2SH output there
+    val wrappedSh = hexBytes("a9" + "4c14" + "00" * 20 + "87")
+    assert(BtcScript.outputAddress(wrappedSh)._1 == null)
+  }
+
+  test("scriptSig pubkey extraction follows bitcoinj getPubKey guards") {
+    val pubPush = "21" + Bitcoin.VectorPubkeyHex
+    // push+CHECKSIG form: the pubkey is the first (only) push
+    assert(BtcScript.inputAddress(hexBytes(pubPush + "ac")) ==
+      ("1BgGZ9tcN4rm9KBzDn7KprQz87SZ26SAMH", null))
+    // degenerate 2-push spend (a 1-byte 'pubkey') errors instead of
+    // deriving an address from garbage
+    val (a, err) = BtcScript.inputAddress(hexBytes("0102" + "0103"))
+    assert(a == null)
+    assert(err != null && err.startsWith("Script did not match expected form"))
+  }
+
   test("truncated pushes throw the decoder error into the (value,error) pair") {
     val (s, err) = BtcScript.decodeToString(Bitcoin.TruncatedSig)
     assert(s == null)

@@ -25,12 +25,15 @@ class WinnowSpec extends AnyFunSuite {
     assert(Winnow.fingerprints("", K, W).isEmpty)
   }
 
-  test("deterministic, sorted, distinct") {
+  test("deterministic, unsigned-sorted, distinct") {
     val s = "the quick brown fox jumps over the lazy dog"
     val a = Winnow.fingerprints(s, K, W)
     val b = Winnow.fingerprints(s, K, W)
     assert(a.toSeq == b.toSeq)
-    assert(a.toSeq == a.distinct.sorted.toSeq)
+    // presentation order matches the unsigned comparison used to select
+    // window minima (so fp_first/fp_last are the unsigned min/max)
+    val unsigned = Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0)
+    assert(a.toSeq == a.distinct.sorted(unsigned).toSeq)
     assert(a.nonEmpty)
   }
 
