@@ -364,10 +364,79 @@ object Relational {
       .orderBy("key")
   }
 
+  // -- pivot / subqueries -------------------------------------------------
+
+  /** Pivot with an EXPLICIT value list: at 100TB the implicit form's
+    * extra distinct-values pass over the fact table is a full scan you
+    * don't need — declare the (small, known) dimension domain instead.
+    * The oracle is the portable conditional-aggregation formulation. */
+  val aggPivot: Q = Q(
+    "q_agg_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total_p
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .select(col("o_orderpriority"),
+        col("F").as("total_f"), col("O").as("total_o"), col("P").as("total_p"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Correlated EXISTS through the SQL surface: Catalyst decorrelates
+    * this into the same shuffled semi join q_join_semi declares
+    * directly (RewritePredicateSubquery) — the subquery never executes
+    * per-row. The correlation is two-sided (key equality + an
+    * inequality on the outer row's own column). */
+  val subqueryExists: Q = Q(
+    "q_subquery_exists",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > c.c_acctbal * 50)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > c.c_acctbal * 50)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated scalar subqueries (count + max per outer row):
+    * decorrelated into one aggregate over orders joined back to
+    * customer (RewriteCorrelatedScalarSubquery) — including the
+    * COUNT-over-no-rows = 0 edge both engines must agree on. */
+  val subqueryScalar: Q = Q(
+    "q_subquery_scalar",
+    """SELECT c_custkey, c_acctbal,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_totalprice > 350000) AS n_big_orders,
+      |  (SELECT MAX(o_totalprice) FROM orders o
+      |     WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+        |     AND o.o_totalprice > 350000) AS n_big_orders,
+        |  (SELECT MAX(o_totalprice) FROM orders o
+        |     WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c ORDER BY c_custkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPred,
     aggHash, aggDistinct, aggPercentile, aggHaving, aggRollup, aggCube, aggGroupingSets,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     sortLimit, topKGroup,
-    unionAll, unionDistinct, intersectQ, exceptQ)
+    unionAll, unionDistinct, intersectQ, exceptQ,
+    aggPivot, subqueryExists, subqueryScalar)
 }

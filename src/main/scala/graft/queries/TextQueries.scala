@@ -177,7 +177,128 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals: per-doc trigram totals plus the
+    * dominant trigram (ties broken lexicographically) — the
+    * "fraction of chars in the most common n-gram" boilerplate filter,
+    * kept in integer counts for cross-engine exactness. Docs with
+    * fewer than 3 tokens have no trigrams and drop out (both sides).
+    *
+    * Shape at scale: one shuffle to count (doc, trigram) pairs, then a
+    * doc-keyed window over the (already small) per-doc count frame —
+    * never an all-pairs or per-doc collect. */
+  val textRepetition: Q = Q(
+    "q_text_repetition",
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
+      |        FROM t, (SELECT unnest(range(1, 100000)) AS i) p
+      |        WHERE i <= len(toks) - 2),
+      |c AS (SELECT doc_id, tri, COUNT(*) AS n FROM tri GROUP BY doc_id, tri),
+      |r AS (SELECT doc_id, tri, n,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, tri) AS rn,
+      |        CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_trigrams,
+      |        COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct_trigrams
+      |      FROM c)
+      |SELECT doc_id, n_trigrams, n_distinct_trigrams,
+      |       tri AS top_trigram, n AS top_trigram_n
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(Text.shingles(toks, 3)).as("tri"))
+      .groupBy("doc_id", "tri")
+      .agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy("doc_id")
+    counts
+      .withColumn("rn", row_number().over(
+        byDoc.orderBy(col("n").desc, col("tri").asc)))
+      .withColumn("n_trigrams", sum(col("n")).over(byDoc))
+      .withColumn("n_distinct_trigrams", count(lit(1)).over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct_trigrams"),
+        col("tri").as("top_trigram"), col("n").as("top_trigram_n"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction (emails + phone-shaped digit runs) via anchored
+    * regex replace. The synthetic corpus contains no PII, so the query
+    * first APPENDS a deterministic contact line derived from doc_id —
+    * the redactor then has real spans to find, and the oracle proves
+    * non-vacuously that both engines erase the same bytes (outputs are
+    * md5 fingerprints of before/after, plus match counts). */
+  val textPiiRedact: Q = Q(
+    "q_text_pii_redact",
+    """WITH w AS (SELECT doc_id,
+      |  text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      |  FROM documents),
+      |r AS (SELECT doc_id, raw,
+      |  CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS pass1
+      |  FROM w)
+      |SELECT doc_id, n_emails,
+      |  CAST(len(regexp_extract_all(pass1, '\+?[0-9][0-9-]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  md5(raw) AS fp_raw,
+      |  md5(regexp_replace(pass1, '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g')) AS fp_redacted
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+?[0-9][0-9-]{6,}[0-9]"
+    val raw = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
+        col("raw"),
+        regexp_replace(col("raw"), emailRe, "<EMAIL>").as("pass1"))
+      .select(col("doc_id"), col("n_emails"),
+        regexp_count(col("pass1"), lit(phoneRe)).as("n_phones"),
+        md5(col("raw")).as("fp_raw"),
+        md5(regexp_replace(col("pass1"), phoneRe, "<PHONE>")).as("fp_redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF table build as an inverted-index pipeline: token explode →
+    * (doc, term) tf counts → per-term document frequency → join back →
+    * top-5 terms per doc. The idf factor is a projection over (tf, df,
+    * N) left to the caller — ln() is not bit-portable across engines,
+    * integer counts are.
+    *
+    * Shape at scale: tf agg shuffles on (doc, term); df reuses the SAME
+    * tf frame (one extra term-keyed agg, far smaller than the corpus);
+    * the join back is term-keyed hash join (vocab can be huge at 100TB
+    * — no broadcast assumption); top-k runs as WindowGroupLimit. */
+  val tfidfTerms: Q = Q(
+    "q_tfidf_terms",
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |r AS (SELECT t.doc_id, t.term, t.tf, d.df,
+      |        ROW_NUMBER() OVER (PARTITION BY t.doc_id
+      |                           ORDER BY t.tf DESC, t.term) AS rn
+      |      FROM tf t JOIN df d ON t.term = d.term)
+      |SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 5
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val tf = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    graft.ops.TopK.perGroup(
+      tf.join(df, "term"),
+      partitionBy = Seq(col("doc_id")),
+      orderBy = Seq(col("tf").desc, col("term").asc),
+      k = 5)
+      .select("doc_id", "term", "tf", "df", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
-    docWinnow, dedupExact, explodeTokensTyped)
+    docWinnow, dedupExact, explodeTokensTyped,
+    textRepetition, textPiiRedact, tfidfTerms)
 }

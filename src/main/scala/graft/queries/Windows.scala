@@ -196,7 +196,32 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Distribution ranks (ntile / percent_rank / cume_dist) for
+    * quantile bucketing — the dataset-split primitive that assigns
+    * stable quartiles per segment. The window orders by a UNIQUE key
+    * pair so tie semantics never differ between engines; the two
+    * fractional ranks are single IEEE divisions of exact integers, so
+    * they are bit-identical cross-engine. */
+  val distRanks: Q = Q(
+    "q_window_ntile",
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    Tables.load(s, d, "customer")
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     rank_, lagLead, rowsFrame, rangeFrame,
-    tumblingBatch, sessionize, joinRange, joinAsOf)
+    tumblingBatch, sessionize, joinRange, joinAsOf, distRanks)
 }
