@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.{Q, Tables}
-import graft.functions.{Base58, WeightedAvg}
+import graft.functions.{Base58, FreqItems, WeightedAvg}
 
 /** Wave 4c — user-defined function surface: typed UDAF and the base58
   * address UDF (SURVEY.md §2.B `u_udaf_weighted` / `u_udf_base58`).
@@ -140,7 +140,24 @@ object Udfs {
       .orderBy("block_id", "transaction_id", "side", "elem_idx", "op_idx")
   }
 
+  /** Heavy-hitter terms per language via the [[FreqItems]] Misra-Gries
+    * sketch (k=16): bounded memory per group regardless of vocabulary
+    * size — the scale path when exact term counts would shuffle the
+    * whole vocabulary. Estimates are order-dependent (no oracle); the
+    * order-independent error bounds are property-tested in
+    * FreqItemsSpec. Output explodes the sketch map to scalar rows. */
+  val freqItems: Q = Q.noOracle("q_freq_items") { (s, d) =>
+    val fi = udaf(FreqItems(16), Encoders.STRING)
+    Tables.load(s, d, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("lang")
+      .agg(fi(col("term")).as("sketch"))
+      .select(col("lang"), explode(col("sketch")).as(Seq("term", "est_count")))
+      .orderBy(col("lang"), col("est_count").desc, col("term"))
+  }
+
   val all: Seq[Q] = Seq(
     udafWeighted, udfBase58, multimodalDecode, multimodalFrames,
-    bitcoinEtlGolden, udtfExplodeScripts)
+    bitcoinEtlGolden, udtfExplodeScripts, freqItems)
 }
