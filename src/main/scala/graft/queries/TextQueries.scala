@@ -204,8 +204,11 @@ object TextQueries {
       |       tri AS top_trigram, n AS top_trigram_n
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // single-file input: repartition FIRST so the compiled shingle UDF
+    // runs on all cores, not one (the q_dedup_minhash lesson)
     val counts = Tables.load(s, d, "documents")
-      .select(col("doc_id"), explode(Text.shingles(toks, 3)).as("tri"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), explode(Text.shingleListUdf(3)(col("text"))).as("tri"))
       .groupBy("doc_id", "tri")
       .agg(count(lit(1)).as("n"))
     val byDoc = Window.partitionBy("doc_id")
@@ -265,10 +268,16 @@ object TextQueries {
     * N) left to the caller — ln() is not bit-portable across engines,
     * integer counts are.
     *
-    * Shape at scale: tf agg shuffles on (doc, term); df reuses the SAME
-    * tf frame (one extra term-keyed agg, far smaller than the corpus);
-    * the join back is term-keyed hash join (vocab can be huge at 100TB
-    * — no broadcast assumption); top-k runs as WindowGroupLimit. */
+    * Shape at scale: tf agg shuffles on (doc, term); the df branch
+    * re-aggregates by term. In the single declarative plan Spark
+    * recomputes the tf lineage for the df branch (exchanges on
+    * different keys are never reusable) — at 100TB you materialize the
+    * tf table once, bucketed by term ([[graft.ops.Bucketing]]), and
+    * both the df agg and the join back become exchange-free. The join
+    * is broadcast at this sf because the vocab is tiny; with AQE's
+    * runtime sizing it demotes to a term-keyed shuffle join when the
+    * vocab outgrows the threshold. Top-k runs as WindowGroupLimit
+    * (partial before the doc shuffle, final after). */
   val tfidfTerms: Q = Q(
     "q_tfidf_terms",
     """WITH tok AS (SELECT doc_id,
