@@ -28,7 +28,8 @@ object Bench {
     // Disable with SPARK_GRAFT_COLD=1 for cold numbers.
     // Optional subset for local profiling: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     if (!sys.env.contains("SPARK_GRAFT_COLD")) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001").count()

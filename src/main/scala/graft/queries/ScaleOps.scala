@@ -106,6 +106,70 @@ object ScaleOps {
       .orderBy("split")
   }
 
+  /** Pretraining token packing ("concat-then-chunk"): every doc's
+    * tokens land at a global running offset; 512-token context windows
+    * are cut across the concatenated stream. The oracle is the naive
+    * single-window cumulative sum; the engine runs
+    * [[graft.ops.Packing.withGlobalOffsets]] — the two-phase prefix sum
+    * with NO single-partition stage (the equality IS the oracle, the
+    * plans differ: parallel per-bucket windows vs one global sort). */
+  val packChunks: Q = Q(
+    "q_pack_chunks",
+    """WITH t AS (SELECT doc_id,
+      |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |          - n_tokens AS start_tok
+      |      FROM t)
+      |SELECT doc_id, n_tokens, start_tok,
+      |  start_tok // 512 AS first_chunk,
+      |  (start_tok + n_tokens - 1) // 512 AS last_chunk,
+      |  start_tok % 512 AS offset_in_chunk
+      |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(graft.text.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.ops.Packing.withGlobalOffsets(docs, "doc_id", "n_tokens", bucketSize = 1000L)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr("start_tok div 512").as("first_chunk"),
+        expr("(start_tok + n_tokens - 1) div 512").as("last_chunk"),
+        (col("start_tok") % 512).as("offset_in_chunk"))
+      .orderBy("doc_id")
+  }
+
+  /** Sliding-window chunking of long documents (stride < window, so
+    * consecutive chunks overlap — the RAG/long-context preprocessing
+    * shape): one generator row per (doc, chunk), integer spans only. */
+  val slideChunks: Q = Q(
+    "q_doc_slide_chunks",
+    """WITH t AS (SELECT doc_id,
+      |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens, i AS chunk_no, CAST(i * 48 AS BIGINT) AS tok_start
+      |      FROM t, (SELECT unnest(range(0, 100000)) AS i) p
+      |      WHERE i * 48 < n_tokens)
+      |SELECT doc_id, chunk_no, tok_start,
+      |  least(tok_start + 64, n_tokens) AS tok_end
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin) { (s, d) =>
+    val window = 64L
+    val stride = 48L
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        size(graft.text.Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        // last chunk starts at the largest stride multiple < n_tokens
+        explode(sequence(lit(0L),
+          expr(s"greatest((n_tokens - 1) div $stride, 0)"))).as("chunk_no"))
+      .filter(col("chunk_no") * stride < col("n_tokens"))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride).as("tok_start"),
+        least(col("chunk_no") * stride + window, col("n_tokens")).as("tok_end"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
   val all: Seq[Q] = Seq(
-    skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey)
+    skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
+    packChunks, slideChunks)
 }

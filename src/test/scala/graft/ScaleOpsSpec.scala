@@ -186,4 +186,30 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"expected user-1 session closed by event-time timeout, got ${closed.mkString(",")}")
     } finally q.stop()
   }
+
+  test("two-phase token packing matches the naive global window and " +
+      "never plans a single-partition stage") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    // uneven token counts across a sparse, unordered id space
+    val docs = Seq(7L -> 13L, 1L -> 5L, 2500L -> 40L, 999L -> 1L, 1000L -> 7L,
+      3L -> 29L, 4242L -> 11L).toDF("doc_id", "n_tokens").repartition(5)
+    val packed = graft.ops.Packing
+      .withGlobalOffsets(docs, "doc_id", "n_tokens", bucketSize = 1000L)
+      .select("doc_id", "n_tokens", "start_tok")
+    val naive = docs.withColumn("start_tok",
+      sum(col("n_tokens")).over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_tokens"))
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      naive.select("doc_id", "n_tokens", "start_tok").orderBy("doc_id").collect().toSeq)
+    // the whole point: the naive form's global window serializes through
+    // one partition; the two-phase form must not
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition stage in:\n$plan")
+    assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
 }
