@@ -76,7 +76,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    val line = { val l3 = render(3); if (l3.length <= 1850) l3 else render(2) }
+    // ~1900 chars is the safe ceiling: the consumer's 2000-char tail
+    // must also hold sbt's trailing "[success] Total time" line (~75).
+    val line = Seq(render(3), render(2), render(1))
+      .find(_.length <= 1900).getOrElse(render(1))
     // Full-precision copy for local profiling (not part of the contract).
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
