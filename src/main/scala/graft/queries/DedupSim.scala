@@ -312,7 +312,43 @@ object DedupSim {
       .orderBy("l_returnflag")
   }
 
+  /** Pair list -> dedup CLUSTERS via
+    * [[graft.ops.ConnectedComponents]]: the step every near-dup
+    * pipeline needs after candidate verification (pairs alone can't
+    * say "keep one of these five"). The edge list here chains each
+    * exact-duplicate group in doc_id order, so components only come
+    * out right if labels genuinely propagate MULTI-HOP (a group of 5
+    * is a 4-edge path, not a clique); the oracle states the expected
+    * fixpoint directly from the group structure. Isolated docs stay
+    * their own singleton component. */
+  val dedupComponents: Q = Q(
+    "q_dedup_components",
+    """WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents)
+      |SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY fp) AS component,
+      |  doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_keeper,
+      |  COUNT(*) OVER (PARTITION BY fp) AS n_members
+      |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val fp = Tables.load(s, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    // multi-hop chain edges: consecutive docs of each duplicate group
+    val prev = lag(col("doc_id"), 1).over(
+      Window.partitionBy("fp").orderBy("doc_id"))
+    val edges = fp.select(col("doc_id"), prev.as("prev"))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("doc_id").as("dst"))
+    val labels = graft.ops.ConnectedComponents.labels(
+      fp.select(col("doc_id").as("node")), edges)
+    labels
+      .select(col("node").as("doc_id"), col("component"),
+        (col("node") === col("component")).as("is_keeper"),
+        count(lit(1)).over(Window.partitionBy("component")).as("n_members"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
-    embedCosineDup, annTopK, annLsh, annIvf, approxDistinct)
+    embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
+    dedupComponents)
 }
