@@ -100,6 +100,19 @@ object Streams {
         s"$rightTs BETWEEN $leftTs - INTERVAL $interval AND $leftTs"))
   }
 
+  /** Stream-static enrichment join: each streaming event picks up its
+    * dimension row (the reference's implied "price at ingest time" /
+    * exchange-metadata lookup). The static side is broadcast per
+    * micro-batch — stateless, no watermark needed, and the dim table
+    * may be re-read between batches (slowly changing dims come free
+    * with a file-based static side). At 100TB of STREAM this stays
+    * safe: state never accumulates, only the dim must fit broadcast —
+    * else drop the hint and let AQE shuffle each micro-batch. */
+  def enrichWithStatic(
+      stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
   /** Convenience: run a memory-sink query to completion for tests. */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

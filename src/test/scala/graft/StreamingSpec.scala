@@ -122,6 +122,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_static_join: events enrich from a broadcast dim table, " +
+      "unmatched keys survive as NULL (left join), state stays empty") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("dim_id", "tier")
+    val joined = Streams.enrichWithStatic(
+      mem.toDF().toDF("ts", "user"), dim, "user", "dim_id")
+      .select(col("user"), col("tier"))
+    val q = Streams.runToMemory(joined, "enriched")
+    try {
+      mem.addData((ts(100), 1L), (ts(101), 2L), (ts(102), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (7L, None)))
+      // stateless: a stream-static join keeps no state rows between batches
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally q.stop()
+  }
+
   test("s_stream_rotate_sink: micro-batches land as rotated Avro container files") {
     implicit val ctx = spark.sqlContext
     val out = Files.createTempDirectory("rotsink").toString
