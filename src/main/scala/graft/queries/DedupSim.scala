@@ -347,8 +347,47 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag training docs sharing any word
+    * 4-gram with the held-out eval set (docs with doc_id % 97 == 0
+    * stand in for the benchmark). The canonical pretraining hygiene
+    * pass.
+    *
+    * Shape at 100TB: eval suites are tiny by construction, so the
+    * benchmark shingle set BROADCASTS and the training corpus is
+    * probed in place — one compiled shingle pass per doc, one
+    * broadcast join, one per-doc aggregate. The corpus never shuffles
+    * on shingles. */
+  val decontamOverlap: Q = Q(
+    "q_decontam_overlap",
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |bsh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                 || ' ' || toks[i+3] AS sh
+      |        FROM d, (SELECT unnest(range(1, 100000)) AS i) p
+      |        WHERE doc_id % 97 = 0 AND i <= len(toks) - 3),
+      |tsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' ||
+      |                 toks[i+2] || ' ' || toks[i+3] AS sh
+      |        FROM d, (SELECT unnest(range(1, 100000)) AS i) p
+      |        WHERE doc_id % 97 <> 0 AND i <= len(toks) - 3)
+      |SELECT t.doc_id, COUNT(*) AS n_hits, MIN(t.sh) AS first_hit
+      |FROM tsh t JOIN bsh b ON t.sh = b.sh
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val sh4 = Text.shingleSetUdf(4) // per-doc DISTINCT shingles, compiled
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(sh4(col("text"))).as("sh")).distinct()
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(sh4(col("text"))).as("sh"))
+    train.join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
-    dedupComponents)
+    dedupComponents, decontamOverlap)
 }

@@ -67,6 +67,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("decontamination flags exactly the docs sharing a 4-gram with the bench set") {
+    val out = graft.queries.DedupSim.decontamOverlap
+      .run(spark, SharedSpark.sf001).collect()
+    assert(out.nonEmpty, "planted corpus should yield contaminated docs")
+    // Ground truth, computed independently on the driver side.
+    val docs = Tables.load(spark, SharedSpark.sf001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq))
+    def g4(toks: Seq[String]): Set[String] =
+      toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+    val benchSh = docs.filter(_._1 % 97 == 0).flatMap(t => g4(t._2)).toSet
+    val expect = docs.filter(_._1 % 97 != 0)
+      .filter(t => g4(t._2).exists(benchSh)).map(_._1).toSet
+    assert(out.map(_.getLong(0)).toSet == expect)
+    // hit counts: number of DISTINCT overlapping shingles per doc
+    out.foreach { r =>
+      val hits = docs.find(_._1 == r.getLong(0)).get._2
+      assert(g4(hits).count(benchSh) == r.getLong(1))
+    }
+  }
+
   test("approx_count_distinct within 15% of exact (HLL bound)") {
     val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
     val row = li.agg(
