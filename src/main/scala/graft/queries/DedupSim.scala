@@ -386,8 +386,47 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** Passage-level duplicate mining: every word 8-gram that appears in
+    * >= 2 distinct documents, with its document frequency, total
+    * occurrence count, and first/last carrier — the signal behind
+    * exact-substring dedup of training corpora (boilerplate, licenses,
+    * templated spam repeat verbatim across crawls).
+    *
+    * Shape at 100TB: deliberately NOT a self-join — one compiled
+    * shingle pass, one hash shuffle on the passage key with map-side
+    * partial aggregation, and the n_docs >= 2 filter discards the
+    * singleton long tail (the overwhelming majority) at the first
+    * aggregate. Skewed mega-passages split by AQE. */
+  val dupPassages: Q = Q(
+    "q_dup_passages",
+    """WITH d AS (SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |      || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+      |      || ' ' || toks[i+7] AS passage
+      |  FROM d, (SELECT unnest(range(1, 100000)) AS i) p
+      |  WHERE i <= len(toks) - 7)
+      |SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM sh GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY passage""".stripMargin) { (s, d) =>
+    val sh8 = Text.shingleListUdf(8) // repeats kept: n_occ counts them
+    Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), explode(sh8(col("text"))).as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("passage")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
-    dedupComponents, decontamOverlap)
+    dedupComponents, decontamOverlap, dupPassages)
 }

@@ -169,7 +169,92 @@ object ScaleOps {
       .orderBy("doc_id", "chunk_no")
   }
 
+  /** SCD-1 warehouse merge ([[graft.ops.Merge]]): a CDC batch of
+    * upserts (keys %10=3 get a repriced row), inserts (%10=1 spawn a
+    * new negative-keyed row), and deletes (%10=7) applied in one pass.
+    * The reference maintains its warehouse by blind append + downstream
+    * dedup repair (`etl.sh:6-17`) or full replace; MERGE is the shape a
+    * user actually wants. Plan: change keys broadcast, warehouse side
+    * anti-joins without shuffling. All price math in exact DECIMAL. */
+  val mergeUpsert: Q = Q(
+    "q_merge_upsert",
+    """WITH ch AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 100.00 AS DOUBLE) AS o_totalprice,
+      |         'upsert' AS op
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_custkey, 'I',
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 'upsert'
+      |  FROM orders WHERE o_orderkey % 10 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, 0.0, 'delete'
+      |  FROM orders WHERE o_orderkey % 10 = 7)
+      |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus,
+      |       CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |FROM orders t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM ch WHERE op = 'upsert'
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val base = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"))
+    val upd = base.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice",
+        (dec(col("o_totalprice")) + lit("100.00").cast(Money)).cast("double"))
+      .withColumn("op", lit("upsert"))
+    val ins = base.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("op", lit("upsert"))
+    val del = base.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("op", lit("delete"))
+    graft.ops.Merge.upsert(base, upd.unionByName(ins).unionByName(del),
+      "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** Source-mixture sampling with fractional epochs: per-source weights
+    * (0.25 / 1 / 1.5 / 2.25 by source group) realized as
+    * floor(w) full copies plus an md5-hash-gated extra copy with
+    * probability frac(w) — the LLM data-mixing pattern (oversample
+    * high-quality sources, downsample bulk ones). Hash gating keeps it
+    * reproducible across runs/engines/retries, and the copy fan-out is
+    * a narrow explode — no shuffle, no skew (every doc expands <= 3x). */
+  val sampleMixture: Q = Q(
+    "q_sample_mixture",
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(substring(source, 4) AS INT) % 4 AS m,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |n AS (SELECT doc_id, source,
+      |    CASE m WHEN 0 THEN CASE WHEN h < '4' THEN 1 ELSE 0 END
+      |           WHEN 1 THEN 1
+      |           WHEN 2 THEN CASE WHEN h < '8' THEN 2 ELSE 1 END
+      |           ELSE CASE WHEN h < '4' THEN 3 ELSE 2 END END AS n_copies
+      |  FROM t)
+      |SELECT doc_id, source, CAST(i AS BIGINT) AS copy
+      |FROM n, (SELECT unnest(range(1, 4)) AS i) p
+      |WHERE i <= n_copies
+      |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val m = expr("CAST(substring(source, 4, 8) AS INT)") % 4
+    val copies =
+      when(m === 0, when(h < "4", 1).otherwise(0))
+        .when(m === 1, lit(1))
+        .when(m === 2, when(h < "8", 2).otherwise(1))
+        .otherwise(when(h < "4", 3).otherwise(2))
+    Tables.load(s, d, "documents")
+      .withColumn("n_copies", copies.cast("long"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
-    packChunks, slideChunks)
+    packChunks, slideChunks, mergeUpsert, sampleMixture)
 }

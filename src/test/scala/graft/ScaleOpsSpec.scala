@@ -212,4 +212,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), s"single-partition stage in:\n$plan")
     assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
+
+  test("Merge.upsert applies updates, inserts, deletes; untouched rows intact") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "b2", 22.0, "upsert"), // update
+      (4L, "d", 40.0, "upsert"),  // insert
+      (3L, "", 0.0, "delete"))    // delete
+      .toDF("k", "name", "v", "op")
+    val got = graft.ops.Merge.upsert(target, changes, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)))
+  }
+
+  test("Merge.upsert anti-join broadcasts the change keys (no target shuffle)") {
+    val target = Tables.load(spark, SharedSpark.sf001, "orders")
+    val changes = target.limit(10).withColumn("op", lit("delete"))
+    val merged = graft.ops.Merge.upsert(target, changes, "o_orderkey")
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n${plan.take(2000)}")
+    // the target side must reach the anti-join without an Exchange
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      s"target shuffled on the merge key:\n${plan.take(2000)}")
+  }
+
+  test("mixture sampling: group-1 sources exactly once, copies bounded by weight") {
+    val out = graft.queries.ScaleOps.sampleMixture
+      .run(spark, SharedSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1)
+    // copies are 1..n with no gaps (explode of sequence(1, n))
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    def grp(src: String) = src.drop(3).toInt % 4
+    // weight 1.0 sources: every doc exactly once
+    val g1 = out.filter(t => grp(t._2) == 1)
+    assert(g1.groupBy(_._1).forall(_._2.length == 1) && g1.nonEmpty)
+    // weight caps: 0.25 -> <=1, 1.5 -> <=2, 2.25 -> 2..3
+    assert(out.filter(t => grp(t._2) == 0).groupBy(_._1).forall(_._2.length <= 1))
+    assert(out.filter(t => grp(t._2) == 2).groupBy(_._1).forall(_._2.length <= 2))
+    val g3 = out.filter(t => grp(t._2) == 3).groupBy(_._1)
+    assert(g3.forall { case (_, rows) => rows.length >= 2 && rows.length <= 3 })
+  }
 }
