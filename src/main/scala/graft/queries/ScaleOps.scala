@@ -254,7 +254,31 @@ object ScaleOps {
       .orderBy("doc_id", "copy")
   }
 
+  /** Z-order clustering key ([[graft.ops.ZOrder]]): Morton-interleave
+    * of (customer, order-day) — the layout key under which range-
+    * partitioned files carry bounded min/max spans in BOTH dimensions,
+    * so file stats prune point/range predicates on either (a plain
+    * sort prunes only its leading column). Exact integer arithmetic →
+    * bit-identical oracle; the narrow key computation never shuffles
+    * (the write-side layout itself is exercised in ScaleOpsSpec). */
+  val zorderKey: Q = Q(
+    "q_zorder_key",
+    s"""WITH t AS (SELECT o_orderkey, o_custkey % 65536 AS x,
+       |    (epoch_ms(o_orderdate) // 86400000) % 65536 AS y
+       |  FROM orders)
+       |SELECT o_orderkey, x, y,
+       |  CAST(${graft.ops.ZOrder.zvalueSql("x", "y")} AS BIGINT) AS zval
+       |FROM t ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"),
+        col("o_custkey").bitwiseAND(lit(65535L)).as("x"),
+        graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L)
+          .bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("zval", graft.ops.ZOrder.zvalue2(col("x"), col("y")))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
-    packChunks, slideChunks, mergeUpsert, sampleMixture)
+    packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey)
 }

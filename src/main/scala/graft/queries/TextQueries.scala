@@ -306,8 +306,19 @@ object TextQueries {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 top-20 retrieval ([[graft.text.Bm25]]) for a fixed query-term
+    * set ("dup" is the rare high-idf discriminator in the corpus;
+    * "merge"/"window"/"scan" are bulk terms). No DuckDB oracle: ln()
+    * is not bit-stable across engine libms — Bm25Spec verifies scores
+    * against an independent in-test computation instead. */
+  val bm25TopK: Q = Q.noOracle("q_bm25_topk") { (s, d) =>
+    graft.text.Bm25.topK(
+      Tables.load(s, d, "documents"), "doc_id", "text",
+      terms = Seq("dup", "merge", "window", "scan"), k = 20)
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
-    textRepetition, textPiiRedact, tfidfTerms)
+    textRepetition, textPiiRedact, tfidfTerms, bm25TopK)
 }

@@ -238,6 +238,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"target shuffled on the merge key:\n${plan.take(2000)}")
   }
 
+  test("zvalue2 matches reference interleave; z-clustering bounds BOTH dims per file") {
+    import graft.ops.ZOrder
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val data = (0 until 4096)
+      .map(i => ((i * 2654435761L) % 1024, (i * 40503L) % 1024))
+    val df = data.toDF("x", "y")
+    val z = ZOrder.zvalue2(col("x"), col("y"))
+    df.withColumn("z", z).collect()
+      .foreach(r => assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1))))
+
+    def spreads(laid: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val agg = laid.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).head
+      (agg.getDouble(0), agg.getDouble(1))
+    }
+    val zLaid = ZOrder.clusterByZ(df, z, 16)
+    assert(zLaid.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "clusterByZ must range-partition on the z-value")
+    val (zx, zy) = spreads(zLaid)
+    // z-order: both dimensions bounded well below the global 1023 span
+    assert(zx < 700 && zy < 700, s"z-order spans x=$zx y=$zy")
+    // a linear sort on x alone leaves y's span at ~full width
+    val (lx, ly) = spreads(df.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    assert(lx < 200 && ly > 900, s"linear-sort spans x=$lx y=$ly")
+  }
+
   test("mixture sampling: group-1 sources exactly once, copies bounded by weight") {
     val out = graft.queries.ScaleOps.sampleMixture
       .run(spark, SharedSpark.sf001).collect()
