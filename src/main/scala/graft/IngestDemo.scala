@@ -105,6 +105,25 @@ object IngestDemo {
     val etlRows = ingest.Bitcoin.etl(blocks).count()
     println(s"[demo] nested-avro: ${back.size} blocks round-tripped, " +
       s"etl(golden) = $etlRows rows")
+
+    // 5. streaming CDC upsert sink: orders rows as an upsert feed ->
+    //    versioned snapshot (the continuously-maintained warehouse;
+    //    foreachBatch MERGE replaces append + nightly dedup)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cdc = MemoryStream[(Long, Long, String)]
+    val uq = streaming.Streams.upsertSink(
+      cdc.toDF().toDF("k", "seq", "op").withColumn("payload", col("k") * 10),
+      "k", "seq", s"$outDir/upsert_table", s"$outDir/upsert_ckpt").start()
+    cdc.addData((1L, 1L, "upsert"), (2L, 2L, "upsert"))
+    uq.processAllAvailable()
+    cdc.addData((1L, 3L, "delete"), (3L, 4L, "upsert"))
+    uq.processAllAvailable()
+    uq.stop()
+    val live = streaming.Streams.currentSnapshot(spark, s"$outDir/upsert_table")
+      .map(_.count()).getOrElse(-1L)
+    println(s"[demo] upsert-sink: $live live keys after 2 CDC batches")
     spark.stop()
   }
 }

@@ -113,6 +113,66 @@ object Streams {
       streamKey: String, dimKey: String): DataFrame =
     stream.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** Streaming CDC upsert sink: each micro-batch of full-row changes
+    * (an `op` column in {"upsert","delete"}) MERGEs into a parquet
+    * snapshot via [[graft.ops.Merge]] — the continuously-maintained
+    * materialized table the reference approximates with blind appends
+    * plus a nightly dedup ETL (`Main.java:204-259` + `etl.sh:6-17`).
+    * Within a batch the LAST change per key wins (ordered by
+    * `seqCol`), so replayed/compacted CDC feeds stay correct.
+    *
+    * Snapshots are versioned dirs (`v<batchId>`) with a LATEST pointer
+    * committed by atomic rename, making batch replay after failure
+    * idempotent — the local stand-in for a table format's snapshot
+    * isolation at 100TB; the merge plan itself (change keys broadcast,
+    * warehouse side never shuffled) is the part that carries over. */
+  def upsertSink(
+      changes: DataFrame,
+      key: String,
+      seqCol: String,
+      tableDir: String,
+      checkpoint: String,
+      opCol: String = "op"): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val spark = batch.sparkSession
+        val latest = batch
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(key).orderBy(col(seqCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged = currentSnapshot(spark, tableDir) match {
+          case Some(t) => graft.ops.Merge.upsert(t, latest, key, opCol)
+          case None    => latest.filter(col(opCol) === "upsert").drop(opCol)
+        }
+        val vdir = s"$tableDir/v$batchId"
+        merged.write.mode("overwrite").parquet(vdir)
+        commitPointer(tableDir, s"v$batchId")
+      }
+
+  /** The table as of the last committed batch (None before batch 0). */
+  def currentSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Option[DataFrame] = {
+    val p = java.nio.file.Paths.get(tableDir, "LATEST")
+    if (java.nio.file.Files.exists(p))
+      Some(spark.read.parquet(
+        s"$tableDir/${new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim}"))
+    else None
+  }
+
+  private def commitPointer(tableDir: String, version: String): Unit = {
+    val dir = java.nio.file.Paths.get(tableDir)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".LATEST.tmp-$version")
+    java.nio.file.Files.write(tmp, version.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Convenience: run a memory-sink query to completion for tests. */
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -169,4 +169,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(all == Set("a", "b", "c", "d", "e"))
     } finally q.stop()
   }
+
+  test("s_stream_upsert_sink: micro-batch CDC merges into a versioned snapshot, " +
+    "last change per key wins within a batch") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val mem = MemoryStream[(Long, Long, String, String)] // (k, seq, v, op)
+    val df = mem.toDF().toDF("k", "seq", "v", "op")
+    val q = Streams.upsertSink(df, "k", "seq",
+      s"$dir/table", s"$dir/ckpt").start()
+    def snapshot(): Map[Long, String] =
+      Streams.currentSnapshot(spark, s"$dir/table").get
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    try {
+      // batch 0: two inserts, plus an intra-batch overwrite of k=1 (seq wins)
+      mem.addData((1L, 1L, "a1", "upsert"), (2L, 1L, "b1", "upsert"),
+        (1L, 2L, "a2", "upsert"))
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> "a2", 2L -> "b1"))
+      // batch 1: update k=2, delete k=1, insert k=3
+      mem.addData((2L, 3L, "b2", "upsert"), (1L, 4L, "", "delete"),
+        (3L, 5L, "c1", "upsert"))
+      q.processAllAvailable()
+      assert(snapshot() == Map(2L -> "b2", 3L -> "c1"))
+      // the seq column rides along unchanged; both versions still readable
+      assert(spark.read.parquet(s"$dir/table/v0").count() == 2)
+    } finally q.stop()
+  }
 }
