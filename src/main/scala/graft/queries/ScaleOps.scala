@@ -278,7 +278,27 @@ object ScaleOps {
       .orderBy("o_orderkey")
   }
 
+  /** PageRank over the lineitem part/supplier bipartite graph
+    * ([[graft.ops.PageRank]]): 4 power iterations in exact fixed-point
+    * BIGINT arithmetic, so the DuckDB oracle replays the iterative
+    * joins bit-for-bit — floating PageRank can never hash-match across
+    * engines (inflow sum order). Parts are even node ids, suppliers
+    * odd. */
+  val pagerankBipartite: Q = Q(
+    "q_pagerank_bipartite",
+    graft.ops.PageRank.bipartiteOracleSql(4)) { (s, d) =>
+    val pairs = Tables.load(s, d, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk")).distinct()
+    val edges = pairs
+      .select((col("p") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("sk") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+    graft.ops.PageRank.run(edges, "src", "dst", iters = 4)
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
-    packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey)
+    packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
+    pagerankBipartite)
 }

@@ -268,6 +268,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(lx < 200 && ly > 900, s"linear-sort spans x=$lx y=$ly")
   }
 
+  test("fixed-point PageRank matches an independent integer reference on a known graph") {
+    import graft.ops.PageRank
+    // star: 1 -> {2,3,4}, each back to 1, plus a 2<->3 chord
+    val edgeList = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 1L), (3L, 1L), (4L, 1L), (2L, 3L), (3L, 2L))
+    val scale = 1000000000000L
+    def ref(iters: Int): Map[Long, Long] = {
+      val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val out = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val init = scale / nodes.size
+      val base = init * 15 / 100
+      var r = nodes.map(_ -> init).toMap
+      for (_ <- 1 to iters) {
+        val in = edgeList.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+        r = nodes.map(n => n -> (base + in.getOrElse(n, 0L) * 85 / 100)).toMap
+      }
+      r
+    }
+    val got = PageRank.run(edgeList.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref(4))
+    // the hub out-ranks the spokes
+    assert(got(1L) > got(4L) && got(2L) > got(4L))
+  }
+
   test("mixture sampling: group-1 sources exactly once, copies bounded by weight") {
     val out = graft.queries.ScaleOps.sampleMixture
       .run(spark, SharedSpark.sf001).collect()
