@@ -78,13 +78,25 @@ object Bench {
     }
     // ~1900 chars is the safe ceiling: the consumer's 2000-char tail
     // must also hold sbt's trailing "[success] Total time" line (~75).
-    // Last resorts, so registry growth can never truncate the line again:
-    // whole-second per-query values, then a queries-free line (the total
-    // is the headline; per-query detail stays in the full-precision file).
-    def noQueries: String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":{},"failed":$failedJson,"sf":"$sfDir"}"""
-    val line = Seq(render(3), render(2), render(1), render(0))
-      .find(_.length <= 1900).getOrElse(noQueries)
+    // When the full map no longer fits at 1 decimal, keep 2-decimal
+    // entries for as many of the MOST EXPENSIVE queries as the budget
+    // holds and report how many cheap ones were dropped — the hot
+    // spots survive with real precision instead of the whole map
+    // collapsing. topFit(0) degenerates to a queries-free line (the
+    // total is the headline; full precision always lands in the side
+    // file), so some line always fits.
+    def topN(n: Int): String = {
+      val top = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(n)
+      val qs = top
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    }
+    def topFit: String =
+      (results.size to 0 by -1).iterator.map(topN)
+        .find(_.length <= 1900).getOrElse(topN(0))
+    val line = Seq(render(3), render(2), render(1))
+      .find(_.length <= 1900).getOrElse(topFit)
     // Full-precision copy for local profiling (not part of the contract).
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -425,8 +425,36 @@ object DedupSim {
       .orderBy("passage")
   }
 
+  /** Fuzzy entity matching: distinct part names within Levenshtein
+    * distance 3, BLOCKED on the head noun (last token) so the edit-
+    * distance comparisons run inside small blocks instead of all-pairs
+    * — the standard entity-resolution shape (at 100TB the block key
+    * becomes phonetic/length-band buckets; the quadratic cost is
+    * bounded per block, never global). Levenshtein is exact integer
+    * dynamic programming — identical in any engine, so it oracles. */
+  val fuzzyNameJoin: Q = Q(
+    "q_fuzzy_name_join",
+    """WITH n AS (SELECT DISTINCT p_name,
+      |    string_split(p_name, ' ')[-1] AS blk FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       levenshtein(a.p_name, b.p_name) AS dist
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY name_a, name_b""".stripMargin) { (s, d) =>
+    val n = Tables.load(s, d, "part")
+      .select(col("p_name"), element_at(split(col("p_name"), " "), -1).as("blk"))
+      .distinct()
+    n.toDF("name_a", "blk")
+      .join(n.toDF("name_b", "blk"), "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
-    dedupComponents, decontamOverlap, dupPassages)
+    dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin)
 }

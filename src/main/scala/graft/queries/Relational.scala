@@ -432,11 +432,53 @@ object Relational {
         |FROM customer c ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Equi-width histogram in exact integer space: prices as cents,
+    * bucket = (cents-min)*NB div (max-min+1) — no float division, so
+    * bucket edges are bit-identical cross-engine. The global min/max
+    * is a single-row broadcast (no second scan shuffle); at 100TB the
+    * stats row comes from table metadata instead and the bucketing
+    * stays one narrow pass. */
+  val aggHistogram: Q = Q(
+    "q_agg_histogram",
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |st AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+      |SELECT CAST((cents - mn) * 16 // (mx - mn + 1) AS BIGINT) AS bucket,
+      |       COUNT(*) AS n, MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+      |FROM c, st GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    val c = Tables.load(s, d, "orders")
+      .select((dec(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val st = c.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    c.crossJoin(broadcast(st))
+      .withColumn("bucket", expr("((cents - mn) * 16) div (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+      .orderBy("bucket")
+  }
+
+  /** t-digest-family approximate percentiles (percentile_approx) per
+    * group — the 100TB replacement for [[aggPercentile]]'s exact
+    * buffering form, mergeable across partitions with map-side
+    * partials. No oracle (the sketch is algorithm-specific);
+    * RelationalSpec bounds it against the exact quartiles. */
+  val aggApproxPercentile: Q = Q.noOracle("q_agg_approx_percentile") { (s, d) =>
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(cents, array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("qs"), count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        col("qs")(0).as("p25_cents"), col("qs")(1).as("median_cents"),
+        col("qs")(2).as("p75_cents"), col("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPred,
     aggHash, aggDistinct, aggPercentile, aggHaving, aggRollup, aggCube, aggGroupingSets,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     sortLimit, topKGroup,
     unionAll, unionDistinct, intersectQ, exceptQ,
-    aggPivot, subqueryExists, subqueryScalar)
+    aggPivot, subqueryExists, subqueryScalar, aggHistogram, aggApproxPercentile)
 }

@@ -157,7 +157,30 @@ object Udfs {
       .orderBy(col("lang"), col("est_count").desc, col("term"))
   }
 
+  /** Count-min sketch point estimates: one mergeable CMS built over
+    * the whole event stream (map-side partial sketches merge
+    * associatively — the aggregation never ships raw keys), then the
+    * top-20 users' true counts probed against it via a broadcast of
+    * the single sketch row. Estimates overcount only (eps*N bound,
+    * CmsSpec); no oracle — the sketch layout is implementation-
+    * specific. */
+  val sketchCms: Q = Q.noOracle("q_sketch_cms") { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+    val sk = ev.agg(
+      expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("sk"))
+    val probe = ev.groupBy("user_id").agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("user_id")).limit(20)
+    val est = udf { (bytes: Array[Byte], k: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(k)
+    }
+    probe.crossJoin(broadcast(sk))
+      .select(col("user_id"), col("true_n"),
+        est(col("sk"), col("user_id")).as("cms_n"))
+      .orderBy(col("true_n").desc, col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(
     udafWeighted, udfBase58, multimodalDecode, multimodalFrames,
-    bitcoinEtlGolden, udtfExplodeScripts, freqItems)
+    bitcoinEtlGolden, udtfExplodeScripts, freqItems, sketchCms)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Error-bound tests for the sketch-family queries that cannot have a
+  * cross-engine oracle (algorithm-specific layouts): count-min sketch
+  * point estimates and t-digest approximate percentiles.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("count-min sketch never undercounts, overcounts by at most eps*N slack") {
+    val out = graft.queries.Udfs.sketchCms
+      .run(spark, SharedSpark.sf001).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val n = Tables.load(spark, SharedSpark.sf001, "events").count()
+    val slack = math.max(1L, (3 * 0.0001 * n).toLong) // 3x eps*N head-room
+    out.foreach { r =>
+      val (t, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= t, s"CMS undercounted: true=$t est=$e")
+      assert(e <= t + slack, s"CMS overcounted past bound: true=$t est=$e")
+    }
+  }
+
+  test("approx percentiles fall inside the +-1% rank band of the exact values") {
+    val cents = Tables.load(spark, SharedSpark.sf001, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).sorted }
+    val approx = graft.queries.Relational.aggApproxPercentile
+      .run(spark, SharedSpark.sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val xs = cents(r.getString(0))
+      def atRank(q: Double): Long =
+        xs(math.max(0, math.min(xs.length - 1, (q * (xs.length - 1)).round.toInt)))
+      Seq(0.25 -> r.getLong(1), 0.5 -> r.getLong(2), 0.75 -> r.getLong(3))
+        .foreach { case (q, got) =>
+          assert(got >= atRank(q - 0.01) && got <= atRank(q + 0.01),
+            s"flag=${r.getString(0)} q=$q got=$got band=[${atRank(q - 0.01)}, ${atRank(q + 0.01)}]")
+        }
+    }
+  }
+}
