@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means in exact fixed-point arithmetic, engine-replayable
+  * bit-for-bit: coordinates become `floor(x * 1e6)` BIGINTs (the
+  * IEEE-exact float→double→multiply→floor chain shared with the
+  * fxdot kernels), squared distances are integer sums, and centroid
+  * updates divide with a positive offset so truncating (Spark `div`)
+  * and flooring (DuckDB `//`) integer division agree on negative
+  * coordinate sums. Floating k-means can never hash-match across
+  * engines — the per-dimension mean's summation order differs per
+  * shuffle.
+  *
+  * Shape at 100TB: the k centroids broadcast every iteration (k*dim
+  * longs); the corpus is probed in place by a compiled
+  * squared-distance UDF and only (point, cluster) assignments plus
+  * k*dim partial sums shuffle — the textbook mapReduce k-means.
+  * Deterministic seeding (lowest k ids) replaces rand() init: at
+  * scale use a hash-sampled seed set, still rand()-free.
+  */
+object KMeansFx {
+
+  private val Scale = 1e6
+  private val Off = 2000000L // > max |scaled coordinate|, keeps dividends positive
+
+  private val toFx = udf { v: Seq[Float] =>
+    if (v == null) null
+    else v.map(x => math.floor(x.toDouble * Scale).toLong).toArray
+  }
+
+  private val sqDist = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Final assignments (idCol, cluster, dist) after `iters` Lloyd
+    * iterations with centroids seeded from the `k` lowest ids. */
+  def fit(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One materialization of the scaled points, multi-partition (a
+    // 1-partition cache would serialize the distance scans — CLAUDE.md
+    // perf lore); every iteration re-probes it instead of re-reading
+    // and re-scaling the source.
+    val pts = emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v"))
+      .repartition(emb.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = pts.filter(col("pid") < k)
+      .select(col("pid").as("cid"), col("v").as("cv"))
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = pts.crossJoin(broadcast(cents))
+        .withColumn("dist", sqDist(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("pid"), col("cid"), col("dist"), col("v"))
+      cents = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "vi")))
+        .groupBy("cid", "i")
+        .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
+        .withColumn("ci", expr(s"((s + $Off * n) div n) - $Off"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+          s => s("ci")).as("cv"))
+    }
+    assign.select(col("pid").as(idCol), col("cid").as("cluster"), col("dist"))
+  }
+
+  /** The identical iteration as DuckDB SQL over the embeddings table —
+    * generated alongside [[fit]] so oracle and engine can never drift
+    * on k/iteration count/scale constants. */
+  def oracleSql(k: Int, iters: Int, dim: Int): String = {
+    val head =
+      s"""WITH pts AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
+         |c0 AS (SELECT vec_id AS cid, i, v FROM pts WHERE vec_id < $k)""".stripMargin
+    val its = (1 to iters).map { j =>
+      s"""a$j AS (SELECT p.vec_id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS dist
+         |  FROM pts p JOIN c${j - 1} c ON p.i = c.i GROUP BY p.vec_id, c.cid),
+         |s$j AS (SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM a$j) WHERE rn = 1),
+         |c$j AS (SELECT s.cid, p.i,
+         |    CAST(((SUM(p.v) + 2000000 * COUNT(*)) // COUNT(*)) - 2000000 AS BIGINT) AS v
+         |  FROM s$j s JOIN pts p ON s.vec_id = p.vec_id GROUP BY s.cid, p.i)""".stripMargin
+    }
+    (Seq(head) ++ its).mkString(",\n") +
+      s"\nSELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist" +
+      s"\nFROM s$iters ORDER BY vec_id"
+  }
+}

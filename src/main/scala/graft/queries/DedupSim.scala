@@ -453,8 +453,23 @@ object DedupSim {
       .orderBy("name_a", "name_b")
   }
 
+  /** Distributed k-means over the embeddings ([[graft.ml.KMeansFx]]):
+    * 3 Lloyd iterations, k=8, in exact fixed-point BIGINT arithmetic
+    * so the DuckDB oracle replays assignment AND centroid updates
+    * bit-for-bit — floating k-means can never hash-match (mean
+    * summation order). The semantic backbone of IVF partitioning and
+    * embedding-space corpus curation. */
+  val kmeansFx: Q = Q(
+    "q_kmeans_fx",
+    graft.ml.KMeansFx.oracleSql(k = 8, iters = 3, dim = 64)) { (s, d) =>
+    graft.ml.KMeansFx.fit(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 3)
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
-    dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin)
+    dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx)
 }

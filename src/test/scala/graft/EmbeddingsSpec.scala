@@ -99,4 +99,17 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(b1 == b2)
     assert(b1.values.toSet.size > 1, "buckets should partition the space")
   }
+
+  test("fixed-point k-means: every point assigned, >1 cluster, inertia non-increasing") {
+    val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")
+    val rows = graft.ml.KMeansFx.fit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .collect()
+    assert(rows.length == emb.count())
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "k-means collapsed to one cluster")
+    val d3 = rows.map(_.getLong(2)).sum
+    val d1 = graft.ml.KMeansFx.fit(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .collect().map(_.getLong(2)).sum
+    assert(d3 <= d1, s"inertia rose across iterations: iter1=$d1 iter3=$d3")
+  }
 }
