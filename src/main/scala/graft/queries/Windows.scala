@@ -221,7 +221,53 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Time-series gap filling: a generated hourly calendar spine per
+    * event type, empty hours zero-filled, and the last observed hourly
+    * max id carried forward (LOCF) — the resample/fill step every
+    * time-series feature pipeline needs (the reference's rotation
+    * buckets, `AvroWriter.java:45-49`, simply skip empty windows).
+    * Integer epoch-hour buckets only; the spine is (types x hours), a
+    * broadcast-stats explode, so nothing but the per-hour aggregate
+    * ever shuffles. */
+  val tsGapfill: Q = Q(
+    "q_ts_gapfill",
+    """WITH d AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr, event_id
+      |  FROM events),
+      |a AS (SELECT event_type, hr, COUNT(*) AS n, MAX(event_id) AS max_id
+      |      FROM d GROUP BY event_type, hr),
+      |st AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM d),
+      |spine AS (SELECT t.event_type, s.hr
+      |          FROM (SELECT DISTINCT event_type FROM d) t,
+      |               (SELECT unnest(range(mn, mx + 1)) AS hr FROM st) s)
+      |SELECT sp.event_type, sp.hr, COALESCE(a.n, 0) AS n,
+      |  last_value(a.max_id IGNORE NULLS) OVER (
+      |    PARTITION BY sp.event_type ORDER BY sp.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen_id
+      |FROM spine sp LEFT JOIN a
+      |  ON sp.event_type = a.event_type AND sp.hr = a.hr
+      |ORDER BY sp.event_type, sp.hr""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+      .select(col("event_type"),
+        graft.functions.Exact.bucket(ms(col("ts")), 3600000L).as("hr"),
+        col("event_id"))
+    val agg = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_id"))
+    val st = ev.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(st))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"))).as("hr"))
+    spine.join(agg, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("max_id"), ignoreNulls = true).over(
+          Window.partitionBy("event_type").orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("last_seen_id"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(
     rank_, lagLead, rowsFrame, rangeFrame,
-    tumblingBatch, sessionize, joinRange, joinAsOf, distRanks)
+    tumblingBatch, sessionize, joinRange, joinAsOf, distRanks, tsGapfill)
 }
