@@ -297,8 +297,42 @@ object ScaleOps {
       .orderBy("node")
   }
 
+  /** Bloom-pruned semi-join == plain IN-subquery semi-join. The engine
+    * aggregates the selective dim side's keys into a deterministic
+    * bloom ([[graft.functions.BloomFilter]]), broadcasts that one
+    * array<bigint> row onto the fact scan, and drops ~99% of fact rows
+    * BEFORE any exchange; the exact semi-join afterwards removes the
+    * false positives. This is Catalyst's InjectRuntimeFilter pattern
+    * made explicit — at 100TB the shuffle input shrinks by the dim
+    * selectivity, which is the difference between shuffling the
+    * lineitem table and shuffling 1% of it. The probe is a compiled
+    * Scala UDF because Spark exposes no public bloom probe function
+    * (might_contain is internal-only). */
+  val bloomPrune: Q = Q(
+    "q_bloom_prune",
+    """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+      |WHERE l_suppkey IN
+      |  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 4500.0)
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin) { (s, d) =>
+    val dim = Tables.load(s, d, "supplier")
+      .filter(col("s_acctbal") > 4500.0)
+      .select(col("s_suppkey"))
+    val bloom = dim.agg(graft.functions.BloomFilter.agg(col("s_suppkey")).as("bf"))
+    val probe = udf((bf: scala.collection.Seq[Long], key: Long) =>
+      graft.functions.BloomFilter.mightContain(bf, numHashes = 4, key))
+    Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .crossJoin(broadcast(bloom))
+      .filter(probe(col("bf"), col("l_suppkey")))
+      .drop("bf")
+      .join(broadcast(dim.withColumnRenamed("s_suppkey", "l_suppkey")),
+        Seq("l_suppkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
-    pagerankBipartite)
+    pagerankBipartite, bloomPrune)
 }

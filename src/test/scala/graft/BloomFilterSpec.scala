@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BloomFilter
+
+/** Structural guarantees of the deterministic Bloom filter:
+  *
+  *  - no false negatives, ever (every inserted key probes true)
+  *  - false-positive rate near the analytic bound for the sizing
+  *  - merge (bitwise OR) equals a single-pass build for any split,
+  *    which is what Spark's partial-aggregation contract requires
+  */
+class BloomFilterSpec extends AnyFunSuite {
+
+  private val agg = BloomFilter.Agg(numBits = 1 << 13, numHashes = 4)
+
+  private def build(keys: Seq[Long]): Array[Long] =
+    keys.foldLeft(agg.zero)(agg.reduce)
+
+  private val members = (0L until 500L).map(i => BloomFilter.mix(i))
+
+  test("no false negatives") {
+    val bf = build(members)
+    members.foreach { k =>
+      assert(BloomFilter.mightContain(bf, 4, k), s"false negative for $k")
+    }
+  }
+
+  test("false-positive rate near the analytic bound") {
+    val bf = build(members)
+    val probes = (1L to 20000L).map(i => BloomFilter.mix(-i))
+      .filterNot(members.toSet)
+    val fp = probes.count(BloomFilter.mightContain(bf, 4, _))
+    // m=8192, n=500, k=4 → (1 - e^{-kn/m})^k ≈ 0.14% ; allow 5x slack
+    val rate = fp.toDouble / probes.size
+    assert(rate < 0.007, s"fp rate $rate too high for m=8192 n=500 k=4")
+  }
+
+  test("merge of split builds equals single-pass build (any split)") {
+    val whole = build(members)
+    Seq(1, 137, 250, 499).foreach { cut =>
+      val (a, b) = members.splitAt(cut)
+      val merged = agg.merge(build(a), build(b))
+      assert(merged.sameElements(whole), s"merge at $cut diverged")
+    }
+  }
+
+  test("empty filter rejects everything") {
+    val empty = agg.zero
+    assert(members.forall(!BloomFilter.mightContain(empty, 4, _)))
+  }
+}
