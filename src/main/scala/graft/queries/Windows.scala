@@ -267,7 +267,48 @@ object Windows {
       .orderBy("event_type", "hr")
   }
 
+  /** SCD2 point-in-time join ([[graft.ops.Scd2]]): `view` events are a
+    * user's versioned state (value = the state payload), versioned with
+    * `[valid_from, valid_to)` intervals via one lead() window; each
+    * `purchase` fact joins the version valid at its timestamp. Distinct
+    * from q_join_asof in that the HISTORY is materialized (reusable
+    * across many fact tables) and the join is interval containment, not
+    * latest-at-or-before — a fact before the first version drops out.
+    */
+  val joinScd2: Q = Q(
+    "q_join_scd2",
+    """WITH dim AS (
+      |  SELECT user_id, event_id AS dim_event_id, value AS state_value,
+      |    epoch_ms(ts) AS valid_from_ms,
+      |    COALESCE(LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_ms(ts), event_id), 9223372036854775807) AS valid_to_ms
+      |  FROM events WHERE event_type = 'view'),
+      |f AS (SELECT event_id, user_id, epoch_ms(ts) AS f_ms
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, dim.dim_event_id, dim.state_value,
+      |       dim.valid_from_ms, f.f_ms - dim.valid_from_ms AS state_age_ms
+      |FROM f JOIN dim
+      |  ON f.user_id = dim.user_id
+      | AND f.f_ms >= dim.valid_from_ms AND f.f_ms < dim.valid_to_ms
+      |ORDER BY f.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+    val changes = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("dim_event_id"),
+        col("value").as("state_value"), ms(col("ts")).as("__ms"))
+    val hist = graft.ops.Scd2.buildHistory(
+      changes, key = "user_id", tsMs = "__ms", tiebreak = "dim_event_id")
+      .drop("__ms")
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), ms(col("ts")).as("f_ms"))
+    graft.ops.Scd2.pointInTime(facts, hist, key = "user_id", factTsMs = "f_ms")
+      .select(col("event_id"), col("user_id"), col("dim_event_id"),
+        col("state_value"), col("valid_from_ms"),
+        (col("f_ms") - col("valid_from_ms")).cast(LongType).as("state_age_ms"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     rank_, lagLead, rowsFrame, rangeFrame,
-    tumblingBatch, sessionize, joinRange, joinAsOf, distRanks, tsGapfill)
+    tumblingBatch, sessionize, joinRange, joinAsOf, distRanks, tsGapfill,
+    joinScd2)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.ops.{AsOf, Dedup, Nest, Sessionize, TopK}
+import graft.ops.{AsOf, Dedup, Nest, Scd2, Sessionize, TopK}
 
 /** Operator-library unit specs on small hand-built frames. */
 class OpsSpec extends AnyFunSuite {
@@ -85,5 +85,42 @@ class OpsSpec extends AnyFunSuite {
       .select("label", "code").head
     assert(row.isNullAt(0), "label must come from the SAME (latest) right row -> null")
     assert(row.getLong(1) == 2L)
+  }
+
+  test("Scd2.buildHistory: intervals tile the key's timeline; newest is open") {
+    val changes = Seq((1L, 100L, 10L, "a"), (1L, 200L, 11L, "b"), (2L, 50L, 12L, "c"))
+      .toDF("k", "ms", "id", "v")
+    val hist = Scd2.buildHistory(changes, "k", "ms", "id")
+      .select("k", "valid_from_ms", "valid_to_ms", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(hist == Set(
+      (1L, 100L, 200L, "a"),
+      (1L, 200L, Long.MaxValue, "b"),
+      (2L, 50L, Long.MaxValue, "c")))
+  }
+
+  test("Scd2.pointInTime: each fact hits exactly the version valid then; " +
+    "facts before the first version drop out; valid_to is exclusive") {
+    val changes = Seq((1L, 100L, 10L, "a"), (1L, 200L, 11L, "b"))
+      .toDF("k", "ms", "id", "v")
+    val hist = Scd2.buildHistory(changes, "k", "ms", "id")
+    val facts = Seq((900L, 1L, 50L), (901L, 1L, 100L), (902L, 1L, 199L),
+      (903L, 1L, 200L), (904L, 1L, 99999L))
+      .toDF("fid", "k", "f_ms")
+    val got = Scd2.pointInTime(facts, hist, "k", "f_ms")
+      .select("fid", "v").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(901L -> "a", 902L -> "a", 903L -> "b", 904L -> "b"))
+  }
+
+  test("Scd2: simultaneous changes give the earlier a zero-width interval " +
+    "that matches no fact (deterministic tiebreak order)") {
+    val changes = Seq((1L, 100L, 10L, "first"), (1L, 100L, 11L, "second"))
+      .toDF("k", "ms", "id", "v")
+    val hist = Scd2.buildHistory(changes, "k", "ms", "id")
+    val facts = Seq((900L, 1L, 100L)).toDF("fid", "k", "f_ms")
+    val got = Scd2.pointInTime(facts, hist, "k", "f_ms")
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("second"))
   }
 }
