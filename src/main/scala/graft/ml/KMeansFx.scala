@@ -78,9 +78,20 @@ object KMeansFx {
   /** The identical iteration as DuckDB SQL over the embeddings table —
     * generated alongside [[fit]] so oracle and engine can never drift
     * on k/iteration count/scale constants. */
-  def oracleSql(k: Int, iters: Int, dim: Int): String = {
+  def oracleSql(k: Int, iters: Int, dim: Int): String =
+    s"WITH ${oracleCtes(k, iters, dim)}" +
+      s"\nSELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist" +
+      s"\nFROM ${assignCte(iters)} ORDER BY vec_id"
+
+  /** Name of the final-assignment CTE produced by [[oracleCtes]]. */
+  def assignCte(iters: Int): String = s"s$iters"
+
+  /** The Lloyd-iteration CTE chain (no `WITH`, no final SELECT) so
+    * downstream oracles — semantic dedup, IVF — can compose on the
+    * bit-exact cluster assignments. */
+  def oracleCtes(k: Int, iters: Int, dim: Int): String = {
     val head =
-      s"""WITH pts AS (SELECT vec_id, i,
+      s"""pts AS (SELECT vec_id, i,
          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
          |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
          |c0 AS (SELECT vec_id AS cid, i, v FROM pts WHERE vec_id < $k)""".stripMargin
@@ -95,8 +106,6 @@ object KMeansFx {
          |    CAST(((SUM(p.v) + 2000000 * COUNT(*)) // COUNT(*)) - 2000000 AS BIGINT) AS v
          |  FROM s$j s JOIN pts p ON s.vec_id = p.vec_id GROUP BY s.cid, p.i)""".stripMargin
     }
-    (Seq(head) ++ its).mkString(",\n") +
-      s"\nSELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist" +
-      s"\nFROM s$iters ORDER BY vec_id"
+    (Seq(head) ++ its).mkString(",\n")
   }
 }

@@ -61,10 +61,15 @@ object Scd2 {
       factTsMs: String,
       validFromCol: String = "valid_from_ms",
       validToCol: String = "valid_to_ms"): DataFrame = {
+    // Facts and history often share lineage (both carved from the same
+    // source), so rename the history key instead of relying on
+    // dataset-id disambiguation of two same-named columns.
+    val hk = s"__scd2_$key"
+    val h = history.withColumnRenamed(key, hk)
     val cond: Column =
-      facts(key) === history(key) &&
-        facts(factTsMs) >= history(validFromCol) &&
-        facts(factTsMs) < history(validToCol)
-    facts.join(history, cond, "inner").drop(history(key))
+      facts(key) === h(hk) &&
+        facts(factTsMs) >= h(validFromCol) &&
+        facts(factTsMs) < h(validToCol)
+    facts.join(h, cond, "inner").drop(hk)
   }
 }

@@ -468,8 +468,73 @@ object DedupSim {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): cluster the embedding space with fixed-point k-means
+    * ([[graft.ml.KMeansFx]]), then compare pairs ONLY within a cluster
+    * and drop every vector that has a lower-id neighbor above the
+    * cosine threshold — one representative per semantic near-dup set.
+    *
+    * Shape at 100TB: the pair join is blocked on the cluster id, so the
+    * quadratic term is (n/k)^2 per cluster instead of n^2 global —
+    * exactly why SemDeDup clusters first. k grows with the corpus
+    * (n/k stays bounded), centroids stay a broadcast, and the verdict
+    * is one grouped MIN + a left join, both on the vector id. Cosine
+    * uses the fused graft_fxdot kernel; the oracle replays the same
+    * floor(x*1e15) chain, so verdicts hash-match bit-for-bit. */
+  val semanticDedup: Q = {
+    val (k, iters, dim, tau) = (8, 2, 64, "0.3")
+    val s2 = graft.ml.KMeansFx.assignCte(iters)
+    Q(
+      "q_dedup_semantic",
+      s"""WITH ${graft.ml.KMeansFx.oracleCtes(k, iters, dim)},
+         |comp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
+         |norms AS (SELECT vec_id,
+         |    SQRT(CAST(SUM(CAST(FLOOR(v*v*1e15) AS BIGINT)) AS DOUBLE) / 1e15) AS nrm
+         |  FROM comp GROUP BY vec_id),
+         |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+         |  FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  JOIN $s2 sa ON a.vec_id = sa.vec_id
+         |  JOIN $s2 sb ON b.vec_id = sb.vec_id AND sa.cid = sb.cid
+         |  GROUP BY 1, 2),
+         |dup AS (SELECT id_b AS vec_id, MIN(id_a) AS dup_of
+         |  FROM dots JOIN norms na ON id_a = na.vec_id
+         |            JOIN norms nb ON id_b = nb.vec_id
+         |  WHERE dot / (na.nrm * nb.nrm) >= $tau GROUP BY 1)
+         |SELECT s.vec_id, s.cid AS cluster, d.dup_of,
+         |  CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM $s2 s LEFT JOIN dup d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin) { (s, d) =>
+      import graft.ml.Embeddings.fxDot
+      val emb = Tables.load(s, d, "embeddings")
+      val assign = graft.ml.KMeansFx.fit(emb, "vec_id", "embedding", k, iters)
+        .select(col("vec_id"), col("cluster"))
+      val withVec = emb.join(assign, "vec_id")
+        .withColumn("nrm",
+          sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
+      val a = withVec.select(col("vec_id").as("id_a"), col("cluster"),
+        col("embedding").as("ea"), col("nrm").as("nrm_a"))
+      val b = withVec.select(col("vec_id").as("id_b"), col("cluster").as("cluster_b"),
+        col("embedding").as("eb"), col("nrm").as("nrm_b"))
+      val dupOf = a.join(b,
+          col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+        .withColumn("cosine",
+          fxDot(col("ea"), col("eb")).cast(DoubleType) / FxDiv /
+            (col("nrm_a") * col("nrm_b")))
+        .filter(col("cosine") >= tau.toDouble)
+        .groupBy(col("id_b").as("vec_id"))
+        .agg(min(col("id_a")).as("dup_of"))
+      assign.join(dupOf, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
-    dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx)
+    dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
+    semanticDedup)
 }

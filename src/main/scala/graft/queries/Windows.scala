@@ -307,8 +307,54 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Interval-overlap join: each 2h click window matched to the same
+    * user's overlapping 2h error windows (half-open [s, e),
+    * `a_s < b_e AND b_s < a_e`). Spark has no native interval join, and
+    * the naive theta join is quadratic per user — so the engine BINS
+    * each interval into the fixed-width buckets it spans (bin width =
+    * interval width, so each interval lands in at most 2 bins), equi-
+    * joins on (user, bin), dedups the two-bin double-matches, and only
+    * then applies the exact overlap predicate — the standard trick for
+    * making interval joins shuffle-partitionable at 100TB. The oracle
+    * is the naive theta join; results must agree exactly. */
+  val joinIntervalOverlap: Q = {
+    val D = 7200000L // 2h windows; also the bin width
+    Q(
+      "q_join_interval_overlap",
+      s"""WITH a AS (SELECT event_id AS a_id, user_id, epoch_ms(ts) AS a_s,
+         |             epoch_ms(ts) + $D AS a_e
+         |           FROM events WHERE event_type = 'click'),
+         |     b AS (SELECT event_id AS b_id, user_id, epoch_ms(ts) AS b_s,
+         |             epoch_ms(ts) + $D AS b_e
+         |           FROM events WHERE event_type = 'error')
+         |SELECT a_id, b_id, a.user_id,
+         |       LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_ms
+         |FROM a JOIN b ON a.user_id = b.user_id
+         |  AND a.a_s < b.b_e AND b.b_s < a.a_e
+         |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+      val ev = Tables.load(s, d, "events")
+      def side(t: String, p: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id").as(s"${p}_id"),
+          col("user_id").as(s"${p}_uid"),
+          ms(col("ts")).as(s"${p}_s"),
+          (ms(col("ts")) + D).as(s"${p}_e"))
+        .withColumn(s"${p}_bin", explode(sequence(
+          graft.functions.Exact.bucket(col(s"${p}_s"), D),
+          graft.functions.Exact.bucket(col(s"${p}_e") - 1, D))))
+      side("click", "a")
+        .join(side("error", "b"),
+          col("a_uid") === col("b_uid") && col("a_bin") === col("b_bin"))
+        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .select(col("a_id"), col("b_id"), col("a_uid").as("user_id"),
+          (least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_ms"))
+        .distinct() // a pair can meet in both of its two bins
+        .orderBy("a_id", "b_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     rank_, lagLead, rowsFrame, rangeFrame,
     tumblingBatch, sessionize, joinRange, joinAsOf, distRanks, tsGapfill,
-    joinScd2)
+    joinScd2, joinIntervalOverlap)
 }
