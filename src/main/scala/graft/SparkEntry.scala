@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.TextQueries.all ++
       graft.queries.DedupSim.all ++
       graft.queries.Udfs.all ++
-      graft.queries.ScaleOps.all
+      graft.queries.ScaleOps.all ++
+      graft.queries.Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

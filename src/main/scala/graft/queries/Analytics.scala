@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Wave 4c — event-stream product analytics: ordered funnels and
+  * cohort retention. Both are per-entity window pipelines: ONE shuffle
+  * on the user key, then window/aggregate math inside the partition —
+  * the shape that scales to 100TB because the event stream never
+  * joins against itself.
+  */
+object Analytics {
+
+  /** Ordered funnel signup -> click -> purchase: each stage's timestamp
+    * is the user's FIRST qualifying event at-or-after the previous
+    * stage (strictly ordered funnels; a click before the signup does
+    * not count). Three same-partition windows — Catalyst plans one
+    * exchange + one sort for all of them. Output is one row per user
+    * who entered the funnel, with the stage depth reached.
+    */
+  val funnel: Q = Q(
+    "q_funnel_stages",
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |s1 AS (SELECT user_id, ms, event_type,
+      |         MIN(CASE WHEN event_type = 'signup' THEN ms END)
+      |           OVER (PARTITION BY user_id) AS signup_ms
+      |       FROM e),
+      |s2 AS (SELECT user_id, ms, event_type, signup_ms,
+      |         MIN(CASE WHEN event_type = 'click' AND ms >= signup_ms THEN ms END)
+      |           OVER (PARTITION BY user_id) AS click_ms
+      |       FROM s1),
+      |s3 AS (SELECT user_id, signup_ms, click_ms,
+      |         MIN(CASE WHEN event_type = 'purchase' AND ms >= click_ms THEN ms END)
+      |           OVER (PARTITION BY user_id) AS purchase_ms
+      |       FROM s2)
+      |SELECT DISTINCT user_id, signup_ms, click_ms, purchase_ms,
+      |  CASE WHEN purchase_ms IS NOT NULL THEN 3
+      |       WHEN click_ms IS NOT NULL THEN 2
+      |       ELSE 1 END AS stage
+      |FROM s3 WHERE signup_ms IS NOT NULL
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"), ms(col("ts")).as("ms"))
+      .withColumn("signup_ms",
+        min(when(col("event_type") === "signup", col("ms"))).over(byUser))
+      .withColumn("click_ms",
+        min(when(col("event_type") === "click" && col("ms") >= col("signup_ms"),
+          col("ms"))).over(byUser))
+      .withColumn("purchase_ms",
+        min(when(col("event_type") === "purchase" && col("ms") >= col("click_ms"),
+          col("ms"))).over(byUser))
+      .filter(col("signup_ms").isNotNull)
+      .select(col("user_id"), col("signup_ms"), col("click_ms"), col("purchase_ms"),
+        when(col("purchase_ms").isNotNull, 3L)
+          .when(col("click_ms").isNotNull, 2L)
+          .otherwise(1L).as("stage"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention: users cohorted by their first-ever event
+    * week; a (cohort_week, week_offset) cell counts the cohort's users
+    * active that many weeks later. Two aggregates on the user key and
+    * one count shuffle — the raw stream is touched once.
+    */
+  val cohort: Q = Q(
+    "q_cohort_retention",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+      |       COUNT(*) AS n_users
+      |FROM a JOIN c ON a.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val e = Tables.load(s, d, "events")
+      .select(col("user_id"),
+        graft.functions.Exact.bucket(ms(col("ts")), 604800000L).as("wk"))
+    val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val active = e.distinct()
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val all: Seq[Q] = Seq(funnel, cohort)
+}
