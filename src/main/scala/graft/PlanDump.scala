@@ -70,7 +70,30 @@ object PlanDump {
         |(column pruning reaches the parquet scan).""".stripMargin,
     "q_filter_pred" ->
       """Predicate pushdown: PushedFilters must carry the quantity/
-        |discount/returnflag predicates into the scan.""".stripMargin)
+        |discount/returnflag predicates into the scan.""".stripMargin,
+    "q_join_scd2" ->
+      """SCD2 point-in-time join: ONE equi-join keyed on user_id with the
+        |interval containment as a join residual (condition shows the
+        |range predicates inside the join, not a filter over a cross
+        |product); history versioning is a single lead() window on the
+        |same key.""".stripMargin,
+    "q_join_interval_overlap" ->
+      """Binned interval join: both sides explode into width-sized bins
+        |and the join is an EQUI-join on (user, bin) — no
+        |BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan;
+        |the exact overlap predicate rides as the join residual and the
+        |distinct dedups two-bin double-matches.""".stripMargin,
+    "q_funnel_stages" ->
+      """Ordered funnel: all three stage windows share the user_id
+        |partitioning, so the plan carries ONE exchange on user_id feeding
+        |a single Window operator chain (no per-stage reshuffle), then the
+        |distinct's aggregate.""".stripMargin,
+    "q_dedup_semantic" ->
+      """SemDeDup: k-means centroids reach each Lloyd iteration as a
+        |BroadcastExchange (BroadcastNestedLoopJoin over k rows is the
+        |intended probe shape); the pair stage joins on the CLUSTER id —
+        |the quadratic term never leaves a cluster — and the verdict is a
+        |grouped MIN plus one left join on vec_id.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
