@@ -331,8 +331,107 @@ object ScaleOps {
       .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
   }
 
+  /** Data-quality constraint suite (Deequ-style): each check is one
+    * scan-and-aggregate (the FK orphan check an anti-join), unioned into
+    * a (check, n_violations, n_checked) report — the pre-ingest gate a
+    * training warehouse runs on every batch. Each check is
+    * embarrassingly map-side; nothing here shuffles more than its
+    * aggregate. The duplicate-key check is non-vacuous by construction:
+    * (l_orderkey, l_linenumber) is NOT unique in this corpus.
+    */
+  val dqChecks: Q = Q(
+    "q_dq_checks",
+    """SELECT 'lineitem_pk_dup' AS check_name,
+      |  CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations,
+      |  (SELECT COUNT(*) FROM lineitem) AS n_checked
+      |FROM (SELECT COUNT(*) AS n FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_qty_range', COUNT(*), (SELECT COUNT(*) FROM lineitem)
+      |FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+      |UNION ALL
+      |SELECT 'lineitem_orphan_fk', COUNT(*), (SELECT COUNT(*) FROM lineitem)
+      |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |UNION ALL
+      |SELECT 'orders_null_custkey', COUNT(*), (SELECT COUNT(*) FROM orders)
+      |FROM orders WHERE o_custkey IS NULL
+      |UNION ALL
+      |SELECT 'orders_nonpositive_price', COUNT(*), (SELECT COUNT(*) FROM orders)
+      |FROM orders WHERE o_totalprice <= 0
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+    val o = Tables.load(s, d, "orders")
+    val nLi = li.count()
+    val nO = o.count()
+    // each `viol` frame is a single-row ungrouped aggregate
+    def report(name: String, viol: org.apache.spark.sql.DataFrame, checked: Long) =
+      viol.select(lit(name).as("check_name"),
+        col("v").as("n_violations"),
+        lit(checked).as("n_checked"))
+    val pkDup = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("v"))
+    val qtyRange = li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+      .agg(count(lit(1)).as("v"))
+    val orphan = li.join(o.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val nullCust = o.filter(col("o_custkey").isNull).agg(count(lit(1)).as("v"))
+    val nonPos = o.filter(col("o_totalprice") <= 0).agg(count(lit(1)).as("v"))
+    report("lineitem_pk_dup", pkDup, nLi)
+      .unionByName(report("lineitem_qty_range", qtyRange, nLi))
+      .unionByName(report("lineitem_orphan_fk", orphan, nLi))
+      .unionByName(report("orders_null_custkey", nullCust, nO))
+      .unionByName(report("orders_nonpositive_price", nonPos, nO))
+      .orderBy("check_name")
+  }
+
+  /** Snapshot diff (change data feed between two table versions):
+    * versions A and B are carved deterministically from orders (A drops
+    * okey%10=3, B drops okey%7=2 and doubles the price where okey%5=0),
+    * then a full outer join on the key classifies every key as
+    * insert / delete / update, dropping unchanged rows. One shuffle on
+    * the key; at 100TB both snapshots are bucketed on it and the join
+    * goes exchange-free ([[graft.ops.Bucketing]]).
+    */
+  val snapshotDiff: Q = Q(
+    "q_snapshot_diff",
+    """WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |           FROM orders WHERE o_orderkey % 10 <> 3),
+      |b AS (SELECT o_orderkey, o_orderstatus,
+      |        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+      |             ELSE o_totalprice END AS o_totalprice
+      |      FROM orders WHERE o_orderkey % 7 <> 2)
+      |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |       WHEN b.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update' END AS change,
+      |  a.o_totalprice AS old_price, b.o_totalprice AS new_price
+      |FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |   OR a.o_totalprice <> b.o_totalprice
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val o = Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val a = o.filter(col("o_orderkey") % 10 =!= 3)
+      .select(col("o_orderkey").as("a_key"), col("o_totalprice").as("old_price"))
+    val b = o.filter(col("o_orderkey") % 7 =!= 2)
+      .select(col("o_orderkey").as("b_key"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    a.join(b, col("a_key") === col("b_key"), "full_outer")
+      .filter(col("a_key").isNull || col("b_key").isNull ||
+        col("old_price") =!= col("new_price"))
+      .select(coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        when(col("a_key").isNull, "insert")
+          .when(col("b_key").isNull, "delete")
+          .otherwise("update").as("change"),
+        col("old_price"), col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
-    pagerankBipartite, bloomPrune)
+    pagerankBipartite, bloomPrune, dqChecks, snapshotDiff)
 }
