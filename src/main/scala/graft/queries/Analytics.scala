@@ -86,5 +86,42 @@ object Analytics {
       .orderBy("cohort_wk", "week_offset")
   }
 
-  val all: Seq[Q] = Seq(funnel, cohort)
+  /** Incremental re-aggregation (materialized-view maintenance): daily
+    * metrics derived ONLY from hourly partial states (sum/count/min/max
+    * merge associatively; avg re-derives from merged sum/count), while
+    * the oracle aggregates the raw stream directly — equality proves
+    * the partial-merge path. This is how a 100TB warehouse maintains
+    * rollups: the raw table is touched once per hour, every coarser
+    * grain folds partials. Decimal sums keep the merge order-free.
+    */
+  val reaggregate: Q = Q(
+    "q_agg_reaggregate",
+    """SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |       AS DOUBLE) AS avg_value,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val hourly = Tables.load(s, d, "events")
+      .groupBy(col("event_type"),
+        graft.functions.Exact.bucket(ms(col("ts")), 3600000L).as("hr"))
+      .agg(count(lit(1)).as("pn"),
+        sum(dec(col("value"))).as("psum"), // stays DECIMAL: exact merge
+        min(col("event_id")).as("pmin"),
+        max(col("event_id")).as("pmax"))
+    hourly
+      .groupBy(col("event_type"),
+        graft.functions.Exact.bucket(col("hr"), 24L).as("day"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast(org.apache.spark.sql.types.DoubleType).as("sum_value"),
+        min(col("pmin")).as("min_id"),
+        max(col("pmax")).as("max_id"))
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+      .select("event_type", "day", "n_events", "sum_value", "avg_value",
+        "min_id", "max_id")
+      .orderBy("event_type", "day")
+  }
+
+  val all: Seq[Q] = Seq(funnel, cohort, reaggregate)
 }
