@@ -123,5 +123,73 @@ object Analytics {
       .orderBy("event_type", "day")
   }
 
-  val all: Seq[Q] = Seq(funnel, cohort, reaggregate)
+  /** Per-user ordered event sequences — the dataset-building step for
+    * behavioral sequence models: one shuffle on the user key, events
+    * sorted inside the group by the unique (ms, event_id) pair, types
+    * joined into one string. At 100TB the per-user payload is bounded
+    * (users, not events, drive group count) and the collect never
+    * leaves the executor.
+    */
+  val seqEvents: Q = Q(
+    "q_seq_events",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  string_agg(event_type, '>' ORDER BY epoch_ms(ts), event_id) AS seq
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        ms(col("ts")).as("ms"), col("event_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ms"), col("event_id"), col("event_type")))),
+            e => e("event_type")),
+          ">").as("seq"))
+      .orderBy("user_id")
+  }
+
+  /** Z-score anomaly detection over hourly event-type counts: an hour
+    * is anomalous when its count deviates >= 2.5 sd from the type's
+    * mean. Mean/variance fold from integer SUM(n)/SUM(n*n) partials
+    * (order-free), and the z formula replays the identical IEEE
+    * expression tree in both engines, so even the >=2.5 boundary
+    * decides the same way. One agg over the stream, one tiny broadcast
+    * of per-type stats back onto the hourly frame.
+    */
+  val anomalyZscore: Q = Q(
+    "q_anomaly_zscore",
+    """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+      |             COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type,
+      |         CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+      |         SQRT((CAST(SUM(n*n) AS DOUBLE)
+      |               - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*))
+      |              / COUNT(*)) AS sd
+      |       FROM h GROUP BY 1)
+      |SELECT event_type, hr, n, (n - mean) / sd AS z
+      |FROM h JOIN st USING (event_type)
+      |WHERE sd > 0 AND ABS((n - mean) / sd) >= 2.5
+      |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val h = Tables.load(s, d, "events")
+      .groupBy(col("event_type"),
+        graft.functions.Exact.bucket(ms(col("ts")), 3600000L).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val cnt = count(lit(1))
+    val st = h.groupBy("event_type")
+      .agg((sum(col("n")).cast(org.apache.spark.sql.types.DoubleType) / cnt)
+          .as("mean"),
+        sqrt((sum(col("n") * col("n")).cast(org.apache.spark.sql.types.DoubleType)
+          - sum(col("n")).cast(org.apache.spark.sql.types.DoubleType)
+            * sum(col("n")) / cnt) / cnt).as("sd"))
+    h.join(broadcast(st), "event_type")
+      .filter(col("sd") > 0 &&
+        abs((col("n") - col("mean")) / col("sd")) >= 2.5)
+      .select(col("event_type"), col("hr"), col("n"),
+        ((col("n") - col("mean")) / col("sd")).as("z"))
+      .orderBy("event_type", "hr")
+  }
+
+  val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore)
 }

@@ -532,9 +532,58 @@ object DedupSim {
     }
   }
 
+  /** Int8 embedding quantization with per-dimension affine scales —
+    * the storage-compression step for billion-vector ANN indexes
+    * (IVF/PQ front-end). Per-dim min/max are a 64-row broadcast; the
+    * quantize + dequantize + reconstruction-error pass is map-side.
+    * Every arithmetic step (min/max picks, the affine chain, floors)
+    * is the identical IEEE expression tree in both engines, and the
+    * per-vector error folds through the order-free floor(x*1e15)
+    * BIGINT sum, so the oracle hash-matches bit-for-bit. At 100TB the
+    * exploded components fuse into a compiled kernel like graft_fxdot;
+    * the declarative form here keeps the quantization law reviewable.
+    */
+  val embedQuantize: Q = Q(
+    "q_embed_quantize",
+    """WITH comp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) p),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx,
+      |         (MAX(x) - MIN(x)) / 255 AS scale
+      |       FROM comp GROUP BY i),
+      |qz AS (SELECT vec_id, c.i, x, mn, scale,
+      |         CASE WHEN mx > mn
+      |              THEN LEAST(255, CAST(FLOOR((x - mn) / scale) AS BIGINT))
+      |              ELSE 0 END AS q
+      |       FROM comp c JOIN st ON c.i = st.i)
+      |SELECT vec_id,
+      |  CAST(SUM(CAST(FLOOR(ABS(x - (mn + (q + 0.5) * scale)) * 1e15)
+      |       AS BIGINT)) AS BIGINT) AS recon_err_fx,
+      |  CAST(SUM(q * i) AS BIGINT) AS q_checksum
+      |FROM qz GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val comp = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        col("xf").cast(DoubleType).as("x"))
+    val st = comp.groupBy("i")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255)
+    comp.join(broadcast(st), "i")
+      .withColumn("q", when(col("mx") > col("mn"),
+        least(lit(255L),
+          floor((col("x") - col("mn")) / col("scale")).cast(LongType)))
+        .otherwise(0L))
+      .withColumn("err_fx",
+        floor(abs(col("x") - (col("mn") + (col("q") + 0.5) * col("scale")))
+          * 1e15).cast(LongType))
+      .groupBy("vec_id")
+      .agg(sum(col("err_fx")).as("recon_err_fx"),
+        sum(col("q") * col("i")).as("q_checksum"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup)
+    semanticDedup, embedQuantize)
 }
