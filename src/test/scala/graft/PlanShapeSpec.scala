@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Enforced versions of the PLANS.md pins for the newest scale-critical
+  * queries: the property each physical plan must keep is asserted here,
+  * so a planner regression fails the suite instead of only showing up
+  * as a PLANS.md diff.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  /** Static physical plan with AQE off (same posture as PlanDump): the
+    * shape properties asserted here are decided at planning time, and
+    * the AdaptiveSparkPlanExec wrapper would hide the operator tree
+    * from collect until execution. */
+  private def staticPlan(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, SharedSpark.sf001).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def executed(name: String): String = staticPlan(name).toString
+
+  test("q_join_interval_overlap: binned equi-join, never a nested-loop " +
+    "or cartesian product") {
+    val plan = executed("q_join_interval_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("q_join_scd2: the point-in-time join is an equi-join with the " +
+    "interval containment as a residual") {
+    val plan = executed("q_join_scd2")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+  }
+
+  test("q_funnel_stages: all three stage windows share one exchange " +
+    "(no per-stage reshuffle)") {
+    val plan = staticPlan("q_funnel_stages")
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 3, s"expected 3 WindowExec, got ${windows.size}")
+    // every Window must sit over the SAME single exchange: no exchange
+    // may appear between the topmost and bottom-most window operator
+    val topWindow = windows.head
+    val exchangesInside = topWindow.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchangesInside.size == 1,
+      s"expected exactly 1 exchange under the window chain, got " +
+        s"${exchangesInside.size}:\n${plan.toString.take(1500)}")
+  }
+}
