@@ -474,11 +474,56 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Equi-depth feature binning (decile discretization) the scalable
+    * way: the 9 decile boundaries come from one distributed exact
+    * percentile AGGREGATE over integer cents (map-side partials — NOT
+    * a global-sort ntile, which would funnel the table through one
+    * partition), broadcast as a single row, and each row's bin is a
+    * branch-free sum of boundary comparisons. The discretization step
+    * of every feature pipeline, shaped so the table is scanned once
+    * and never globally sorted.
+    */
+  val featureBins: Q = {
+    val sqlBin = (1 to 9)
+      .map(i => s"CASE WHEN cents >= b$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val sqlBs = (1 to 9)
+      .map(i => s"quantile_cont(cents, 0.${i}) AS b$i").mkString(", ")
+    Q(
+      "q_feature_bins",
+      s"""WITH c AS (SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         |             o_totalprice
+         |           FROM orders),
+         |b AS (SELECT $sqlBs FROM c)
+         |SELECT CAST($sqlBin AS BIGINT) AS bin,
+         |  COUNT(*) AS n, MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+         |FROM c, b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = orders(s, d).select(
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_totalprice"))
+      val b = c.agg(
+        percentile(col("cents"), lit(0.1)).as("b1"),
+        (2 to 9).map(i => percentile(col("cents"), lit(i / 10.0)).as(s"b$i")): _*)
+      val bin = (1 to 9)
+        .map(i => when(col("cents") >= col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      c.crossJoin(broadcast(b))
+        .groupBy(bin.cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"),
+          dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy("bin")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPred,
     aggHash, aggDistinct, aggPercentile, aggHaving, aggRollup, aggCube, aggGroupingSets,
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     sortLimit, topKGroup,
     unionAll, unionDistinct, intersectQ, exceptQ,
-    aggPivot, subqueryExists, subqueryScalar, aggHistogram, aggApproxPercentile)
+    aggPivot, subqueryExists, subqueryScalar, aggHistogram, aggApproxPercentile,
+    featureBins)
 }
