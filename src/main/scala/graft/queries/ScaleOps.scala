@@ -430,8 +430,42 @@ object ScaleOps {
       .orderBy("o_orderkey")
   }
 
+  /** Hierarchical subtree rollup — the recursive-CTE capability Spark
+    * lacks, re-expressed as BOUNDED ITERATION: the key space forms a
+    * decimal trie (parent(k) = k div 10), and each row contributes to
+    * every ancestor via a fixed fan of 8 level projections unioned and
+    * aggregated once. The ORACLE uses DuckDB's real WITH RECURSIVE to
+    * walk the same tree — hash equality proves the flattened form is
+    * the recursion. Depth is log10(keyspace): at 100TB it stays a
+    * dozen map-side projections over one scan, no driver loop, no
+    * shuffle per level — the same dissolve-recursion-into-union trick
+    * that scales BOM explosion and org-chart rollups.
+    */
+  val hierarchyRollup: Q = Q(
+    "q_hierarchy_rollup",
+    """WITH RECURSIVE anc AS (
+      |  SELECT o_orderkey AS node, o_orderkey AS anc, o_totalprice
+      |  FROM orders WHERE o_orderkey > 0
+      |  UNION ALL
+      |  SELECT node, anc // 10, o_totalprice FROM anc WHERE anc // 10 > 0
+      |)
+      |SELECT anc AS node, COUNT(*) AS n_desc,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_spend
+      |FROM anc GROUP BY anc ORDER BY anc""".stripMargin) { (s, d) =>
+    val o = Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
+    val levels = (0 to 7).map { i =>
+      val p = math.pow(10, i).toLong
+      o.select(expr(s"o_orderkey div $p").as("node"), col("o_totalprice"))
+        .filter(col("node") > 0)
+    }
+    levels.reduce(_ unionByName _)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_desc"), dsum(col("o_totalprice")).as("subtree_spend"))
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
-    pagerankBipartite, bloomPrune, dqChecks, snapshotDiff)
+    pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup)
 }
