@@ -191,5 +191,34 @@ object Analytics {
       .orderBy("event_type", "hr")
   }
 
-  val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore)
+  /** Co-occurrence (market-basket) mining: part pairs ordered together
+    * in >= 3 distinct orders, with support counts — the association-
+    * rule / "bought-together" primitive. The pair join is blocked on
+    * the ORDER key, so the quadratic term is items-per-basket squared
+    * (single digits), never global; the support HAVING discards the
+    * singleton tail at the first aggregate, the same shape as passage
+    * dup mining.
+    */
+  val copurchase: Q = Q(
+    "q_copurchase_pairs",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |       COUNT(*) AS n_orders
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("part_b"))
+    a.join(b, col("l_orderkey") === col("okey_b") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 3)
+      .orderBy("part_a", "part_b")
+  }
+
+  val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
+    copurchase)
 }

@@ -464,8 +464,38 @@ object ScaleOps {
       .orderBy("node")
   }
 
+  /** Deterministic weighted sampling by PRIORITY (Duffield/Lund/Thorup
+    * priority sampling): each row's priority is weight / u with u a
+    * uniform (0,1] derived from the md5 of its key, and the sample is
+    * the global top-k by priority — heavy rows are proportionally
+    * likelier to survive, yet the draw is reproducible across runs,
+    * engines, and retries (rand() is none of those). The top-k is a
+    * TakeOrderedAndProject: per-partition heads then one k-row merge,
+    * no global sort. (Exponential/ES keys would need ln/pow, which are
+    * NOT bit-portable across libm implementations; priority sampling's
+    * plain division is.)
+    */
+  val samplePriority: Q = Q(
+    "q_sample_priority",
+    """SELECT o_orderkey, o_totalprice AS w,
+      |  o_totalprice /
+      |    ((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+      |           AS BIGINT) + 1) / 4294967296.0) AS priority
+      |FROM orders
+      |ORDER BY priority DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    val u32 = conv(
+      substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("w"),
+        (col("o_totalprice") / ((u32 + 1) / lit(4294967296.0))).as("priority"))
+      .orderBy(col("priority").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
-    pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup)
+    pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup,
+    samplePriority)
 }
