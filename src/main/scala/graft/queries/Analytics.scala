@@ -219,6 +219,43 @@ object Analytics {
       .orderBy("part_a", "part_b")
   }
 
+  /** Triangle enumeration over the co-purchase graph — the classic
+    * distributed-join graph kernel (clustering coefficients, community
+    * cohesion). Edges are ordered pairs (u < v), so each triangle is
+    * counted once: wedge join (e1.v = e2.u) then the closing-edge
+    * check — two equi-join shuffles on vertex keys, no enumeration of
+    * non-edges. At 100TB the edge list is re-ordered by DEGREE instead
+    * of id before the same two joins, which bounds wedge fan-out per
+    * key (the Graph-X/Cohen recipe); id order keeps the oracle simple
+    * here.
+    */
+  val triangles: Q = Q(
+    "q_triangle_count",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      |FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |ORDER BY u, v, w""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = li.toDF("okey", "pa")
+      .join(li.toDF("okey", "pb"), "okey")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("pa").as("u"), col("pb").as("v"))
+    e.toDF("u", "v")
+      .join(e.toDF("v", "w"), "v")
+      .join(e.toDF("u", "w"), Seq("u", "w"), "left_semi")
+      .select("u", "v", "w")
+      .orderBy("u", "v", "w")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
-    copurchase)
+    copurchase, triangles)
 }
