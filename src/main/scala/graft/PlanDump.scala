@@ -93,7 +93,16 @@ object PlanDump {
         |BroadcastExchange (BroadcastNestedLoopJoin over k rows is the
         |intended probe shape); the pair stage joins on the CLUSTER id —
         |the quadratic term never leaves a cluster — and the verdict is a
-        |grouped MIN plus one left join on vec_id.""".stripMargin)
+        |grouped MIN plus one left join on vec_id.""".stripMargin,
+    "q_hierarchy_rollup" ->
+      """Recursion dissolved into bounded iteration: eight level
+        |projections over ONE scan lineage union into a single hash
+        |aggregate — no per-level shuffle, no driver loop (the oracle
+        |walks the same trie with DuckDB's real WITH RECURSIVE).""".stripMargin,
+    "q_triangle_count" ->
+      """Triangle kernel: wedge join + closing-edge semi-join must both
+        |be equi-joins on vertex keys (no nested loop); the ordered-pair
+        |edge list is built once and reused by all three sides.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
