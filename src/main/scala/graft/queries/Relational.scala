@@ -518,6 +518,43 @@ object Relational {
     }
   }
 
+  /** Group-wise feature standardization (z-score per segment): the ML
+    * feature-scaling transform, computed from integer-cent SUM and
+    * SUM-of-squares partials (order-free) with per-group stats
+    * broadcast back onto the row stream — one scan, one tiny stats
+    * shuffle, map-side normalization. The z formula is the identical
+    * IEEE tree in both engines.
+    */
+  val featureStandardize: Q = Q(
+    "q_feature_standardize",
+    """WITH c AS (SELECT c_custkey, c_mktsegment,
+      |             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      |           FROM customer),
+      |st AS (SELECT c_mktsegment,
+      |         CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean,
+      |         SQRT((CAST(SUM(cents * cents) AS DOUBLE)
+      |               - CAST(SUM(cents) AS DOUBLE) * SUM(cents) / COUNT(*))
+      |              / COUNT(*)) AS sd
+      |       FROM c GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment, cents, (cents - mean) / sd AS z
+      |FROM c JOIN st USING (c_mktsegment)
+      |WHERE sd > 0
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    val cnt = count(lit(1))
+    val st = c.groupBy("c_mktsegment")
+      .agg((sum(col("cents")).cast("double") / cnt).as("mean"),
+        sqrt((sum(col("cents") * col("cents")).cast("double")
+          - sum(col("cents")).cast("double") * sum(col("cents")) / cnt) / cnt)
+          .as("sd"))
+    c.join(broadcast(st), "c_mktsegment")
+      .filter(col("sd") > 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("cents"),
+        ((col("cents") - col("mean")) / col("sd")).as("z"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     scanProject, filterPred,
     aggHash, aggDistinct, aggPercentile, aggHaving, aggRollup, aggCube, aggGroupingSets,
@@ -525,5 +562,5 @@ object Relational {
     sortLimit, topKGroup,
     unionAll, unionDistinct, intersectQ, exceptQ,
     aggPivot, subqueryExists, subqueryScalar, aggHistogram, aggApproxPercentile,
-    featureBins)
+    featureBins, featureStandardize)
 }

@@ -317,8 +317,46 @@ object TextQueries {
       terms = Seq("dup", "merge", "window", "scan"), k = 20)
   }
 
+  /** Bigram language-model statistics: corpus bigram counts and the
+    * conditional probability P(w2|w1) = c(w1 w2) / c(w1 ·) — the
+    * count-based LM / next-token-statistics primitive. One compiled
+    * shingle pass (behind the repartition that keeps the narrow
+    * single-file scan off one core), one hash shuffle on the bigram,
+    * then the denominator folds from the bigram counts themselves
+    * (c1 = sum of n2 per w1 — the raw corpus is NOT rescanned). The
+    * probability is one exact integer division, bit-identical
+    * cross-engine.
+    */
+  val ngramLm: Q = Q(
+    "q_ngram_lm",
+    """WITH tk AS (SELECT list_filter(string_split(lower(text), ' '),
+      |              x -> x <> '') AS toks FROM documents),
+      |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+      |        FROM tk, (SELECT unnest(range(1, 100000)) AS i) p
+      |        WHERE i <= len(toks) - 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
+      |SELECT w1, w2, n2, n1, CAST(n2 AS DOUBLE) / n1 AS p
+      |FROM c2 JOIN c1 USING (w1)
+      |WHERE n2 >= 5 ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    val bg = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(explode(Text.shingleListUdf(2)(col("text"))).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("n2"))
+      .select(
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"),
+        col("n2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+    c2.join(c1, "w1")
+      .filter(col("n2") >= 5)
+      .select(col("w1"), col("w2"), col("n2"), col("n1"),
+        (col("n2").cast(DoubleType) / col("n1")).as("p"))
+      .orderBy("w1", "w2")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
-    textRepetition, textPiiRedact, tfidfTerms, bm25TopK)
+    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm)
 }
