@@ -256,6 +256,46 @@ object Analytics {
       .orderBy("u", "v", "w")
   }
 
+  /** Rolling engagement (DAU / trailing-28-day MAU): sliding-window
+    * DISTINCT counting, the classically hard scale op — a naive range
+    * join recomputes a 28-day distinct per day over the raw stream.
+    * The engine instead EXPLODES each (user, active-day) into the <=28
+    * future days it keeps the user "monthly active" (bounded fan-out),
+    * dedups, and counts per day: distinct-count over a sliding window
+    * becomes two hash aggregates. The oracle IS the naive range join —
+    * hash equality proves the cover rewrite. Days = observed activity
+    * days (every day has dau >= 1, so the ratio is total).
+    */
+  val dauMau: Q = Q(
+    "q_dau_mau",
+    """WITH du AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+      |            FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |mau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      |        FROM days d JOIN du u ON u.day BETWEEN d.day - 27 AND d.day
+      |        GROUP BY 1),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY 1)
+      |SELECT day, dau, mau, CAST(dau AS DOUBLE) / mau AS stickiness
+      |FROM dau JOIN mau USING (day)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val du = Tables.load(s, d, "events")
+      .select(col("user_id"),
+        graft.functions.Exact.bucket(ms(col("ts")), 86400000L).as("day"))
+      .distinct()
+    val days = du.select("day").distinct()
+    val cover = du
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 27)).as("day"))
+      .distinct()
+      .join(days, Seq("day"), "left_semi") // only observed days
+    val mau = cover.groupBy("day").agg(count(lit(1)).as("mau"))
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast(org.apache.spark.sql.types.DoubleType) / col("mau"))
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
-    copurchase, triangles)
+    copurchase, triangles, dauMau)
 }
