@@ -502,9 +502,13 @@ object Relational {
       val c = orders(s, d).select(
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
         col("o_totalprice"))
-      val b = c.agg(
-        percentile(col("cents"), lit(0.1)).as("b1"),
-        (2 to 9).map(i => percentile(col("cents"), lit(i / 10.0)).as(s"b$i")): _*)
+      // one percentile buffer for all nine cut points (an array-typed
+      // percentile agg builds ONE value-count map; nine scalar aggs
+      // would build nine — measured 2.7s -> sub-second at sf0.1)
+      val b = c
+        .agg(percentile(col("cents"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+        .select((1 to 9).map(i => col("bs").getItem(i - 1).as(s"b$i")): _*)
       val bin = (1 to 9)
         .map(i => when(col("cents") >= col(s"b$i"), 1).otherwise(0))
         .reduce(_ + _)
