@@ -70,11 +70,15 @@ object Bench {
     // the budget, degrade to 2 decimals rather than risk truncation.
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Locale.ROOT everywhere: a non-English default locale renders %f
+    // with comma decimals and breaks the single-line JSON contract.
+    def fmt(dec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     def render(dec: Int): String = {
       val qs = results
-        .map { case (k, v) => "\"" + k + "\":" + s"%.${dec}f".format(v) }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // ~1900 chars is the safe ceiling: the consumer's 2000-char tail
     // must also hold sbt's trailing "[success] Total time" line (~75).
@@ -88,9 +92,9 @@ object Bench {
     def topN(n: Int): String = {
       val top = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(n)
       val qs = top
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(2, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
     }
     def topFit: String =
       (results.size to 0 by -1).iterator.map(topN)

@@ -2,12 +2,19 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.hashing.MurmurHash3
 
 /** SimHash near-duplicate fingerprinting: a 64-bit signature whose
   * Hamming distance approximates feature-set similarity (Charikar 2002,
   * "Similarity estimation techniques from rounding algorithms"; the
   * quarter-blocking search is Manku/Jain/Sarma, WWW 2007).
+  *
+  * The token hash is the first 64 bits of MD5 (bit b = bit (7-b%8) of
+  * digest byte b/8 — i.e. the md5 HEX string read left-to-right, each
+  * hex digit MSB-first). MD5 exists in every engine, so the whole
+  * signature chain — token hash, ±1 bit voting, sign threshold — is
+  * replayable as SQL and the q_dedup_simhash oracle hash-matches; a
+  * murmur3 kernel (the previous form) had no DuckDB equivalent and
+  * left this operator rows-only.
   *
   * The per-document kernel is imperative bit-twiddling, so it runs as a
   * typed map (Dataset), not a SQL expression; pair search is relational:
@@ -17,16 +24,16 @@ import scala.util.hashing.MurmurHash3
   */
 object SimHash {
 
-  /** 64-bit simhash of a token multiset (deterministic, seed-stable). */
+  /** 64-bit simhash of a token multiset (deterministic, engine-
+    * portable: every token's vote replays in SQL from md5 hex). */
   def simhash64(tokens: Seq[String]): Long = {
     val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
     tokens.foreach { t =>
-      val h1 = MurmurHash3.stringHash(t, 0x9747b28c).toLong & 0xffffffffL
-      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xffffffffL
-      val h = (h1 << 32) | h2
+      val d = md.digest(t.getBytes("UTF-8")) // digest() resets the instance
       var b = 0
       while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }

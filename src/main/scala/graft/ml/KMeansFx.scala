@@ -27,7 +27,17 @@ object KMeansFx {
 
   private val toFx = udf { v: Seq[Float] =>
     if (v == null) null
-    else v.map(x => math.floor(x.toDouble * Scale).toLong).toArray
+    else v.map { x =>
+      val s = math.floor(x.toDouble * Scale).toLong
+      // The +Off trick only keeps dividends positive while every scaled
+      // coordinate stays inside (-Off, Off); an out-of-range vector
+      // would silently reintroduce the truncating-div vs floor-div
+      // divergence on negative centroid sums — fail loudly instead.
+      require(math.abs(s) < Off,
+        s"embedding coordinate $x out of range: |floor(x*1e6)| = ${math.abs(s)} " +
+          s">= $Off — raise Off to cover the data's coordinate range")
+      s
+    }.toArray
   }
 
   private val sqDist = udf { (a: Seq[Long], b: Seq[Long]) =>

@@ -126,24 +126,37 @@ object Analytics {
   /** Per-user ordered event sequences — the dataset-building step for
     * behavioral sequence models: one shuffle on the user key, events
     * sorted inside the group by the unique (ms, event_id) pair, types
-    * joined into one string. At 100TB the per-user payload is bounded
-    * (users, not events, drive group count) and the collect never
-    * leaves the executor.
+    * joined into one string. The sequence is a HARD-CAPPED prefix (the
+    * user's first [[SeqCap]] events): a row_number over the same
+    * (user_id, ms, event_id) sort gates what enters the collect, so one
+    * bot user with 10M events contributes a bounded payload instead of
+    * a 100MB straggler row — n_events still counts everything. Window
+    * and aggregate share one exchange + one sort on the user key.
     */
+  private val SeqCap = 40
   val seqEvents: Q = Q(
     "q_seq_events",
-    """SELECT user_id, COUNT(*) AS n_events,
-      |  string_agg(event_type, '>' ORDER BY epoch_ms(ts), event_id) AS seq
-      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    s"""WITH r AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY epoch_ms(ts), event_id) AS rn
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  string_agg(CASE WHEN rn <= $SeqCap THEN event_type END, '>'
+       |             ORDER BY ms, event_id) AS seq
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
     Tables.load(s, d, "events")
       .select(col("user_id"), col("event_type"),
         ms(col("ts")).as("ms"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         array_join(
           transform(
-            array_sort(collect_list(
-              struct(col("ms"), col("event_id"), col("event_type")))),
+            // collect_list skips nulls: only the first SeqCap events of
+            // the group ever enter the buffer
+            array_sort(collect_list(when(col("rn") <= SeqCap,
+              struct(col("ms"), col("event_id"), col("event_type"))))),
             e => e("event_type")),
           ">").as("seq"))
       .orderBy("user_id")
@@ -221,13 +234,17 @@ object Analytics {
 
   /** Triangle enumeration over the co-purchase graph — the classic
     * distributed-join graph kernel (clustering coefficients, community
-    * cohesion). Edges are ordered pairs (u < v), so each triangle is
-    * counted once: wedge join (e1.v = e2.u) then the closing-edge
-    * check — two equi-join shuffles on vertex keys, no enumeration of
-    * non-edges. At 100TB the edge list is re-ordered by DEGREE instead
-    * of id before the same two joins, which bounds wedge fan-out per
-    * key (the Graph-X/Cohen recipe); id order keeps the oracle simple
-    * here.
+    * cohesion). The engine orients every edge from its LOWER-(degree,id)
+    * endpoint to its higher one and generates wedges only at the
+    * lowest-ordered corner (the Cohen / GraphX recipe): out-degree under
+    * degree orientation is O(sqrt(m)), so a hub vertex of degree d
+    * spawns O(m) wedges instead of O(d^2) — the id-ordered form this
+    * replaces left hub fan-out unbounded on skewed graphs. Each
+    * triangle still closes with one semi-join on the (higher, highest)
+    * edge, and each is found exactly once. The oracle keeps the simple
+    * id-ordered SQL: both formulations enumerate the same triangle set,
+    * re-sorted to id order (u < v < w) on output — the hash equality is
+    * what proves the orientation rewrite sound.
     */
   val triangles: Q = Q(
     "q_triangle_count",
@@ -248,11 +265,35 @@ object Analytics {
       .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-      .select(col("pa").as("u"), col("pb").as("v"))
-    e.toDF("u", "v")
-      .join(e.toDF("v", "w"), "v")
-      .join(e.toDF("u", "w"), Seq("u", "w"), "left_semi")
-      .select("u", "v", "w")
+      .select(col("pa").as("a"), col("pb").as("b"))
+    // undirected degree of every vertex in the co-purchase edge set
+    val deg = e.select(col("a").as("x")).unionAll(e.select(col("b").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("deg"))
+    // orient each edge lower-(degree, id) -> higher, carrying the
+    // destination's (degree, id) so wedge generation needs no new join
+    val ed = e
+      .join(deg.select(col("x").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("x").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("ddeg"))).as("o"))
+      .select(col("o.src"), col("o.dst"), col("o.ddeg"))
+    // wedges at the lowest-ordered corner: (src -> m -> n) with m
+    // before n in (degree, id) order, so the closing edge, if present,
+    // is oriented exactly (m -> n)
+    val wedges = ed.toDF("s", "m", "mdeg")
+      .join(ed.toDF("s", "n", "ndeg"), "s")
+      .filter(struct(col("mdeg"), col("m")) < struct(col("ndeg"), col("n")))
+    val tri = wedges
+      .join(ed.select(col("src").as("m"), col("dst").as("n")),
+        Seq("m", "n"), "left_semi")
+      .select(array_sort(array(col("s"), col("m"), col("n"))).as("t"))
+    tri.select(element_at(col("t"), 1).as("u"),
+        element_at(col("t"), 2).as("v"),
+        element_at(col("t"), 3).as("w"))
       .orderBy("u", "v", "w")
   }
 

@@ -180,13 +180,50 @@ object DedupSim {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs — no oracle (murmur3-based bit kernel has no
-    * DuckDB equivalent); validated by SimHashSpec instead. */
-  val simhashPairs: Q = Q.noOracle("q_dedup_simhash") { (s, d) =>
+  /** SimHash near-dup pairs, oracle-matched: the md5-derived signature
+    * chain ([[graft.dedup.SimHash.simhash64]]) replays in DuckDB SQL —
+    * per-token bit votes from md5 hex digits, sign threshold, then
+    * XOR + bit_count Hamming distance, carried as four 16-bit quarter
+    * values so no 64-bit signed shift overflows. The oracle compares
+    * ALL pairs; the engine only quarter-blocked candidates — equality
+    * holds because 4-quarter blocking is EXACT for hamming <= 3
+    * (pigeonhole), which is precisely what the hash match proves.
+    * Token-less docs are excluded on both sides (no votes, no
+    * signature). */
+  val simhashPairs: Q = Q(
+    "q_dedup_simhash",
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+      |th AS (SELECT doc_id, n, md5(tok) AS h FROM tc),
+      |bits AS (SELECT doc_id, b,
+      |    CASE WHEN (strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+      |              & (1 << (3 - (b % 4))) > 0 THEN n ELSE -n END AS vote
+      |  FROM th, (SELECT unnest(range(0, 64)) AS b) p),
+      |acc AS (SELECT doc_id, b, SUM(vote) AS s FROM bits GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |    SUM(CASE WHEN s > 0 AND b // 16 = 0 THEN (1 << (b % 16)) ELSE 0 END) AS q0,
+      |    SUM(CASE WHEN s > 0 AND b // 16 = 1 THEN (1 << (b % 16)) ELSE 0 END) AS q1,
+      |    SUM(CASE WHEN s > 0 AND b // 16 = 2 THEN (1 << (b % 16)) ELSE 0 END) AS q2,
+      |    SUM(CASE WHEN s > 0 AND b // 16 = 3 THEN (1 << (b % 16)) ELSE 0 END) AS q3
+      |  FROM acc GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+      |     + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
+      |    AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+      |    + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     val docs = Tables.load(s, d, "documents")
+      // single-file input: spread the CPU-bound md5 kernel across cores
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
     val sim = graft.dedup.SimHash.withSimhash(s, docs, "doc_id", "toks")
     graft.dedup.SimHash.nearPairs(sim, "doc_id", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
       .orderBy("id_a", "id_b")
   }
 
@@ -276,15 +313,62 @@ object DedupSim {
       .orderBy("probe_id", "rank")
   }
 
-  /** LSH-bucketed ANN (fast path; recall vs brute force is ScalaTest'd,
-    * no SQL oracle for seeded hyperplanes). */
-  val annLsh: Q = Q.noOracle("q_ann_lsh") { (s, d) =>
-    val emb = Tables.load(s, d, "embeddings")
-    val probes = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_embedding"))
-    val planes = graft.ml.Embeddings.hyperplanes(dim = 64, numPlanes = 6, seed = 42L)
-    graft.ml.Embeddings.knnLsh(emb, probes, k = 10, planes)
+  /** LSH-bucketed ANN, oracle-matched: hyperplane components derive
+    * from md5 ([[graft.ml.Embeddings.md5Planes]]) and the bucket sign
+    * test plus the candidate cosine both run through the fx BIGINT
+    * chain, so DuckDB replays bucket assignment, candidate set, and
+    * ranking bit-for-bit. Scale shape is unchanged: probes broadcast,
+    * the corpus computes its 6 plane signs map-side and equi-joins on
+    * the bucket id — never shuffled, never all-paired. (The gaussian-
+    * plane variant [[graft.ml.Embeddings.knnLsh]] stays the library
+    * fast path; recall vs brute force is ScalaTest'd.) */
+  val annLsh: Q = Q(
+    "q_ann_lsh",
+    s"""WITH $compSql,
+       |pl AS (SELECT p, i,
+       |    CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2))
+       |         AS INT) - 128 AS c
+       |  FROM (SELECT unnest(range(0, 6)) AS p) pp, pos),
+       |sgn AS (SELECT vec_id, p, SUM(CAST(FLOOR(v * c * 1e15) AS BIGINT)) AS sd
+       |  FROM comp JOIN pl USING (i) GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id,
+       |    SUM(CASE WHEN sd >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+       |  FROM sgn GROUP BY 1),
+       |pr AS (SELECT vec_id AS probe_id, bucket FROM bkt WHERE vec_id % 100 = 0),
+       |cand AS (SELECT pr.probe_id, b.vec_id
+       |  FROM pr JOIN bkt b ON pr.bucket = b.bucket AND b.vec_id <> pr.probe_id),
+       |dots AS (SELECT cd.probe_id, cd.vec_id,
+       |    CAST(SUM(CAST(FLOOR(a.v * q.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+       |  FROM cand cd JOIN comp a ON a.vec_id = cd.vec_id
+       |  JOIN comp q ON q.vec_id = cd.probe_id AND q.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT dots.probe_id, dots.vec_id, dot / (na.nrm * np.nrm) AS cosine
+       |  FROM dots JOIN norms na ON dots.vec_id = na.vec_id
+       |            JOIN norms np ON dots.probe_id = np.vec_id),
+       |ranked AS (SELECT probe_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    import graft.ml.Embeddings.{fxDot, lshBucketFx, md5Planes}
+    val planes = md5Planes(dim = 64, numPlanes = 6)
+    val withNorm = Tables.load(s, d, "embeddings")
+      .withColumn("bucket", lshBucketFx(col("embedding"), planes))
+      .withColumn("nrm",
+        sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
+    val probes = withNorm.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bucket"),
+        col("embedding").as("ep"), col("nrm").as("nrm_p"))
+    val scored = withNorm
+      .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("dot", fxDot(col("embedding"), col("ep")).cast(DoubleType) / FxDiv)
+      .withColumn("cosine", col("dot") / (col("nrm") * col("nrm_p")))
+    graft.ops.TopK.perGroup(scored,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+      k = 10, rankCol = "rank")
       .select("probe_id", "rank", "vec_id", "cosine")
       .orderBy("probe_id", "rank")
   }

@@ -338,6 +338,14 @@ object ScaleOps {
     * embarrassingly map-side; nothing here shuffles more than its
     * aggregate. The duplicate-key check is non-vacuous by construction:
     * (l_orderkey, l_linenumber) is NOT unique in this corpus.
+    *
+    * Building this DataFrame runs NO driver action: the per-table
+    * n_checked totals are single-row count aggregates cross-joined onto
+    * each check (the exact shape of the oracle's scalar subqueries),
+    * not driver-side `.count()` calls — a driver count would be an
+    * extra full scan of the fact table per DQ run at 100TB, and the
+    * identical total-count subplans dedupe via ReusedExchange anyway.
+    * ScaleOpsSpec asserts the zero-jobs-at-build property.
     */
   val dqChecks: Q = Q(
     "q_dq_checks",
@@ -361,13 +369,15 @@ object ScaleOps {
       |ORDER BY check_name""".stripMargin) { (s, d) =>
     val li = Tables.load(s, d, "lineitem")
     val o = Tables.load(s, d, "orders")
-    val nLi = li.count()
-    val nO = o.count()
+    // single-row total-count frames, cross-joined under each check —
+    // no driver action, and the identical agg subplans reuse exchanges
+    val nLi = li.agg(count(lit(1)).as("n_checked"))
+    val nO = o.agg(count(lit(1)).as("n_checked"))
     // each `viol` frame is a single-row ungrouped aggregate
-    def report(name: String, viol: org.apache.spark.sql.DataFrame, checked: Long) =
-      viol.select(lit(name).as("check_name"),
-        col("v").as("n_violations"),
-        lit(checked).as("n_checked"))
+    def report(name: String, viol: org.apache.spark.sql.DataFrame,
+        checked: org.apache.spark.sql.DataFrame) =
+      viol.crossJoin(checked).select(lit(name).as("check_name"),
+        col("v").as("n_violations"), col("n_checked"))
     val pkDup = li.groupBy("l_orderkey", "l_linenumber")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .agg(coalesce(sum(col("n") - 1), lit(0L)).as("v"))
@@ -453,7 +463,13 @@ object ScaleOps {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS subtree_spend
       |FROM anc GROUP BY anc ORDER BY anc""".stripMargin) { (s, d) =>
     val o = Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
-    val levels = (0 to 7).map { i =>
+    // 0..18 covers the FULL positive Long domain (10^18 has 19 digits'
+    // worth of ancestors), matching the oracle's unbounded WITH RECURSIVE
+    // at any scale factor — a fixed 0..7 silently dropped level-8+
+    // ancestors once o_orderkey reached 1e8. Levels past the key's actual
+    // digit count project node=0 rows the filter drops map-side, so the
+    // extra fan is free.
+    val levels = (0 to 18).map { i =>
       val p = math.pow(10, i).toLong
       o.select(expr(s"o_orderkey div $p").as("node"), col("o_totalprice"))
         .filter(col("node") > 0)

@@ -137,20 +137,51 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val spark = batch.sparkSession
-        val latest = batch
-          .withColumn("__rn", row_number().over(
-            Window.partitionBy(key).orderBy(col(seqCol).desc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        val merged = currentSnapshot(spark, tableDir) match {
-          case Some(t) => graft.ops.Merge.upsert(t, latest, key, opCol)
-          case None    => latest.filter(col(opCol) === "upsert").drop(opCol)
-        }
-        val vdir = s"$tableDir/v$batchId"
-        merged.write.mode("overwrite").parquet(vdir)
-        commitPointer(tableDir, s"v$batchId")
+        mergeBatch(batch, batchId, key, seqCol, tableDir, opCol)
       }
+
+  /** One micro-batch of the CDC merge — public so crash/replay behavior
+    * is testable without driving a stream. IDEMPOTENT under replay: a
+    * crash can land AFTER [[commitPointer]] but BEFORE the streaming
+    * checkpoint commits, in which case Spark re-runs the same batchId —
+    * and LATEST already points at v<batchId>. Re-merging then would
+    * read v<batchId> while mode(overwrite)-writing the same directory,
+    * which Spark rejects (cannot overwrite a path being read), wedging
+    * the stream on every restart. The pointer itself is the replay
+    * marker: if LATEST is already at or past this batch, the merge
+    * committed — skip. (Crash BEFORE the pointer commit replays into a
+    * directory nothing reads, so the overwrite is safe.) */
+  def mergeBatch(
+      batch: DataFrame,
+      batchId: Long,
+      key: String,
+      seqCol: String,
+      tableDir: String,
+      opCol: String = "op"): Unit = {
+    if (currentVersion(tableDir).exists(_ >= batchId)) return
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(key).orderBy(col(seqCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = currentSnapshot(spark, tableDir) match {
+      case Some(t) => graft.ops.Merge.upsert(t, latest, key, opCol)
+      case None    => latest.filter(col(opCol) === "upsert").drop(opCol)
+    }
+    val vdir = s"$tableDir/v$batchId"
+    merged.write.mode("overwrite").parquet(vdir)
+    commitPointer(tableDir, s"v$batchId")
+  }
+
+  /** The committed batch id LATEST points at (None before batch 0). */
+  def currentVersion(tableDir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(tableDir, "LATEST")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .trim.stripPrefix("v").toLong)
+    else None
+  }
 
   /** The table as of the last committed batch (None before batch 0). */
   def currentSnapshot(

@@ -62,4 +62,11 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val edges = (1L until 20L).map(i => i -> (i + 1))
     assert(run(nodes, edges) == nodes.map(_ -> 1L).toMap)
   }
+
+  test("pointer doubling converges a 200-node path well inside maxIter " +
+    "(one-hop propagation alone would need 200 rounds)") {
+    val nodes = (1L to 200L)
+    val edges = (1L until 200L).map(i => i -> (i + 1))
+    assert(run(nodes, edges) == nodes.map(_ -> 1L).toMap)
+  }
 }

@@ -313,4 +313,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     val g3 = out.filter(t => grp(t._2) == 3).groupBy(_._1)
     assert(g3.forall { case (_, rows) => rows.length >= 2 && rows.length <= 3 })
   }
+
+  test("q_dq_checks builds without running any driver-side action " +
+    "(n_checked totals are in-plan aggregates, not driver counts)") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // Baseline: loading the two inputs alone fires N parquet
+    // schema-inference jobs (not data actions). Building the full
+    // query must fire exactly the same N — a reintroduced driver-side
+    // count() would add data-scan jobs on top.
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Tables.load(spark, SharedSpark.sf001, "lineitem")
+      Tables.load(spark, SharedSpark.sf001, "orders")
+      Thread.sleep(500) // listener bus is async
+      val baseline = jobs.get()
+      jobs.set(0)
+      val df = graft.queries.ScaleOps.dqChecks.run(spark, SharedSpark.sf001)
+      Thread.sleep(500)
+      assert(jobs.get() == baseline,
+        s"building q_dq_checks launched ${jobs.get()} Spark job(s) vs " +
+          s"$baseline for the bare table loads; the totals must be in-plan " +
+          "aggregates (driver count() scans of the fact tables do not scale)")
+      // and the frame still evaluates to the 5-check report
+      assert(df.collect().length == 5)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

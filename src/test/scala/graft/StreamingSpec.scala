@@ -196,4 +196,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/table/v0").count() == 2)
     } finally q.stop()
   }
+
+  test("upsert sink batch replay after a committed pointer is a no-op " +
+    "(crash between commitPointer and the checkpoint commit)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val table = s"$dir/table"
+    val b0 = Seq((1L, 1L, "a1", "upsert"), (2L, 1L, "b1", "upsert"))
+      .toDF("k", "seq", "v", "op")
+    Streams.mergeBatch(b0, 0L, "k", "seq", table)
+    val b1 = Seq((2L, 2L, "b2", "upsert"), (3L, 3L, "c1", "upsert"))
+      .toDF("k", "seq", "v", "op")
+    Streams.mergeBatch(b1, 1L, "k", "seq", table)
+    def snapshot(): Map[Long, String] =
+      Streams.currentSnapshot(spark, table).get
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val committed = snapshot()
+    assert(committed == Map(1L -> "a1", 2L -> "b2", 3L -> "c1"))
+    // replay of batch 1 (checkpoint hadn't committed): LATEST already
+    // points at v1 — pre-fix this overwrote the directory being read
+    // and threw; now it must no-op and leave the snapshot intact
+    Streams.mergeBatch(b1, 1L, "k", "seq", table)
+    assert(Streams.currentVersion(table).contains(1L))
+    assert(snapshot() == committed)
+  }
 }
