@@ -84,4 +84,20 @@ object BloomFilter {
     }
     true
   }
+
+  /** Probe over Catalyst [[ArrayData]] in place — the codegen kernel
+    * behind [[graft.plans.BloomMightContain]] (called from generated
+    * code via this object's static forwarder; no boxing, no copy). */
+  def mightContainArray(
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int, key: Long): Boolean = {
+    val numBits = words.numElements() * 64
+    var i = 0
+    while (i < numHashes) {
+      val p = bit(key, i, numBits)
+      if ((words.getLong(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -53,7 +53,38 @@ object KMeansFx {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    fitSeeded(emb, idCol, vecCol, lit(k.toLong), iters)
+
+  /** [[fit]] with k DERIVED from the corpus size, k = max(minK,
+    * n / targetClusterSize) — the SemDeDup posture "k grows with the
+    * corpus so n/k stays bounded" made executable instead of a comment.
+    * The count is an in-plan single-row aggregate cross-joined under
+    * the seed filter (no driver action), so the identical expression
+    * replays in the SQL oracle via a scalar subquery. */
+  def fitDerivedK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minK: Int,
+      targetClusterSize: Long,
+      iters: Int): DataFrame =
+    fitSeeded(emb, idCol, vecCol,
+      greatest(lit(minK.toLong), expr(s"__n div $targetClusterSize")), iters,
+      withCount = true)
+
+  /** The SQL expression for the derived k, shared with oracle builders
+    * so engine and oracle can never drift. */
+  def derivedKSql(minK: Int, targetClusterSize: Long): String =
+    s"(SELECT GREATEST($minK, COUNT(*) // $targetClusterSize) FROM embeddings)"
+
+  private def fitSeeded(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCol: Column,
+      iters: Int,
+      withCount: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One materialization of the scaled points, multi-partition (a
     // 1-partition cache would serialize the distance scans — CLAUDE.md
@@ -63,7 +94,11 @@ object KMeansFx {
       .repartition(emb.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = pts.filter(col("pid") < k)
+    val seedSrc =
+      if (withCount)
+        pts.crossJoin(broadcast(pts.agg(count(lit(1)).as("__n"))))
+      else pts
+    var cents = seedSrc.filter(col("pid") < kCol)
       .select(col("pid").as("cid"), col("v").as("cv"))
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
@@ -99,12 +134,17 @@ object KMeansFx {
   /** The Lloyd-iteration CTE chain (no `WITH`, no final SELECT) so
     * downstream oracles — semantic dedup, IVF — can compose on the
     * bit-exact cluster assignments. */
-  def oracleCtes(k: Int, iters: Int, dim: Int): String = {
+  def oracleCtes(k: Int, iters: Int, dim: Int): String =
+    oracleCtesKExpr(k.toString, iters, dim)
+
+  /** [[oracleCtes]] with the seed count as an arbitrary SQL expression
+    * (e.g. [[derivedKSql]]'s corpus-size-derived scalar subquery). */
+  def oracleCtesKExpr(kExpr: String, iters: Int, dim: Int): String = {
     val head =
       s"""pts AS (SELECT vec_id, i,
          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
          |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
-         |c0 AS (SELECT vec_id AS cid, i, v FROM pts WHERE vec_id < $k)""".stripMargin
+         |c0 AS (SELECT vec_id AS cid, i, v FROM pts WHERE vec_id < $kExpr)""".stripMargin
     val its = (1 to iters).map { j =>
       s"""a$j AS (SELECT p.vec_id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS dist
          |  FROM pts p JOIN c${j - 1} c ON p.i = c.i GROUP BY p.vec_id, c.cid),

@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fxdot"),
       new ExpressionInfo(classOf[FxDotProduct].getName, "graft_fxdot"),
       (children: Seq[Expression]) => FxDotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_might_contain"),
+      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
   }
 }

@@ -560,17 +560,22 @@ object DedupSim {
     *
     * Shape at 100TB: the pair join is blocked on the cluster id, so the
     * quadratic term is (n/k)^2 per cluster instead of n^2 global —
-    * exactly why SemDeDup clusters first. k grows with the corpus
-    * (n/k stays bounded), centroids stay a broadcast, and the verdict
+    * exactly why SemDeDup clusters first. k is DERIVED from the corpus
+    * size (k = max(8, n/64), an in-plan count — no driver action), so
+    * n/k stays bounded by construction at any scale instead of by a
+    * comment's promise; centroids stay a broadcast, and the verdict
     * is one grouped MIN + a left join, both on the vector id. Cosine
     * uses the fused graft_fxdot kernel; the oracle replays the same
-    * floor(x*1e15) chain, so verdicts hash-match bit-for-bit. */
+    * floor(x*1e15) chain — including the derived-k scalar subquery —
+    * so verdicts hash-match bit-for-bit. DedupSpec asserts the
+    * within-cluster pair bound. */
   val semanticDedup: Q = {
-    val (k, iters, dim, tau) = (8, 2, 64, "0.3")
+    val (minK, target, iters, dim, tau) = (8, 64L, 2, 64, "0.3")
     val s2 = graft.ml.KMeansFx.assignCte(iters)
     Q(
       "q_dedup_semantic",
-      s"""WITH ${graft.ml.KMeansFx.oracleCtes(k, iters, dim)},
+      s"""WITH ${graft.ml.KMeansFx.oracleCtesKExpr(
+             graft.ml.KMeansFx.derivedKSql(minK, target), iters, dim)},
          |comp AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
          |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
          |norms AS (SELECT vec_id,
@@ -592,7 +597,8 @@ object DedupSim {
          |ORDER BY s.vec_id""".stripMargin) { (s, d) =>
       import graft.ml.Embeddings.fxDot
       val emb = Tables.load(s, d, "embeddings")
-      val assign = graft.ml.KMeansFx.fit(emb, "vec_id", "embedding", k, iters)
+      val assign = graft.ml.KMeansFx
+        .fitDerivedK(emb, "vec_id", "embedding", minK, target, iters)
         .select(col("vec_id"), col("cluster"))
       val withVec = emb.join(assign, "vec_id")
         .withColumn("nrm",

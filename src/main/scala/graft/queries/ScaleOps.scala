@@ -305,9 +305,11 @@ object ScaleOps {
     * false positives. This is Catalyst's InjectRuntimeFilter pattern
     * made explicit — at 100TB the shuffle input shrinks by the dim
     * selectivity, which is the difference between shuffling the
-    * lineitem table and shuffling 1% of it. The probe is a compiled
-    * Scala UDF because Spark exposes no public bloom probe function
-    * (might_contain is internal-only). */
+    * lineitem table and shuffling 1% of it. The probe is the codegen'd
+    * [[graft.plans.BloomMightContain]] expression — it reads the
+    * broadcast word array in place inside the scan's generated loop
+    * (Spark's own might_contain is internal-only; the boxed-UDF form
+    * this replaces converted the array to a Scala Seq per fact row). */
   val bloomPrune: Q = Q(
     "q_bloom_prune",
     """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
@@ -318,12 +320,11 @@ object ScaleOps {
       .filter(col("s_acctbal") > 4500.0)
       .select(col("s_suppkey"))
     val bloom = dim.agg(graft.functions.BloomFilter.agg(col("s_suppkey")).as("bf"))
-    val probe = udf((bf: scala.collection.Seq[Long], key: Long) =>
-      graft.functions.BloomFilter.mightContain(bf, numHashes = 4, key))
     Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_suppkey")
       .crossJoin(broadcast(bloom))
-      .filter(probe(col("bf"), col("l_suppkey")))
+      .filter(call_function("graft_bloom_might_contain",
+        col("bf"), col("l_suppkey").cast("long")))
       .drop("bf")
       .join(broadcast(dim.withColumnRenamed("s_suppkey", "l_suppkey")),
         Seq("l_suppkey"), "left_semi")
@@ -466,15 +467,16 @@ object ScaleOps {
     // 0..18 covers the FULL positive Long domain (10^18 has 19 digits'
     // worth of ancestors), matching the oracle's unbounded WITH RECURSIVE
     // at any scale factor — a fixed 0..7 silently dropped level-8+
-    // ancestors once o_orderkey reached 1e8. Levels past the key's actual
-    // digit count project node=0 rows the filter drops map-side, so the
-    // extra fan is free.
-    val levels = (0 to 18).map { i =>
+    // ancestors once o_orderkey reached 1e8. The ancestor fan is ONE
+    // narrow generate over ONE scan (an explode of the 19 trie prefixes
+    // per row), not a 19-branch union re-scanning the table per level;
+    // prefixes past the key's digit count are 0 and drop map-side.
+    val ancestors = array((0 to 18).map { i =>
       val p = math.pow(10, i).toLong
-      o.select(expr(s"o_orderkey div $p").as("node"), col("o_totalprice"))
-        .filter(col("node") > 0)
-    }
-    levels.reduce(_ unionByName _)
+      expr(s"o_orderkey div $p")
+    }: _*)
+    o.select(explode(ancestors).as("node"), col("o_totalprice"))
+      .filter(col("node") > 0)
       .groupBy("node")
       .agg(count(lit(1)).as("n_desc"), dsum(col("o_totalprice")).as("subtree_spend"))
       .orderBy("node")

@@ -48,16 +48,20 @@ object Udfs {
       .orderBy("doc_id")
   }
 
-  /** Multimodal binary-column pipeline (decode-stub -> features) over
-    * synthetic payloads; plumbing is real, codec is stubbed
-    * ([[graft.multimodal.Multimodal]]). Rows-only check (no oracle).
-    * The driver-visible projection is scalar-only: the float feature
+  /** Multimodal binary-column pipeline over synthetic-but-VALID PPM
+    * payloads: a REAL Netpbm decode (header + raster parse from bytes,
+    * [[graft.multimodal.Multimodal.decodeNetpbm]]) followed by feature
+    * extraction over the decoded pixels; malformed payloads would
+    * surface in the `error` column (R6 convention), never as a crash
+    * or a fabricated value. Rows-only check (no oracle — the codec is
+    * byte-level Scala; MultimodalSpec asserts golden pixels). The
+    * driver-visible projection is scalar-only: the float feature
     * vector is serialized as fixed-point longs (floor(x*1e6)) so the
     * checker never sees an array column and the string is
     * float-formatting-independent. */
   val multimodalDecode: Q = Q.noOracle("q_multimodal_decode") { (s, d) =>
     import graft.multimodal.Multimodal
-    val decoded = Multimodal.decode(s, Multimodal.assetsFromDocuments(s, d))
+    val decoded = Multimodal.decode(s, Multimodal.ppmAssetsFromDocuments(s, d))
     Multimodal.extractFeatures(s, decoded)
       .select(
         col("asset_id"),
@@ -65,7 +69,7 @@ object Udfs {
           transform(col("features"),
             x => floor(x.cast("double") * 1e6).cast("long").cast("string")))
           .as("features_fx"),
-        col("width"), col("height"))
+        col("width"), col("height"), col("error"))
       .orderBy("asset_id")
   }
 

@@ -49,4 +49,22 @@ class BloomFilterSpec extends AnyFunSuite {
     val empty = agg.zero
     assert(members.forall(!BloomFilter.mightContain(empty, 4, _)))
   }
+
+  test("codegen expression probe agrees with the Seq probe on every key") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val bf = build(members)
+    val keys = members.take(100) ++ (1L to 2000L).map(i => BloomFilter.mix(-i))
+    val got = keys.toDF("k")
+      .withColumn("bf", typedLit(bf))
+      .select(col("k"),
+        call_function("graft_bloom_might_contain", col("bf"), col("k")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    keys.foreach { k =>
+      assert(got(k) == BloomFilter.mightContain(bf, 4, k), s"diverged on $k")
+    }
+    // and the inserted prefix is all-true (no false negatives via codegen)
+    assert(members.take(100).forall(got(_)))
+  }
 }

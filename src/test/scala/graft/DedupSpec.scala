@@ -97,4 +97,35 @@ class DedupSpec extends AnyFunSuite {
     val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.15, s"approx=$a exact=$e")
   }
+
+  test("SemDeDup k grows with the corpus: derived k bounds the " +
+    "within-cluster pair blowup instead of a fixed constant") {
+    import spark.implicits._
+    // 1280 vectors on 20 exact centers, 64 per center; the 20 lowest
+    // ids ARE the centers, so balanced clusters are the fixpoint
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 20).toInt
+      Array(c / 20f, (c * 3 % 20) / 20f, (c * 7 % 20) / 20f, 1f)
+    }
+    val big = (0L until 1280L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val fitted = graft.ml.KMeansFx
+      .fitDerivedK(big, "vec_id", "embedding", minK = 8, targetClusterSize = 64L,
+        iters = 2)
+    val sizes = fitted.groupBy("cluster").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k = max(8, 1280/64) = 20 — a fixed k=8 would have left 160-vector
+    // clusters (12k pairs each); derived k keeps clusters at target size
+    assert(sizes.size == 20, s"expected 20 derived clusters, got ${sizes.size}")
+    assert(sizes.values.max == 64L,
+      s"expected balanced 64-vector clusters, got max ${sizes.values.max}")
+    // small corpus: the floor kicks in, k = minK
+    val small = (0L until 100L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val smallClusters = graft.ml.KMeansFx
+      .fitDerivedK(small, "vec_id", "embedding", minK = 8, targetClusterSize = 64L,
+        iters = 2)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(smallClusters.forall(_ < 8) && smallClusters.size <= 8)
+  }
 }
