@@ -95,14 +95,42 @@ object PlanDump {
         |the quadratic term never leaves a cluster — and the verdict is a
         |grouped MIN plus one left join on vec_id.""".stripMargin,
     "q_hierarchy_rollup" ->
-      """Recursion dissolved into bounded iteration: eight level
-        |projections over ONE scan lineage union into a single hash
-        |aggregate — no per-level shuffle, no driver loop (the oracle
+      """Recursion dissolved into bounded iteration: ONE scan + ONE
+        |narrow Generate exploding the 19 trie-prefix ancestors per row
+        |(covers the full positive Long key domain) into a single hash
+        |aggregate — no per-level re-scan, no driver loop (the oracle
         |walks the same trie with DuckDB's real WITH RECURSIVE).""".stripMargin,
     "q_triangle_count" ->
-      """Triangle kernel: wedge join + closing-edge semi-join must both
-        |be equi-joins on vertex keys (no nested loop); the ordered-pair
-        |edge list is built once and reused by all three sides.""".stripMargin)
+      """Triangle kernel, degree-oriented: edges point from the lower
+        |(degree, id) endpoint to the higher, wedges generate ONLY at
+        |the lowest-ordered corner — out-degree under this orientation
+        |is O(sqrt(m)), so a hub's wedge fan-out is bounded (the
+        |id-ordered form left it O(d^2)). Wedge join + closing-edge
+        |semi-join must both be equi-joins on vertex keys (no nested
+        |loop).""".stripMargin,
+    "q_bloom_prune" ->
+      """Bloom-pruned semi-join: the filter over the fact scan must be
+        |the native graft_bloom_might_contain expression INSIDE a
+        |WholeStageCodegen span (no BatchEvalPython, no ScalaUDF) with
+        |the one-row bloom arriving via BroadcastExchange; the exact
+        |broadcast semi-join afterwards removes false positives.""".stripMargin,
+    "q_seq_events" ->
+      """Bounded sequence build: the row_number gate and the collect
+        |aggregate share ONE exchange + sort on user_id (Window then
+        |HashAggregate, no second shuffle); the gated collect_list keeps
+        |every group's payload <= SeqCap structs.""".stripMargin,
+    "q_dedup_simhash" ->
+      """SimHash near-dup: one narrow md5-kernel pass over the
+        |repartitioned doc scan computes signatures; candidate pairs
+        |come from an EQUI-join on (quarter index, quarter value) — no
+        |all-pairs product anywhere — and the bit_count(xor) verify runs
+        |inside the join's project.""".stripMargin,
+    "q_ann_lsh" ->
+      """Sign-LSH ANN: the corpus computes 6 fx-dot plane signs map-side
+        |(graft_fxdot in the scan's project, no component explosion) and
+        |equi-joins the broadcast probe buckets; ranking is
+        |WindowGroupLimit top-k per probe. The corpus is never shuffled
+        |or all-paired.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

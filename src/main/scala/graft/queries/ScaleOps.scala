@@ -306,30 +306,35 @@ object ScaleOps {
     * made explicit — at 100TB the shuffle input shrinks by the dim
     * selectivity, which is the difference between shuffling the
     * lineitem table and shuffling 1% of it. The probe is the codegen'd
-    * [[graft.plans.BloomMightContain]] expression — it reads the
-    * broadcast word array in place inside the scan's generated loop
-    * (Spark's own might_contain is internal-only; the boxed-UDF form
-    * this replaces converted the array to a Scala Seq per fact row). */
+    * [[graft.plans.BloomMightContain]] expression reading the word
+    * array in place (Spark's own might_contain is internal-only), and
+    * the bloom reaches it as an UNCORRELATED SCALAR SUBQUERY — exactly
+    * how Catalyst's own runtime filters materialize (SubqueryExec runs
+    * the dim aggregate once, the result feeds the scan-side Filter).
+    * The earlier crossJoin(broadcast(bloom)) form was silently broken
+    * by PushLeftSemiLeftAntiThroughJoin: the exact semi-join was pushed
+    * BELOW the bloom filter, pruning after the join it was meant to
+    * protect. The subquery form keeps the probe pinned on the scan
+    * (PlanShapeSpec asserts the Filter-under-semi-join order). */
   val bloomPrune: Q = Q(
     "q_bloom_prune",
     """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
       |WHERE l_suppkey IN
       |  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 4500.0)
       |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin) { (s, d) =>
-    val dim = Tables.load(s, d, "supplier")
-      .filter(col("s_acctbal") > 4500.0)
-      .select(col("s_suppkey"))
-    val bloom = dim.agg(graft.functions.BloomFilter.agg(col("s_suppkey")).as("bf"))
-    Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_suppkey")
-      .crossJoin(broadcast(bloom))
-      .filter(call_function("graft_bloom_might_contain",
-        col("bf"), col("l_suppkey").cast("long")))
-      .drop("bf")
-      .join(broadcast(dim.withColumnRenamed("s_suppkey", "l_suppkey")),
-        Seq("l_suppkey"), "left_semi")
-      .select("l_orderkey", "l_linenumber", "l_suppkey")
-      .orderBy("l_orderkey", "l_linenumber", "l_suppkey")
+    Tables.load(s, d, "supplier").createOrReplaceTempView("supplier")
+    Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem")
+    s.udf.register("graft_bloom_agg",
+      udaf(graft.functions.BloomFilter.Agg(numBits = 1 << 13, numHashes = 4)))
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem
+        |WHERE graft_bloom_might_contain(
+        |        (SELECT graft_bloom_agg(s_suppkey) FROM supplier
+        |         WHERE s_acctbal > 4500.0),
+        |        CAST(l_suppkey AS BIGINT))
+        |  AND l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                    WHERE s_acctbal > 4500.0)
+        |ORDER BY l_orderkey, l_linenumber, l_suppkey""".stripMargin)
   }
 
   /** Data-quality constraint suite (Deequ-style): each check is one

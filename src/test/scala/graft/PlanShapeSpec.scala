@@ -55,4 +55,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 exchange under the window chain, got " +
         s"${exchangesInside.size}:\n${plan.toString.take(1500)}")
   }
+
+  test("q_bloom_prune: the bloom probe filters the fact scan BELOW the " +
+    "exact semi-join, as a native expression (no ScalaUDF)") {
+    val plan = staticPlan("q_bloom_prune")
+    val s = plan.toString
+    assert(!s.contains("ScalaUDF"), s.take(1500))
+    assert(s.contains("graft_bloom_might_contain"), s.take(1500))
+    // the semi-join's left (streamed) child must already contain the
+    // bloom Filter — i.e. pruning happens before the join, not after
+    // (PushLeftSemiLeftAntiThroughJoin broke the crossJoin formulation)
+    val semi = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty, s.take(1500))
+    val streamedSide = semi.head.children.head.toString
+    assert(streamedSide.contains("graft_bloom_might_contain"),
+      s"bloom probe not below the semi-join:\n${s.take(2000)}")
+  }
+
+  test("q_seq_events: row_number gate and collect share one exchange " +
+    "on user_id") {
+    val plan = staticPlan("q_seq_events")
+    val exchanges = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    // one shuffle for the window+aggregate chain, plus the output sort's
+    // range exchange
+    assert(exchanges.size <= 2,
+      s"expected <=2 exchanges (user_id hash + output range), got " +
+        s"${exchanges.size}:\n${plan.toString.take(1500)}")
+  }
+
+  test("q_triangle_count: wedge and closing joins are equi-joins " +
+    "(no nested loop, no cartesian product)") {
+    val s = executed("q_triangle_count")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+  }
 }
