@@ -118,6 +118,23 @@ object Multimodal {
     out
   }
 
+  /** Engine-portable integer form of [[featuresFromPixels]]: slot j
+    * accumulates floor(pixel/maxval * 1e6) as a BIGINT — each term is
+    * the identical IEEE chain in any engine and the long sum is
+    * order-free, so a SQL replay over the source bytes hash-matches
+    * (float accumulation cannot: += order differs from SUM). */
+  def featureSumsFx(meta: MediaMeta, pixels: Array[Byte],
+      dim: Int = 8): Array[Long] = {
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < pixels.length) {
+      out(i % dim) +=
+        math.floor((pixels(i) & 0xff).toDouble / meta.maxval * 1e6).toLong
+      i += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resample of the decoded raster to (outW, outH) —
     * real pixel-space resize, channel-aware. */
   def resizeNearest(meta: MediaMeta, pixels: Array[Byte],

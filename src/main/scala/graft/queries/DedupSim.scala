@@ -374,12 +374,89 @@ object DedupSim {
   }
 
   /** IVF-partitioned ANN (coarse quantizer + nprobe lists — the
-    * inverted-file scale path; recall vs brute force is ScalaTest'd). */
-  val annIvf: Q = Q.noOracle("q_ann_ivf") { (s, d) =>
-    val emb = Tables.load(s, d, "embeddings")
-    val probes = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_embedding"))
-    graft.ml.Embeddings.knnIvf(emb, probes, k = 10, every = 50, nprobe = 4)
+    * inverted-file scale path), oracle-matched: centroids are a
+    * deterministic corpus sample (every 50th vector), the nearest-
+    * centroid assignment, the probe's nprobe=4 list choice, and the
+    * final candidate ranking all run through the fx BIGINT cosine
+    * chain with explicit tie-breaks (assignment ties -> larger
+    * centroid id, list ties -> smaller, rank ties -> smaller vec id),
+    * so DuckDB replays index build AND search bit-for-bit. Scale shape
+    * unchanged: centroids + probe lists broadcast, the corpus crosses
+    * the wire once for assignment (a write-time cost), and search
+    * scans ONLY the probed lists via an equi-join on centroid_id.
+    * (The library fast path [[graft.ml.Embeddings.knnIvf]] keeps the
+    * codegen float kernel; recall vs brute force is ScalaTest'd.) */
+  val annIvf: Q = Q(
+    "q_ann_ivf",
+    s"""WITH $compSql,
+       |cents AS (SELECT vec_id AS cid FROM e WHERE vec_id % 50 = 0),
+       |cdots AS (SELECT a.vec_id, c.cid,
+       |    CAST(SUM(CAST(FLOOR(a.v * b.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+       |  FROM comp a JOIN cents c ON true
+       |  JOIN comp b ON b.vec_id = c.cid AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |ccos AS (SELECT cdots.vec_id, cid, dot / (na.nrm * nc.nrm) AS cos
+       |  FROM cdots JOIN norms na ON cdots.vec_id = na.vec_id
+       |             JOIN norms nc ON cdots.cid = nc.vec_id),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY cos DESC, cid DESC) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |plists AS (SELECT probe_id, cid FROM (
+       |    SELECT vec_id AS probe_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                         ORDER BY cos DESC, cid ASC) AS pr
+       |    FROM ccos WHERE vec_id % 100 = 0) WHERE pr <= 4),
+       |cand AS (SELECT p.probe_id, a.vec_id
+       |  FROM plists p JOIN assigned a ON p.cid = a.cid),
+       |dots AS (SELECT cd.probe_id, cd.vec_id,
+       |    CAST(SUM(CAST(FLOOR(a.v * q.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+       |  FROM cand cd JOIN comp a ON a.vec_id = cd.vec_id
+       |  JOIN comp q ON q.vec_id = cd.probe_id AND q.i = a.i
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT dots.probe_id, dots.vec_id,
+       |    dot / (na.nrm * np.nrm) AS cosine
+       |  FROM dots JOIN norms na ON dots.vec_id = na.vec_id
+       |            JOIN norms np ON dots.probe_id = np.vec_id),
+       |ranked AS (SELECT probe_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, vec_id, cosine FROM ranked
+       |WHERE rank <= 10 AND vec_id <> probe_id
+       |ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    import graft.ml.Embeddings.fxDot
+    val emb = Tables.load(s, d, "embeddings").withColumn("nrm",
+      sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cemb"),
+        col("nrm").as("nrm_c"))
+    val ccos = emb.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        fxDot(col("embedding"), col("cemb")).cast(DoubleType) / FxDiv /
+          (col("nrm") * col("nrm_c")))
+    // index build: one pass over the corpus, ties -> larger centroid id
+    val assigned = ccos.groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+        max_by(col("centroid_id"), struct(col("cos"), col("centroid_id")))
+          .as("centroid_id"))
+    // each probe keeps its nprobe=4 nearest lists, ties -> smaller id
+    val probeLists = graft.ops.TopK.perGroup(
+      ccos.filter(col("vec_id") % 100 === 0),
+      partitionBy = Seq(col("vec_id")),
+      orderBy = Seq(col("cos").desc, col("centroid_id").asc),
+      k = 4, rankCol = "__pr")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("ep"),
+        col("nrm").as("nrm_p"), col("centroid_id"))
+    val scored = assigned.join(broadcast(probeLists), Seq("centroid_id"))
+      .withColumn("cosine",
+        fxDot(col("embedding"), col("ep")).cast(DoubleType) / FxDiv /
+          (col("nrm") * col("nrm_p")))
+    graft.ops.TopK.perGroup(scored,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+      k = 10, rankCol = "rank")
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "rank", "vec_id", "cosine")
       .orderBy("probe_id", "rank")

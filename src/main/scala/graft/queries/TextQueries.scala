@@ -163,10 +163,59 @@ object TextQueries {
 
   /** Winnowing fingerprints ([[graft.text.Winnow]] — the rolling-hash
     * document fingerprinting of the north star): per-doc count plus the
-    * first/last selected hash. No SQL oracle (the rolling hash has no
-    * DuckDB equivalent); the substring-match guarantee is
-    * property-tested in WinnowSpec. */
-  val docWinnow: Q = graft.Q.noOracle("q_doc_winnow") { (s, d) =>
+    * first/last selected hash (unsigned order).
+    *
+    * FULL ORACLE (r5): the engine's Rabin-Karp chain wraps in signed
+    * Long, i.e. lives mod 2^64 — so DuckDB replays each k-gram hash as
+    * a HUGEINT residue sum (c_j * B^(k-1-j), true-precision powers,
+    * one % 2^64), packs (hash, 2^32-1-pos) so an unsigned window MIN
+    * lands on the RIGHTMOST tied minimum exactly like the kernel's
+    * compareUnsigned <= 0 scan, winnows full windows only, and maps
+    * residues >= 2^63 back to negative BIGINTs. Degenerate docs
+    * (ngrams <= w: one global minimum; n < k: zero fingerprints)
+    * follow the same branches as the kernel. The substring-match
+    * guarantee stays property-tested in WinnowSpec. */
+  val docWinnow: Q = Q(
+    "q_doc_winnow",
+    // k = 5, w = 4, B = 1000003; powers are B^4..B^1 at full precision
+    // (congruent mod 2^64 to the kernel's wrapped bk), M = 2^64
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT unnest(range(1,
+      |    (SELECT MAX(length(text)) FROM documents) + 1)) AS i),
+      |g AS (SELECT doc_id, i,
+      |    (  ascii(substr(text, i,     1)) * 1000012000054000108000081
+      |     + ascii(substr(text, i + 1, 1)) * CAST(1000009000027000027 AS HUGEINT)
+      |     + ascii(substr(text, i + 2, 1)) * CAST(1000006000009 AS HUGEINT)
+      |     + ascii(substr(text, i + 3, 1)) * CAST(1000003 AS HUGEINT)
+      |     + ascii(substr(text, i + 4, 1))) % 18446744073709551616 AS h
+      |  FROM d, pos WHERE i <= n - 4),
+      |ng AS (SELECT doc_id, n - 4 AS ngrams FROM d WHERE n >= 5),
+      |pk AS (SELECT doc_id, i, h,
+      |    h * 4294967296 + (4294967295 - i) AS packed FROM g),
+      |wmin AS (SELECT doc_id, i AS s,
+      |    MIN(packed) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mp
+      |  FROM pk),
+      |sel AS (SELECT DISTINCT w.doc_id, w.mp // 4294967296 AS v
+      |  FROM wmin w JOIN ng ON w.doc_id = ng.doc_id
+      |  WHERE ng.ngrams > 4 AND w.s <= ng.ngrams - 3),
+      |degen AS (SELECT g.doc_id, MIN(g.h) AS v
+      |  FROM g JOIN ng ON g.doc_id = ng.doc_id
+      |  WHERE ng.ngrams <= 4 GROUP BY g.doc_id),
+      |allsel AS (SELECT doc_id, v FROM sel
+      |           UNION ALL SELECT doc_id, v FROM degen),
+      |agg AS (SELECT doc_id, COUNT(DISTINCT v) AS n_fp,
+      |          MIN(v) AS mn, MAX(v) AS mx
+      |        FROM allsel GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(agg.n_fp, 0) AS BIGINT) AS n_fp,
+      |  CAST(CASE WHEN mn >= 9223372036854775808
+      |            THEN mn - 18446744073709551616 ELSE mn END AS BIGINT)
+      |    AS fp_first,
+      |  CAST(CASE WHEN mx >= 9223372036854775808
+      |            THEN mx - 18446744073709551616 ELSE mx END AS BIGINT)
+      |    AS fp_last
+      |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
     val fps = graft.text.Winnow.fingerprintUdf(k = 5, w = 4)(col("text"))
     Tables.load(s, d, "documents")
       .select(col("doc_id"), fps.as("fps"))

@@ -51,25 +51,55 @@ object Udfs {
   /** Multimodal binary-column pipeline over synthetic-but-VALID PPM
     * payloads: a REAL Netpbm decode (header + raster parse from bytes,
     * [[graft.multimodal.Multimodal.decodeNetpbm]]) followed by feature
-    * extraction over the decoded pixels; malformed payloads would
-    * surface in the `error` column (R6 convention), never as a crash
-    * or a fabricated value. Rows-only check (no oracle — the codec is
-    * byte-level Scala; MultimodalSpec asserts golden pixels). The
-    * driver-visible projection is scalar-only: the float feature
-    * vector is serialized as fixed-point longs (floor(x*1e6)) so the
-    * checker never sees an array column and the string is
-    * float-formatting-independent. */
-  val multimodalDecode: Q = Q.noOracle("q_multimodal_decode") { (s, d) =>
+    * extraction over the decoded pixels; a malformed payload would
+    * surface as an error row (R6 convention), never a crash or a
+    * fabricated value.
+    *
+    * FULL ORACLE (r5): the payload builder is deterministic (8-wide P6,
+    * text bytes zero-padded to the row stride), so DuckDB can replay
+    * the ENTIRE chain — header dimensions AND the per-slot pixel
+    * feature sums — from the raw document bytes via ascii(); the
+    * engine walks bytes it parsed back out of the PPM container, the
+    * oracle walks the bytes that went in, and the hash match proves the
+    * codec round-trip. Feature sums use the order-free fx chain
+    * ([[graft.multimodal.Multimodal.featureSumsFx]]); the float
+    * feature path stays in the library (MultimodalSpec). The oracle's
+    * char-based ascii()/length() equal the engine's bytes because the
+    * corpus is ASCII — the same contract q_multimodal_frames already
+    * asserts (the asset builder raises on non-ASCII docs). */
+  val multimodalDecode: Q = Q(
+    "q_multimodal_decode",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT unnest(range(1,
+      |    (SELECT MAX(length(text)) FROM documents) + 1)) AS i),
+      |b AS (SELECT doc_id, (i - 1) % 8 AS slot,
+      |    CAST(FLOOR(ascii(substr(text, CAST(i AS BIGINT), 1)) / 255 * 1e6)
+      |         AS BIGINT) AS fx
+      |  FROM d, pos WHERE i <= n),
+      |sl AS (SELECT dd.doc_id, ss.slot, COALESCE(SUM(b.fx), 0) AS s
+      |  FROM d dd CROSS JOIN (SELECT unnest(range(0, 8)) AS slot) ss
+      |  LEFT JOIN b ON b.doc_id = dd.doc_id AND b.slot = ss.slot
+      |  GROUP BY 1, 2),
+      |f AS (SELECT doc_id, string_agg(CAST(s AS VARCHAR), '|' ORDER BY slot)
+      |        AS features_fx
+      |      FROM sl GROUP BY doc_id)
+      |SELECT d.doc_id AS asset_id, f.features_fx, 8 AS width,
+      |  CAST(GREATEST(1, (n + 23) // 24) AS INT) AS height
+      |FROM d JOIN f ON d.doc_id = f.doc_id
+      |ORDER BY asset_id""".stripMargin) { (s, d) =>
     import graft.multimodal.Multimodal
     val decoded = Multimodal.decode(s, Multimodal.ppmAssetsFromDocuments(s, d))
-    Multimodal.extractFeatures(s, decoded)
-      .select(
-        col("asset_id"),
-        concat_ws("|",
-          transform(col("features"),
-            x => floor(x.cast("double") * 1e6).cast("long").cast("string")))
-          .as("features_fx"),
-        col("width"), col("height"), col("error"))
+    import s.implicits._
+    decoded.mapPartitions { it =>
+      it.map { a =>
+        // synthesized payloads are always decodable; a decode error here
+        // is a codec bug and must fail the run, not silently skip
+        require(a.error == null, s"asset ${a.asset_id}: ${a.error}")
+        (a.asset_id,
+          Multimodal.featureSumsFx(a.meta, a.pixels, dim = 8).mkString("|"),
+          a.meta.width, a.meta.height)
+      }
+    }.toDF("asset_id", "features_fx", "width", "height")
       .orderBy("asset_id")
   }
 
