@@ -516,9 +516,81 @@ object ScaleOps {
       .limit(100)
   }
 
+  /** Deterministic contrastive negative mining: for each anchor vector
+    * (every 100th), the 5 different-label corpus vectors ranked by
+    * md5(anchor:candidate) — the negative-pair sampling step of
+    * contrastive embedding training (in-batch negatives are biased;
+    * hash-ranked corpus negatives are reproducible across runs,
+    * engines, and retries, unlike rand()).
+    *
+    * Shape at 100TB: anchors are few and BROADCAST; the corpus is
+    * scanned once, scored map-side, and reduced per anchor through
+    * WindowGroupLimit top-k — only k rows per anchor cross the wire,
+    * the corpus itself never shuffles (same shape as ANN brute
+    * force). */
+  val contrastiveNegatives: Q = Q(
+    "q_contrastive_negatives",
+    """WITH a AS (SELECT vec_id AS probe_id, label AS plabel
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT a.probe_id, e.vec_id, e.label,
+      |        md5(CAST(a.probe_id AS VARCHAR) || ':' ||
+      |            CAST(e.vec_id AS VARCHAR)) AS h
+      |      FROM a JOIN embeddings e ON e.label <> a.plabel),
+      |r AS (SELECT probe_id, vec_id, label,
+      |        ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                           ORDER BY h, vec_id) AS rank
+      |      FROM c)
+      |SELECT probe_id, rank, vec_id, label FROM r
+      |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val emb = Tables.load(s, d, "embeddings")
+    val anchors = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"))
+    val scored = emb.select("vec_id", "label")
+      .crossJoin(broadcast(anchors))
+      .filter(col("label") =!= col("plabel"))
+      .withColumn("h", md5(concat(col("probe_id").cast("string"), lit(":"),
+        col("vec_id").cast("string")).cast("binary")))
+    graft.ops.TopK.perGroup(scored,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("h").asc, col("vec_id").asc),
+      k = 5, rankCol = "rank")
+      .select("probe_id", "rank", "vec_id", "label")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Class-balanced downsampling: exactly min(n_class, 20) documents
+    * per language, chosen by md5(doc_id) rank — the "cap the head
+    * classes, keep the tail whole" rebalancing step of a training mix
+    * (rand() sampling is irreproducible and drifts per retry; hash
+    * rank is a total deterministic order).
+    *
+    * Shape at 100TB: one shuffle on the class key with WindowGroupLimit
+    * — per-partition top-k runs BEFORE the exchange, so only k rows
+    * per class per partition cross the wire regardless of class
+    * skew. */
+  val sampleBalanced: Q = Q(
+    "q_sample_balanced",
+    """WITH r AS (SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS rank
+      |  FROM documents)
+      |SELECT lang, rank, doc_id FROM r WHERE rank <= 20
+      |ORDER BY lang, rank""".stripMargin) { (s, d) =>
+    graft.ops.TopK.perGroup(
+      Tables.load(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string").cast("binary")).as("h")),
+      partitionBy = Seq(col("lang")),
+      orderBy = Seq(col("h").asc, col("doc_id").asc),
+      k = 20, rankCol = "rank")
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
     pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup,
-    samplePriority)
+    samplePriority, contrastiveNegatives, sampleBalanced)
 }
