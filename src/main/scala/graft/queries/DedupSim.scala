@@ -748,9 +748,120 @@ object DedupSim {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL dedup — the production posture at 100TB: a new batch
+    * (doc_id % 10 == 0 stands in for today's crawl) is probed against
+    * the EXISTING corpus's fingerprint index, never corpus-vs-corpus.
+    * The exact tier matches on the CANONICAL content fingerprint —
+    * md5 of the sorted distinct token set (case/whitespace/word-order
+    * insensitive, the practical "exact after normalization" tier; raw
+    * byte-identity would be a strictly weaker prefilter of it);
+    * near-dups share a minhash LSH band with an old doc and verify at
+    * Jaccard >= 0.5 (same signature chain as [[minhashLsh]]); exact
+    * takes precedence. Every new doc gets a verdict row (unique docs
+    * included).
+    *
+    * Shape at 100TB: the old side's fingerprint + band index is a
+    * write-once artifact (bucketed by band key); the daily batch is
+    * small, broadcasts to the band join, and only verified candidates
+    * fetch shingle arrays — the old corpus is never rescanned, never
+    * self-joined, and nothing quadratic leaves a band bucket. */
+  val dedupIncremental: Q = Q(
+    "q_dedup_incremental",
+    s"""WITH $shingleSql,
+       |fp AS (SELECT doc_id,
+       |    CASE WHEN len(toks) = 0 THEN NULL
+       |         ELSE md5(list_aggregate(list_sort(list_distinct(toks)),
+       |                                 'string_agg', '|')) END AS fp
+       |  FROM t),
+       |new_fp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 = 0),
+       |old_fp AS (SELECT doc_id, fp FROM fp WHERE doc_id % 10 <> 0),
+       |exact AS (SELECT n.doc_id, MIN(o.doc_id) AS dup_of
+       |  FROM new_fp n JOIN old_fp o ON n.fp = o.fp GROUP BY 1),
+       |perm AS (SELECT unnest(range(0, 8)) AS p),
+       |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+       |       FROM sh, perm GROUP BY doc_id, p),
+       |bands AS (SELECT doc_id, p // 2 AS band,
+       |                 string_agg(mh, '|' ORDER BY p) AS bkey
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |         FROM bands n JOIN bands o
+       |           ON n.band = o.band AND n.bkey = o.bkey
+       |         WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.new_id, c.old_id, COUNT(*) AS common
+       |  FROM cand c JOIN sh a ON a.doc_id = c.new_id
+       |  JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |near AS (SELECT new_id AS doc_id, MIN(old_id) AS dup_of
+       |  FROM common JOIN sz sa ON new_id = sa.doc_id
+       |              JOIN sz sb ON old_id = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+       |  GROUP BY 1)
+       |SELECT n.doc_id,
+       |  CASE WHEN e.dup_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.dup_of IS NOT NULL THEN 'near_dup'
+       |       ELSE 'unique' END AS verdict,
+       |  COALESCE(e.dup_of, nr.dup_of) AS dup_of
+       |FROM new_fp n LEFT JOIN exact e ON n.doc_id = e.doc_id
+       |              LEFT JOIN near nr ON n.doc_id = nr.doc_id
+       |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), col("text"),
+        Text.shingleSetUdf(3)(col("text")).as("shs"))
+    val toks = Text.tokens(col("text"))
+    val fp = docs.select(col("doc_id"),
+      when(size(toks) > 0,
+        md5(array_join(sort_array(array_distinct(toks)), "|").cast("binary")))
+        .as("fp"))
+    val newFp = fp.filter(col("doc_id") % 10 === 0)
+    val oldFp = fp.filter(col("doc_id") % 10 =!= 0)
+    val exact = newFp.toDF("doc_id", "fp")
+      .join(oldFp.toDF("old_id", "fp"), "fp")
+      .groupBy("doc_id").agg(min(col("old_id")).as("dup_of_exact"))
+    // band index, split by side: the new batch's bands broadcast
+    val shingled = docs.filter(size(col("shs")) > 0)
+    val sig = shingled.select(col("doc_id"),
+      Text.md5MinhashSigUdf(8)(col("shs")).as("sig"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|",
+          element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bkey")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = broadcast(bands.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("new_id"), col("band"), col("bkey")))
+      .join(bands.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("old_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("new_id", "old_id").distinct()
+    val near = broadcast(cand)
+      .join(shingled.select(col("doc_id").as("new_id"), col("shs").as("sa")), Seq("new_id"))
+      .join(shingled.select(col("doc_id").as("old_id"), col("shs").as("sb")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("common"),
+        size(col("sa")).cast(LongType).as("n_a"),
+        size(col("sb")).cast(LongType).as("n_b"))
+      .filter(col("common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("common")) >= 0.5)
+      .groupBy(col("new_id").as("doc_id"))
+      .agg(min(col("old_id")).as("dup_of_near"))
+    newFp.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of_exact").isNotNull, "exact_dup")
+          .when(col("dup_of_near").isNotNull, "near_dup")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("dup_of_exact"), col("dup_of_near")).as("dup_of"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize)
+    semanticDedup, embedQuantize, dedupIncremental)
 }
