@@ -40,11 +40,13 @@ object KMeansFx {
     }.toArray
   }
 
-  private val sqDist = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var s = 0L; var i = 0
-    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
+  /** Squared distance via the codegen [[graft.plans.FxSqDist]] kernel —
+    * the Lloyd loop probes every (point, centroid) pair with it, and
+    * the fused array loop avoids the per-pair Seq boxing of a Scala
+    * UDF (requires GraftExtensions, like the fxdot kernels). */
+  private def sqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("graft_fxsqdist", a, b)
 
   /** Final assignments (idCol, cluster, dist) after `iters` Lloyd
     * iterations with centroids seeded from the `k` lowest ids. */
@@ -89,10 +91,13 @@ object KMeansFx {
     // One materialization of the scaled points, multi-partition (a
     // 1-partition cache would serialize the distance scans — CLAUDE.md
     // perf lore); every iteration re-probes it instead of re-reading
-    // and re-scaling the source.
+    // and re-scaling the source. Hash-partitioned on the POINT ID so
+    // the per-point argmin window of every Lloyd iteration reuses this
+    // partitioning instead of re-exchanging the assignment frame each
+    // round (ids are unique -> the spread is as even as round-robin).
     val pts = emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v"))
       .repartition(emb.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "32").toInt)
+        .get("spark.sql.shuffle.partitions", "32").toInt, col("pid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedSrc =
       if (withCount)

@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_might_contain"),
       (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fxsqdist"),
+      new ExpressionInfo(classOf[FxSqDist].getName, "graft_fxsqdist"),
+      (children: Seq[Expression]) => FxSqDist(children(0), children(1))))
   }
 }
