@@ -859,9 +859,59 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** Keeper-POLICY dedup: clusters on the canonical content
+    * fingerprint (sorted distinct token set — the same key as
+    * [[dedupIncremental]]'s exact tier) and keeps the BEST member
+    * instead of the first: highest total token count (most complete
+    * version), ties to the lowest id. Production near-dup pipelines
+    * keep best-quality, not first-seen — min-id keeping
+    * ([[dedupComponents]]) silently prefers whichever crawl shard got
+    * the smaller ids. Token-less docs carry a null fingerprint and
+    * stay their own singleton cluster on both sides.
+    *
+    * Shape at 100TB: one shuffle on the fingerprint; both windows
+    * (size, keeper pick) share that one exchange. */
+  val dedupKeepBest: Q = Q(
+    "q_dedup_keep_best",
+    s"""WITH $shingleSql,
+       |fp AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    CASE WHEN len(toks) = 0 THEN NULL
+       |         ELSE md5(list_aggregate(list_sort(list_distinct(toks)),
+       |                                 'string_agg', '|')) END AS fp
+       |  FROM t)
+       |SELECT doc_id, n_toks,
+       |  CAST(CASE WHEN fp IS NULL THEN 1
+       |       ELSE COUNT(*) OVER (PARTITION BY fp) END AS BIGINT)
+       |    AS cluster_size,
+       |  CASE WHEN fp IS NULL THEN doc_id
+       |       ELSE FIRST_VALUE(doc_id) OVER (PARTITION BY fp
+       |              ORDER BY n_toks DESC, doc_id) END AS keeper_id,
+       |  doc_id = CASE WHEN fp IS NULL THEN doc_id
+       |       ELSE FIRST_VALUE(doc_id) OVER (PARTITION BY fp
+       |              ORDER BY n_toks DESC, doc_id) END AS is_kept
+       |FROM fp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = Text.tokens(col("text"))
+    val fp = Tables.load(s, d, "documents")
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_toks"),
+        when(size(toks) > 0,
+          md5(array_join(sort_array(array_distinct(toks)), "|").cast("binary")))
+          .as("fp"))
+    val byFp = Window.partitionBy("fp")
+    val keeperW = Window.partitionBy("fp")
+      .orderBy(col("n_toks").desc, col("doc_id"))
+    fp.select(col("doc_id"), col("n_toks"),
+        when(col("fp").isNull, 1L)
+          .otherwise(count(lit(1)).over(byFp)).as("cluster_size"),
+        when(col("fp").isNull, col("doc_id"))
+          .otherwise(first(col("doc_id")).over(keeperW)).as("keeper_id"))
+      .withColumn("is_kept", col("doc_id") === col("keeper_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, dedupIncremental)
+    semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest)
 }

@@ -106,6 +106,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pu(0) == 255.toByte && pu(1) == 0 && pu(2) == 0)
   }
 
+  test("encode/decode round-trip is the identity for arbitrary rasters") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 50) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val c = if (rnd.nextBoolean()) 3 else 1
+      val pixels = Array.fill[Byte](w * h * c)(rnd.nextInt(256).toByte)
+      val Right((m, p)) = Multimodal.decodeNetpbm(
+        Multimodal.encodeNetpbm(w, h, c, pixels))
+      assert(m.width == w && m.height == h && m.channels == c, s"trial $trial")
+      assert(p.toSeq == pixels.toSeq, s"trial $trial")
+    }
+  }
+
   test("ppmAssetsFromDocuments: every synthesized payload decodes; " +
     "raster embeds the document bytes") {
     val assets = Multimodal.ppmAssetsFromDocuments(spark, SharedSpark.sf001)
