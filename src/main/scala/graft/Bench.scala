@@ -52,6 +52,11 @@ object Bench {
     // headline never mixes failure latencies with real runtimes; the
     // `failed` array is the visibility signal.
     val results = selected.map { case (name, fn) =>
+      // JMH-style hygiene: collect the previous query's garbage OUTSIDE
+      // the timed region — in-suite readings otherwise charge query N
+      // for query N-1's heap (measured 2-3x inflation on the heaviest
+      // neighbors; isolated numbers were never affected).
+      System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -130,7 +130,13 @@ object PlanDump {
         |(graft_fxdot in the scan's project, no component explosion) and
         |equi-joins the broadcast probe buckets; ranking is
         |WindowGroupLimit top-k per probe. The corpus is never shuffled
-        |or all-paired.""".stripMargin)
+        |or all-paired.""".stripMargin,
+    "q_dedup_incremental" ->
+      """Incremental dedup: the NEW batch's band keys broadcast onto the
+        |old side's band index (equi-join on (band, bkey), no
+        |corpus-vs-corpus self-join anywhere); only band-matched
+        |candidate pairs fetch shingle arrays for the exact verify, and
+        |the old corpus is scanned once.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -88,13 +88,17 @@ object KMeansFx {
       iters: Int,
       withCount: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // One materialization of the scaled points, multi-partition (a
-    // 1-partition cache would serialize the distance scans — CLAUDE.md
-    // perf lore); every iteration re-probes it instead of re-reading
-    // and re-scaling the source. Hash-partitioned on the POINT ID so
-    // the per-point argmin window of every Lloyd iteration reuses this
+    // One materialization of the scaled points, hash-partitioned on the
+    // POINT ID so every iteration's per-point argmin window reuses the
     // partitioning instead of re-exchanging the assignment frame each
-    // round (ids are unique -> the spread is as even as round-robin).
+    // round (ids unique -> spread as even as round-robin; a 1-partition
+    // cache would serialize the distance scans — CLAUDE.md perf lore).
+    // The persist is LOAD-BEARING and deliberate: exchange reuse alone
+    // recomputes the toFx scan across the nested iteration plans
+    // (measured 1.6s -> 2.0-3.2s at sf0.1), and an eager localCheckpoint
+    // + unpersist split the job and cost ~50%. The cache is released by
+    // the ContextCleaner when the result frame is dropped; on a shared
+    // cluster wrap fit() calls with your own lifecycle if that matters.
     val pts = emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v"))
       .repartition(emb.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt, col("pid"))

@@ -36,15 +36,16 @@ object PageRank {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // One materialization, hash-partitioned by src: every iteration's
-    // rank join reuses the cached partitioning (only the |V|-sized rank
-    // table shuffles per round; the |E|-sized edge list never moves or
-    // recomputes). The explicit repartition also keeps the cache
-    // multi-partition — a 1-partition InMemoryRelation would serialize
-    // all downstream work (see CLAUDE.md perf lore).
+    // Hash-partitioned by src once: every iteration's rank join carries
+    // an IDENTICAL repartition subtree, so the planner materializes the
+    // exchange once and every round reads it back (ReusedExchange) —
+    // only the |V|-sized rank table shuffles per round; the |E|-sized
+    // edge list never moves or recomputes. (An explicit .persist here
+    // was tried and REVERTED twice: it leaks storage memory past the
+    // call unless eagerly checkpointed, and the eager checkpoint broke
+    // lazy cache fill — 1.5s -> 8.3s at sf0.1.)
     val withDeg = e.join(deg, "src")
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val consts = nodes.agg(count(lit(1)).as("n_nodes"))
