@@ -909,9 +909,87 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** Train/eval near-dup LEAKAGE audit: an md5-gated 80/20 document
+    * split (the [[graft.queries.ScaleOps.splitByKey]] gate) is
+    * leakage-safe only for EXACT duplicates — a near-duplicate pair
+    * straddling the boundary still inflates eval scores. This query
+    * lists every verified near-dup pair (minhash candidates, Jaccard
+    * >= 0.5 — the [[minhashLsh]] chain) whose members land in
+    * DIFFERENT splits, oriented (train_doc, eval_doc) — the
+    * pre-training eval-hygiene check run before any held-out score is
+    * trusted.
+    *
+    * Shape at 100TB: identical to [[minhashLsh]] (banded candidates,
+    * broadcast verify) plus a map-side split gate — the audit costs
+    * one extra projection over the dedup pass you already run. */
+  val splitLeakage: Q = Q(
+    "q_split_leakage",
+    s"""WITH $shingleSql,
+       |perm AS (SELECT unnest(range(0, 8)) AS p),
+       |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+       |       FROM sh, perm GROUP BY doc_id, p),
+       |bands AS (SELECT doc_id, p // 2 AS band,
+       |                 string_agg(mh, '|' ORDER BY p) AS bkey
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |$jaccardSql,
+       |ver AS (SELECT c.doc_a, c.doc_b, j.jaccard,
+       |          md5(CAST(c.doc_a AS VARCHAR)) < 'cc' AS train_a,
+       |          md5(CAST(c.doc_b AS VARCHAR)) < 'cc' AS train_b
+       |        FROM cand c JOIN jac j
+       |          ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+       |        WHERE j.jaccard >= 0.5)
+       |SELECT CASE WHEN train_a THEN doc_a ELSE doc_b END AS train_doc,
+       |       CASE WHEN train_a THEN doc_b ELSE doc_a END AS eval_doc,
+       |       jaccard
+       |FROM ver WHERE train_a <> train_b
+       |ORDER BY train_doc, eval_doc""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), Text.shingleSetUdf(3)(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val withSig = docs.select(
+      col("doc_id"), Text.md5MinhashSigUdf(8)(col("shs")).as("sig"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|",
+          element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bkey")))
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def isTrain(c: org.apache.spark.sql.Column) =
+      md5(c.cast("string").cast("binary")) < "cc"
+    broadcast(cand)
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("common"),
+        size(col("sa")).cast(LongType).as("n_a"),
+        size(col("sb")).cast(LongType).as("n_b"))
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("train_a", isTrain(col("doc_a")))
+      .withColumn("train_b", isTrain(col("doc_b")))
+      .filter(col("train_a") =!= col("train_b"))
+      .select(
+        when(col("train_a"), col("doc_a")).otherwise(col("doc_b")).as("train_doc"),
+        when(col("train_a"), col("doc_b")).otherwise(col("doc_a")).as("eval_doc"),
+        col("jaccard"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest)
+    semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest, splitLeakage)
 }
