@@ -404,8 +404,59 @@ object TextQueries {
       .orderBy("w1", "w2")
   }
 
+  /** C4/Gopher-style quality GATE: the filter DECISION layered on the
+    * [[textQuality]] feature expressions (too short -> low lexical
+    * diversity -> no stopwords, first failing rule wins), aggregated to
+    * per-source survival stats — the go/no-go a corpus curation run
+    * actually consumes, not just the raw signals. Ratio rules never
+    * decide for token-less docs (the short rule catches them first), so
+    * the div-by-zero semantics of either engine are unreachable.
+    *
+    * Shape at 100TB: entirely map-side feature math + one aggregate on
+    * the (tiny) source key. */
+  val qualityGate: Q = Q(
+    "q_quality_gate",
+    """WITH t AS (SELECT doc_id, source,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |r AS (SELECT source,
+      |  CASE WHEN len(toks) < 20 THEN 'too_short'
+      |       WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.35
+      |         THEN 'low_diversity'
+      |       WHEN CAST(len(list_filter(toks,
+      |              x -> x IN ('the','and','of','to','in','is','a'))) AS DOUBLE)
+      |            / len(toks) < 0.01 THEN 'no_stopwords'
+      |       ELSE 'pass' END AS reason
+      |  FROM t)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN reason = 'pass' THEN 1 END) AS n_passed,
+      |  COUNT(CASE WHEN reason = 'too_short' THEN 1 END) AS n_short,
+      |  COUNT(CASE WHEN reason = 'low_diversity' THEN 1 END) AS n_low_diversity,
+      |  COUNT(CASE WHEN reason = 'no_stopwords' THEN 1 END) AS n_no_stopwords,
+      |  CAST(COUNT(CASE WHEN reason = 'pass' THEN 1 END) AS DOUBLE) / COUNT(*)
+      |    AS pass_rate
+      |FROM r GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val feats = Text.qualityFeatures(col("text")).toMap
+    val reason =
+      when(feats("n_tokens") < 20, "too_short")
+        .when(feats("distinct_ratio") < 0.35, "low_diversity")
+        .when(feats("stopword_ratio") < 0.01, "no_stopwords")
+        .otherwise("pass")
+    Tables.load(s, d, "documents")
+      .select(col("source"), reason.as("reason"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("reason") === "pass", 1)).as("n_passed"),
+        count(when(col("reason") === "too_short", 1)).as("n_short"),
+        count(when(col("reason") === "low_diversity", 1)).as("n_low_diversity"),
+        count(when(col("reason") === "no_stopwords", 1)).as("n_no_stopwords"))
+      .withColumn("pass_rate",
+        col("n_passed").cast(DoubleType) / col("n_docs"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
-    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm)
+    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm, qualityGate)
 }
