@@ -52,10 +52,18 @@ object Bench {
     // headline never mixes failure latencies with real runtimes; the
     // `failed` array is the visibility signal.
     val results = selected.map { case (name, fn) =>
-      // JMH-style hygiene: collect the previous query's garbage OUTSIDE
-      // the timed region — in-suite readings otherwise charge query N
-      // for query N-1's heap (measured 2-3x inflation on the heaviest
-      // neighbors; isolated numbers were never affected).
+      // JMH-style hygiene, both OUTSIDE the timed region:
+      // 1) Drop every persisted relation left by the previous query —
+      //    persists whose lifecycle is owned by the query body (e.g. the
+      //    load-bearing KMeansFx point cache) otherwise stay resident
+      //    across the suite and charge later queries for their heap
+      //    (driver artifact read 3x the isolated time on the two
+      //    queries after the k-means caches). Each query rebuilds its
+      //    own caches inside its timed region, same as an isolated run.
+      // 2) Collect the previous query's garbage — in-suite readings
+      //    otherwise charge query N for query N-1's heap (measured
+      //    2-3x inflation on the heaviest neighbors).
+      spark.sharedState.cacheManager.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val ok =

@@ -28,6 +28,15 @@ object Profile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[profile] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+      // the pre-execution formatted plan hides AQE's runtime stage
+      // reuse — drive one plan to completion and print its FINAL
+      // adaptive form, where ReusedExchange/ReusedSubquery show
+      if (i == 1) {
+        val qe = fn(spark, sfDir).queryExecution
+        qe.executedPlan.execute()
+          .foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+        println("[profile] final adaptive plan:\n" + qe.executedPlan.toString)
+      }
     }
     spark.stop()
   }

@@ -68,7 +68,14 @@ object BloomFilter {
   /** Column form: `dim.agg(BloomFilter.agg(col("key")))` → one
     * array<bigint> row, small enough to broadcast. Size for the
     * expected distinct count: m ≈ 10·n bits keeps fp under ~1%
-    * at k = 4. */
+    * at k = 4.
+    *
+    * COUPLING: probes must use the SAME `numHashes` — pass it as the
+    * third argument of `graft_bloom_might_contain(words, key, k)`
+    * whenever it differs from the shared default 4
+    * ([[graft.plans.BloomMightContain.NumHashes]]); a mismatched k
+    * yields false NEGATIVES (wrongly pruned rows), not just extra
+    * false positives. */
   def agg(keyCol: Column, numBits: Int = 1 << 13, numHashes: Int = 4): Column =
     udaf(Agg(numBits, numHashes)).apply(keyCol)
 

@@ -249,12 +249,24 @@ object Multimodal {
   /** Build VALID 8-pixel-wide P6 payloads from the documents table
     * (text bytes as the raster, zero-padded to the row stride), so the
     * decode pipeline exercises the real codec end-to-end on driver
-    * testdata. Deterministic: same text → same payload bytes. */
+    * testdata. Deterministic: same text → same payload bytes.
+    *
+    * Same ASCII contract as [[assetsFromDocuments]]: the decode oracle
+    * (q_multimodal_decode) replays the raster with char-based ascii()/
+    * length(), exact only when bytes == chars — a non-ASCII document
+    * must fail loudly here, not silently break the oracle hash. */
   def ppmAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     val w = 8
     graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        when(col("text").isNull ||
+          octet_length(encode(col("text"), "UTF-8")) === length(col("text")),
+          col("text"))
+          .otherwise(raise_error(concat(
+            lit("non-ASCII document (byte!=char offsets break the "),
+            lit("decode oracle): "), col("doc_id"))))
+          .as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>

@@ -19,11 +19,20 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
   * Spark's own `might_contain` is internal-only (and bound to its
   * sketch layout); this probe matches the deterministic aggregate in
   * `BloomFilter.Agg`, whose layout is part of graft's contract.
+  *
+  * `numHashes` MUST equal the k the filter was built with
+  * ([[graft.functions.BloomFilter.agg]]'s `numHashes`): a mismatched k
+  * probes different bit positions and yields FALSE NEGATIVES (rows
+  * wrongly pruned), not just extra false positives. The SQL function
+  * takes it as an optional third foldable-int argument —
+  * `graft_bloom_might_contain(words, key[, num_hashes])` — defaulting
+  * to [[BloomMightContain.NumHashes]], the `agg` default.
   */
-case class BloomMightContain(left: Expression, right: Expression)
+case class BloomMightContain(left: Expression, right: Expression,
+    numHashes: Int = BloomMightContain.NumHashes)
     extends BinaryExpression {
 
-  private val numHashes = BloomMightContain.NumHashes
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -57,4 +66,24 @@ case class BloomMightContain(left: Expression, right: Expression)
 object BloomMightContain {
   /** Matches [[graft.functions.BloomFilter.agg]]'s default k. */
   val NumHashes = 4
+
+  /** SQL-registration builder: 2 args use the default k; a third arg
+    * must be a foldable integer literal naming the k the filter was
+    * built with (a non-literal k can't be validated at plan time and
+    * a wrong k silently false-negatives — fail analysis instead). */
+  def fromChildren(children: Seq[Expression]): BloomMightContain =
+    children match {
+      case Seq(w, k) => BloomMightContain(w, k)
+      case Seq(w, k, n) =>
+        val v = if (n.foldable) n.eval() else null
+        v match {
+          case i: Int => BloomMightContain(w, k, i)
+          case l: Long => BloomMightContain(w, k, l.toInt)
+          case _ => throw new IllegalArgumentException(
+            "graft_bloom_might_contain: third argument (num_hashes) must " +
+              s"be a foldable integer literal, got $n")
+        }
+      case _ => throw new IllegalArgumentException(
+        s"graft_bloom_might_contain takes 2 or 3 arguments, got ${children.size}")
+    }
 }

@@ -35,7 +35,10 @@ case class FxSqDist(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // fail loud on dimension mismatch (like the Scala UDF this replaced):
+    // a silent min-length loop would turn a caller's dim bug into a
+    // plausible-but-wrong distance
+    val n = FxSqDist.checkedLen(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -53,7 +56,8 @@ case class FxSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val dv = ctx.freshName("d")
       s"""
-        |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        |int $n = graft.plans.FxSqDist.checkedLen(
+        |  $x.numElements(), $y.numElements());
         |long $acc = 0L;
         |for (int $i = 0; $i < $n; $i++) {
         |  long $dv = $x.getLong($i) - $y.getLong($i);
@@ -66,4 +70,13 @@ case class FxSqDist(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object FxSqDist {
+  /** Static forwarder shared by eval and generated code (janino-visible). */
+  def checkedLen(a: Int, b: Int): Int = {
+    if (a != b) throw new IllegalArgumentException(
+      s"graft_fxsqdist: array length mismatch: $a vs $b")
+    a
+  }
 }

@@ -26,7 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "graft_bloom_might_contain"),
-      (children: Seq[Expression]) => BloomMightContain(children(0), children(1))))
+      (children: Seq[Expression]) => BloomMightContain.fromChildren(children)))
     ext.injectFunction((
       FunctionIdentifier("graft_fxsqdist"),
       new ExpressionInfo(classOf[FxSqDist].getName, "graft_fxsqdist"),

@@ -223,8 +223,14 @@ object Analytics {
       |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
     val li = Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_partkey").distinct()
+    // merge hints on BOTH sides of the pair self-join: the planner would
+    // otherwise broadcast one side and RECOMPUTE the distinct subplan for
+    // it; the hinted SMJ feeds both sides from one reused exchange
+    // (CLAUDE.md self-join lore, same shape as the Jaccard join).
     val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .hint("merge")
     val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("part_b"))
+      .hint("merge")
     a.join(b, col("l_orderkey") === col("okey_b") && col("part_a") < col("part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_orders"))
@@ -269,11 +275,14 @@ object Analytics {
     // undirected degree of every vertex in the co-purchase edge set
     val deg = e.select(col("a").as("x")).unionAll(e.select(col("b").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
-    // orient each edge lower-(degree, id) -> higher, carrying the
-    // destination's (degree, id) so wedge generation needs no new join
+    // attach BOTH endpoint degrees via two broadcast joins of the SAME
+    // deg subtree: the two broadcast sides canonicalize identically, so
+    // one BroadcastExchange is built and reused — deg is computed once
+    // and the edge list never shuffles for orientation (the unhinted
+    // form re-planned each deg join as its own exchange over e)
     val ed = e
-      .join(deg.select(col("x").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("x").as("b"), col("deg").as("db")), "b")
+      .join(broadcast(deg.select(col("x").as("a"), col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("x").as("b"), col("deg").as("db"))), "b")
       .select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           struct(col("a").as("src"), col("b").as("dst"),
@@ -284,8 +293,11 @@ object Analytics {
     // wedges at the lowest-ordered corner: (src -> m -> n) with m
     // before n in (degree, id) order, so the closing edge, if present,
     // is oriented exactly (m -> n)
-    val wedges = ed.toDF("s", "m", "mdeg")
-      .join(ed.toDF("s", "n", "ndeg"), "s")
+    // merge hints pin the wedge self-join to SMJ so the oriented edge
+    // list materializes ONCE (ReusedExchange — the planner would rather
+    // broadcast one side and recompute the whole ed subtree for it)
+    val wedges = ed.toDF("s", "m", "mdeg").hint("merge")
+      .join(ed.toDF("s", "n", "ndeg").hint("merge"), "s")
       .filter(struct(col("mdeg"), col("m")) < struct(col("ndeg"), col("n")))
     val tri = wedges
       .join(ed.select(col("src").as("m"), col("dst").as("n")),

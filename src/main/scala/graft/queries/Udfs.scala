@@ -129,15 +129,69 @@ object Udfs {
   }
 
   /** The reference's etl.sh on the golden BQRow fixture — reference-
-    * fidelity surface (schema + quirks), rows-only check: the fixture
-    * is hand-built, not driver data, so no DuckDB oracle. Expected
-    * output is hand-verified in BitcoinSpec. */
-  val bitcoinEtlGolden: Q = Q.noOracle("q_bitcoin_etl_golden") { (s, _) =>
-    // Driver-visible projection is scalar-only: the nested input/output
-    // struct arrays are serialized via to_json (binary -> base64 inside).
-    graft.ingest.Bitcoin.etl(graft.ingest.Bitcoin.goldenBlocks(s))
-      .withColumn("inputs", to_json(col("inputs")))
-      .withColumn("outputs", to_json(col("outputs")))
+    * fidelity surface (schema + quirks), now under a FULL DuckDB oracle
+    * (r6): the query writes the nested fixture to a deterministic
+    * parquet path and runs the ETL on the READ-BACK frame, so engine
+    * and oracle consume the exact same file; the oracle replays
+    * etl.sh:5-33 verbatim — ROW_NUMBER dedup (safe orderless: the b1
+    * duplicate rows are bit-identical), inner UNNEST(transactions)
+    * (b2 vanishes), star projection dropping difficultyTarget — over
+    * the same nested parquet. The nested input/output struct arrays are
+    * scalarized as ordered field-joined strings on BOTH sides
+    * (Spark transform+array_join ↔ DuckDB list_transform+
+    * array_to_string; '~' is the null sentinel, distinguishing null
+    * pubkeys from the coinbase's quirk-preserving "" — Spark to_json
+    * was unreplayable: it silently drops null struct fields), so every
+    * quirk sits inside the hash. */
+  private val GoldenBlocksPath = "/tmp/graft-golden/blocks.parquet"
+
+  val bitcoinEtlGolden: Q = Q(
+    "q_bitcoin_etl_golden",
+    s"""WITH b AS (SELECT * FROM '$GoldenBlocksPath/*.parquet'),
+      |d AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY block_id) AS rn FROM b),
+      |t AS (SELECT d.*, unnest(transactions) AS tx FROM d WHERE rn = 1)
+      |SELECT t."timestamp", tx.transaction_id AS transaction_id,
+      |  array_to_string(list_transform(tx.inputs, i -> concat(
+      |    coalesce(hex(i.input_script_bytes), '~'), ':',
+      |    coalesce(i.input_script_string, '~'), ':',
+      |    coalesce(i.input_script_string_error, '~'), ':',
+      |    CAST(i.input_sequence_number AS VARCHAR), ':',
+      |    coalesce(i.input_pubkey_base58, '~'), ':',
+      |    coalesce(i.input_pubkey_base58_error, '~'))), '|') AS inputs,
+      |  array_to_string(list_transform(tx.outputs, o -> concat(
+      |    coalesce(CAST(o.output_satoshis AS VARCHAR), '~'), ':',
+      |    coalesce(hex(o.output_script_bytes), '~'), ':',
+      |    coalesce(o.output_script_string, '~'), ':',
+      |    coalesce(o.output_script_string_error, '~'), ':',
+      |    coalesce(o.output_pubkey_base58, '~'), ':',
+      |    coalesce(o.output_pubkey_base58_error, '~'))), '|') AS outputs,
+      |  block_id, previous_block, merkle_root, nonce, version,
+      |  work_terahash, work_error
+      |FROM t ORDER BY block_id, transaction_id""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.Column
+    graft.ingest.Bitcoin.goldenBlocks(s).coalesce(1)
+      .write.mode("overwrite").parquet(GoldenBlocksPath)
+    val blocks = s.read.parquet(GoldenBlocksPath)
+    def fld(c: Column): Column = coalesce(c.cast("string"), lit("~"))
+    def rowFmt(e: Column, fields: Seq[(String, Boolean)]): Column =
+      concat_ws(":", fields.map { case (f, isHex) =>
+        fld(if (isHex) hex(e.getField(f)) else e.getField(f))
+      }: _*)
+    graft.ingest.Bitcoin.etl(blocks)
+      .withColumn("inputs", array_join(
+        transform(col("inputs"), i => rowFmt(i, Seq(
+          "input_script_bytes" -> true, "input_script_string" -> false,
+          "input_script_string_error" -> false,
+          "input_sequence_number" -> false,
+          "input_pubkey_base58" -> false,
+          "input_pubkey_base58_error" -> false))), "|"))
+      .withColumn("outputs", array_join(
+        transform(col("outputs"), o => rowFmt(o, Seq(
+          "output_satoshis" -> false, "output_script_bytes" -> true,
+          "output_script_string" -> false,
+          "output_script_string_error" -> false,
+          "output_pubkey_base58" -> false,
+          "output_pubkey_base58_error" -> false))), "|"))
       .orderBy("block_id", "transaction_id")
   }
 

@@ -150,7 +150,15 @@ object Streams {
     * the stream on every restart. The pointer itself is the replay
     * marker: if LATEST is already at or past this batch, the merge
     * committed — skip. (Crash BEFORE the pointer commit replays into a
-    * directory nothing reads, so the overwrite is safe.) */
+    * directory nothing reads, so the overwrite is safe.)
+    *
+    * LIFECYCLE: tableDir and checkpointLocation must be paired — a
+    * FRESH checkpoint (batchIds restarting at 0) pointed at an
+    * EXISTING tableDir looks exactly like replay, and every early
+    * batch would be skipped until batchId catches up to the stale
+    * pointer. True replay re-runs only the single in-flight batch, so
+    * batchId strictly below the committed version can never be replay
+    * — that case fails loudly instead of silently dropping data. */
   def mergeBatch(
       batch: DataFrame,
       batchId: Long,
@@ -158,7 +166,13 @@ object Streams {
       seqCol: String,
       tableDir: String,
       opCol: String = "op"): Unit = {
-    if (currentVersion(tableDir).exists(_ >= batchId)) return
+    val committed = currentVersion(tableDir)
+    if (committed.exists(_ > batchId)) throw new IllegalStateException(
+      s"mergeBatch: batchId $batchId is behind committed version " +
+        s"v${committed.get} at $tableDir — a fresh checkpoint is pointed " +
+        "at an existing table directory (pair tableDir and " +
+        "checkpointLocation lifecycles, or start a new tableDir)")
+    if (committed.contains(batchId)) return // checkpoint replay: already merged
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
     val latest = batch

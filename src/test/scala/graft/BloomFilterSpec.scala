@@ -67,4 +67,25 @@ class BloomFilterSpec extends AnyFunSuite {
     // and the inserted prefix is all-true (no false negatives via codegen)
     assert(members.take(100).forall(got(_)))
   }
+
+  test("3-arg probe matches a filter built with k != 4 (no false negatives)") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val agg6 = BloomFilter.Agg(numBits = 1 << 13, numHashes = 6)
+    val bf6 = members.foldLeft(agg6.zero)(agg6.reduce)
+    val hits = members.take(200).toDF("k")
+      .withColumn("bf", typedLit(bf6))
+      .select(call_function("graft_bloom_might_contain",
+        col("bf"), col("k"), lit(6)).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(hits.forall(identity),
+      "k=6 filter probed with k=6 must have no false negatives")
+    // the old silent trap: probing the k=6 filter with the default k=4
+    // need not agree with the k=6 probe — the 3rd arg exists so callers
+    // can say which filter they built; here we only pin that the typed
+    // Seq probe and the SQL 3-arg probe agree on every key
+    val seqHits = members.take(200).map(BloomFilter.mightContain(bf6, 6, _))
+    assert(seqHits.forall(identity))
+  }
 }

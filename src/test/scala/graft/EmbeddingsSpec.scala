@@ -23,6 +23,26 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(diffs < 1e-6, s"max diff $diffs")
   }
 
+  test("graft_fxsqdist fails loudly on array length mismatch (a dim bug " +
+    "must not become a plausible-but-wrong distance)") {
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_fxsqdist", col("a"), col("b"))).collect()
+    }
+    // Spark wraps the executor-side exception; check the root message
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("array length mismatch")),
+      s"unexpected failure: $e")
+    // equal lengths still compute exactly
+    val ok = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .select(call_function("graft_fxsqdist", col("a"), col("b")))
+      .head.getLong(0)
+    assert(ok == 8L)
+  }
+
   test("native cosine null semantics: null array and zero vector -> null") {
     import spark.implicits._
     val df = Seq(

@@ -220,4 +220,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.currentVersion(table).contains(1L))
     assert(snapshot() == committed)
   }
+
+  test("upsert sink fails loudly when a fresh checkpoint (batchId " +
+    "restarting at 0) is pointed at an existing table dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    val table = s"$dir/table"
+    val b = Seq((1L, 1L, "a1", "upsert")).toDF("k", "seq", "v", "op")
+    Streams.mergeBatch(b, 0L, "k", "seq", table)
+    Streams.mergeBatch(b, 1L, "k", "seq", table)
+    // true replay only ever re-runs the in-flight batch (== committed);
+    // strictly-below means a mismatched checkpoint — previously every
+    // early batch was silently dropped until batchId caught up
+    val e = intercept[IllegalStateException] {
+      Streams.mergeBatch(b, 0L, "k", "seq", table)
+    }
+    assert(e.getMessage.contains("behind committed version"))
+  }
 }
