@@ -63,7 +63,14 @@ object Bench {
       // 2) Collect the previous query's garbage — in-suite readings
       //    otherwise charge query N for query N-1's heap (measured
       //    2-3x inflation on the heaviest neighbors).
-      spark.sharedState.cacheManager.clearCache()
+      // BLOCKING unpersist: clearCache() alone schedules block removal
+      // asynchronously, and the cleanup threads would overlap the next
+      // query's timed region. SPARK_GRAFT_NOCLEAR=1 is the A/B control.
+      if (!sys.env.contains("SPARK_GRAFT_NOCLEAR")) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
+      }
       System.gc()
       val t0 = System.nanoTime()
       val ok =

@@ -53,6 +53,27 @@ class IngestSpec extends AnyFunSuite {
     assert(files.exists(_.startsWith("1970.01.01.02.00.00")))
   }
 
+  test("AvroSink: rapid re-writes into one directory never truncate " +
+    "(per-invocation suffix keeps same-bucket file names distinct)") {
+    val out = Files.createTempDirectory("avrosink-retrigger").toString
+    import spark.implicits._
+    // identical rows, identical time bucket, back-to-back writes — the
+    // deterministic stamp-p<pid> prefix COLLIDES by construction, and
+    // DataFileWriter.create would silently truncate the first file if
+    // the suffix didn't disambiguate invocations
+    val df = Seq((0L, "a", Some(1.0)), (1000L, "b", Some(2.0)))
+      .toDF("ts_ms", "name", "value")
+    AvroSink.write(df, "ts_ms", rotationSeconds = 60, outDir = out)
+    AvroSink.write(df, "ts_ms", rotationSeconds = 60, outDir = out)
+    val rows = AvroSink.readAll(out)
+    assert(rows.size == 4, s"expected 4 rows (2 writes x 2), got ${rows.size}")
+    assert(rows.map(_("name")).count(_ == "a") == 2)
+    // same stamp prefix, distinct full names
+    val files = new File(out).listFiles().map(_.getName)
+    assert(files.length == files.distinct.length)
+    assert(files.forall(_.startsWith("1970.01.01.00.00.00")))
+  }
+
   test("Blocks.nested: empty-tx blocks get [], duplicates injected 1-in-10") {
     val blocks = Blocks.nested(spark, SharedSpark.sf001).cache()
     assert(blocks.filter(col("transactions").isNull).count() == 0)

@@ -213,6 +213,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(naive.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("token packing's driver collect is bucket totals, not rows: P " +
+      "stays ceil(idRange/bucketSize) for dense ids, bounded by rows always") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the documented scale-safety claim (Packing.scala): phase 1 collects
+    // P = bucket-count rows; ids bucket by id div B, so a dense id space
+    // of n docs collects ceil(n/B) values — 1000x fewer than rows here
+    val n = 10000L
+    val b = 1000L
+    val dense = spark.range(n).toDF("doc_id")
+      .withColumn("n_tokens", col("doc_id") % 37 + 1)
+    def bucketCount(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(expr(s"doc_id div $b")).distinct().count()
+    assert(bucketCount(dense) == (n + b - 1) / b)
+    // sparse/adversarial ids degrade P toward n (one doc per bucket) but
+    // never past it — the collect can never exceed the row count
+    val sparse = spark.range(100).select((col("id") * 1000000L).as("doc_id"))
+      .withColumn("n_tokens", lit(1L))
+    assert(bucketCount(sparse) <= 100)
+    // and the offsets stay correct in both regimes
+    val packedDense = graft.ops.Packing
+      .withGlobalOffsets(dense, "doc_id", "n_tokens", bucketSize = b)
+    val total = dense.agg(sum("n_tokens")).head.getLong(0)
+    val lastEnd = packedDense
+      .orderBy(col("doc_id").desc).limit(1)
+      .select(col("start_tok") + col("n_tokens")).head.getLong(0)
+    assert(lastEnd == total, "exclusive-end of the last doc must equal the corpus total")
+  }
+
   test("Merge.upsert applies updates, inserts, deletes; untouched rows intact") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")
