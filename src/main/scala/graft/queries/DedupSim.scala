@@ -987,9 +987,159 @@ object DedupSim {
       .orderBy("train_doc", "eval_doc")
   }
 
+  /** Exact cross-document substring dedup (the Lee et al. 2107.06499
+    * "Deduplicating Training Data" primitive): maximal repeated
+    * substrings of length >= 25 chars between document pairs, at
+    * ARBITRARY alignment — the substring-level complement of the
+    * chunk-aligned passage miner (q_dup_passages).
+    *
+    * Pipeline: winnow anchors WITH positions ([[graft.text.Winnow
+    * .anchors]], k=8 w=4 — content-based sampling, so a shared
+    * substring picks the SAME anchors in both docs regardless of
+    * offset) -> df-capped inverted index (hot boilerplate anchors
+    * excluded, the shingle-df-cap pattern) -> candidate (pair,
+    * diagonal) groups where diagonal = pos_a - pos_b; a true match of
+    * length >= 25 contains >= 3 disjoint full winnow windows strictly
+    * inside it, so requiring >= 2 aligned shared anchors per diagonal
+    * prunes single-gram coincidences without losing any reportable
+    * match -> one verified maximal extension per diagonal from its
+    * FIRST shared anchor (compiled char-loop UDF; a 64-bit hash
+    * collision fails k-gram verification and reports nothing).
+    *
+    * Scale shape: anchor UDF behind repartition (narrow), one shuffle
+    * on anchor hash for the index + merge-hinted self-join (one reused
+    * exchange), one groupBy on (pair, diagonal), two doc-keyed joins to
+    * attach texts only for surviving diagonals. No all-pairs anywhere;
+    * the extension touches only supported candidates.
+    *
+    * FULL ORACLE: DuckDB replays the k=8 rolling hash as HUGEINT
+    * residues (coefficients pre-reduced mod 2^64 so terms stay far from
+    * the 128-bit bound), the packed rightmost-min winnow selection, the
+    * df cap, the diagonal support filter, and the maximal extension as
+    * correlated MAX(l)-over-range scans (prefix/suffix equality is
+    * monotone in l, so MAX over the equality predicate equals the
+    * engine's contiguous char walk). */
+  val substringDedup: Q = Q(
+    "q_dedup_substring",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT unnest(range(1,
+      |    (SELECT MAX(length(text)) FROM documents) + 1)) AS i),
+      |g AS (SELECT doc_id, i,
+      |    (  ascii(substr(text, i,     1)) * CAST(12924618581234127435 AS HUGEINT)
+      |     + ascii(substr(text, i + 1, 1)) * CAST(10923514805226455897 AS HUGEINT)
+      |     + ascii(substr(text, i + 2, 1)) * CAST(14453212906556403763 AS HUGEINT)
+      |     + ascii(substr(text, i + 3, 1)) * CAST(14003818205314896721 AS HUGEINT)
+      |     + ascii(substr(text, i + 4, 1)) * CAST(1000009000027000027 AS HUGEINT)
+      |     + ascii(substr(text, i + 5, 1)) * CAST(1000006000009 AS HUGEINT)
+      |     + ascii(substr(text, i + 6, 1)) * CAST(1000003 AS HUGEINT)
+      |     + ascii(substr(text, i + 7, 1))) % 18446744073709551616 AS h
+      |  FROM d, pos WHERE i <= n - 7),
+      |ng AS (SELECT doc_id, n - 7 AS ngrams FROM d WHERE n >= 8),
+      |pk AS (SELECT doc_id, i, h,
+      |    h * 4294967296 + (4294967295 - i) AS packed FROM g),
+      |wmin AS (SELECT doc_id, i AS s,
+      |    MIN(packed) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mp
+      |  FROM pk),
+      |selw AS (SELECT DISTINCT w.doc_id,
+      |    CAST(4294967295 - (w.mp % 4294967296) AS BIGINT) AS p,
+      |    w.mp // 4294967296 AS h
+      |  FROM wmin w JOIN ng ON w.doc_id = ng.doc_id
+      |  WHERE ng.ngrams > 4 AND w.s <= ng.ngrams - 3),
+      |degen AS (SELECT pk.doc_id,
+      |    CAST(4294967295 - (MIN(pk.packed) % 4294967296) AS BIGINT) AS p,
+      |    MIN(pk.packed) // 4294967296 AS h
+      |  FROM pk JOIN ng ON pk.doc_id = ng.doc_id
+      |  WHERE ng.ngrams <= 4 GROUP BY pk.doc_id),
+      |anch AS (SELECT doc_id, p, h FROM selw
+      |         UNION ALL SELECT doc_id, p, h FROM degen),
+      |idx AS (SELECT * FROM anch WHERE h NOT IN
+      |    (SELECT h FROM anch GROUP BY h HAVING COUNT(*) > 64)),
+      |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa, b.p AS pb
+      |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id),
+      |dgg AS (SELECT da, db, pa - pb AS dg, MIN(pa) AS pa
+      |  FROM cand GROUP BY da, db, pa - pb HAVING COUNT(*) >= 2),
+      |wt AS (SELECT dgg.da, dgg.db, dgg.pa, dgg.pa - dgg.dg AS pb,
+      |    ta.text AS xa, ta.n AS na, tb.text AS xb, tb.n AS nb
+      |  FROM dgg JOIN d ta ON dgg.da = ta.doc_id
+      |           JOIN d tb ON dgg.db = tb.doc_id
+      |  WHERE substr(ta.text, dgg.pa, 8) =
+      |        substr(tb.text, dgg.pa - dgg.dg, 8)),
+      |ext AS (SELECT da, db, pa, pb, xa,
+      |    COALESCE((SELECT MAX(l)
+      |      FROM (SELECT unnest(range(1, LEAST(pa, pb))) AS l)
+      |      WHERE substr(xa, pa - l, l) = substr(xb, pb - l, l)), 0) AS back,
+      |    COALESCE((SELECT MAX(r)
+      |      FROM (SELECT unnest(range(1, LEAST(na - pa - 7, nb - pb - 7) + 1)) AS r)
+      |      WHERE substr(xa, pa + 8, r) = substr(xb, pb + 8, r)), 0) AS fwd
+      |  FROM wt)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(pa - back AS BIGINT) AS start_a,
+      |  CAST(pb - back AS BIGINT) AS start_b,
+      |  CAST(back + 8 + fwd AS BIGINT) AS match_len,
+      |  md5(substr(xa, pa - back, back + 8 + fwd)) AS match_md5
+      |FROM ext WHERE back + 8 + fwd >= 25
+      |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin) { (s, d) =>
+    val k = 8
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    // compiled anchor kernel behind repartition: single-file input would
+    // otherwise run the whole pass on one core (q_dedup_minhash lesson)
+    val anch = docs
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"),
+        explode(graft.text.Winnow.anchorUdf(k, 4)(col("text"))).as("a"))
+      .select(col("doc_id"), col("a._1").as("p"), col("a._2").as("h"))
+    val hot = anch.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 64).select("h")
+    val idx = anch.join(broadcast(hot), Seq("h"), "left_anti")
+    // merge hints: one reused exchange feeds both sides of the
+    // anchor-hash self-join (the Jaccard-join lore)
+    val candA = idx.select(col("h"), col("doc_id").as("da"), col("p").as("pa"))
+      .hint("merge")
+    val candB = idx.select(col("h").as("hb"), col("doc_id").as("db"), col("p").as("pb"))
+      .hint("merge")
+    val diag = candA
+      .join(candB, col("h") === col("hb") && col("da") < col("db"))
+      .groupBy(col("da"), col("db"), (col("pa") - col("pb")).as("dg"))
+      .agg(min(col("pa")).as("pa"), count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("da"), col("db"), col("pa"), (col("pa") - col("dg")).as("pb"))
+    // (back, fwd) maximal extension around the 1-based anchors, or null
+    // when the k-gram itself fails verification (64-bit hash collision)
+    val extend = udf { (xa: String, paL: Long, xb: String, pbL: Long) =>
+      val pa = paL.toInt; val pb = pbL.toInt
+      if (!xa.regionMatches(pa - 1, xb, pb - 1, k)) null
+      else {
+        var back = 0
+        while (pa - 1 - back > 0 && pb - 1 - back > 0 &&
+          xa.charAt(pa - 2 - back) == xb.charAt(pb - 2 - back)) back += 1
+        var fwd = 0
+        while (pa - 1 + k + fwd < xa.length && pb - 1 + k + fwd < xb.length &&
+          xa.charAt(pa - 1 + k + fwd) == xb.charAt(pb - 1 + k + fwd)) fwd += 1
+        (back.toLong, fwd.toLong)
+      }
+    }
+    diag
+      .join(docs.select(col("doc_id").as("da"), col("text").as("xa")), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("text").as("xb")), Seq("db"))
+      .withColumn("bf", extend(col("xa"), col("pa"), col("xb"), col("pb")))
+      .filter(col("bf").isNotNull)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("pa") - col("bf._1")).as("start_a"),
+        (col("pb") - col("bf._1")).as("start_b"),
+        (col("bf._1") + k + col("bf._2")).as("match_len"),
+        col("xa"))
+      .filter(col("match_len") >= 25)
+      .withColumn("match_md5",
+        md5(expr("substring(xa, cast(start_a as int), cast(match_len as int))")))
+      .drop("xa")
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest, splitLeakage)
+    semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest, splitLeakage,
+    substringDedup)
 }

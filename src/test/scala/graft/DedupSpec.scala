@@ -128,4 +128,30 @@ class DedupSpec extends AnyFunSuite {
       .select("cluster").distinct().collect().map(_.getLong(0)).toSet
     assert(smallClusters.forall(_ < 8) && smallClusters.size <= 8)
   }
+
+  test("substring dedup reports the exact maximal planted span at " +
+    "arbitrary alignment, and nothing for unrelated docs") {
+    // planted: docs 1 and 2 share a 60-char run at different offsets,
+    // embedded in otherwise-unrelated text; doc 3 shares nothing long
+    val shared = "the-exact-sixty-character-shared-span-abcdefghijklmnopqrstu!"
+    assert(shared.length == 60)
+    val pre1 = "left-context-one-111 "; val pre2 = "x "
+    val d1 = pre1 + shared + " right-tail-one"
+    val d2 = pre2 + shared + " completely different ending here"
+    val d3 = "nothing in common with the others at all, truly nothing"
+    val dir = java.nio.file.Files.createTempDirectory("substrdedup").toString
+    Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_substring")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // maximal span includes the shared leading space? no — contexts
+    // differ right before the span ('1 ' vs 'x ') except both end in
+    // ' ' -> extension grabs that shared space, and the trailing ' '
+    // after the span too: expected match is ' ' + shared + ' ' = 62
+    val expStartA = pre1.length  // 1-based start of the space before span
+    val expStartB = pre2.length
+    assert(rows.toSeq == Seq((1L, 2L, expStartA.toLong, expStartB.toLong, 62L)),
+      s"got ${rows.toSeq}")
+  }
 }

@@ -37,6 +37,34 @@ class WinnowSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("anchors carry the same hash set as fingerprints, with valid positions") {
+    check(forAll(letters) { s =>
+      val fps = Winnow.fingerprints(s, K, W).toSet
+      val anc = Winnow.anchors(s, K, W)
+      anc.map(_._2).toSet == fps &&
+        anc.forall { case (p, _) => p >= 1 && p <= math.max(0, s.length - K + 1) } &&
+        anc.map(_._1).distinct.length == anc.length
+    })
+  }
+
+  test("anchors: a shared substring of length >= 2 windows + gram aligns " +
+    ">= 2 anchors on one diagonal (the substring-dedup support filter's premise)") {
+    // interior winnow windows see identical context in both docs, so
+    // their picks land at the same in-match offsets — the diagonal
+    // (pos_a - pos_b) is constant across them
+    val shared = "unmistakably-unique-shared-run-0123456789"
+    val a = "aaaabbbbcccc" + shared + "ddddeeee"
+    val b = "zz" + shared + "qqrrssttuuvv"
+    val ancA = Winnow.anchors(a, K, W)
+    val ancB = Winnow.anchors(b, K, W)
+    val diag = (for {
+      (pa, ha) <- ancA
+      (pb, hb) <- ancB if ha == hb
+    } yield pa - pb).groupBy(identity).view.mapValues(_.length)
+    assert(diag.values.exists(_ >= 2),
+      s"expected >=2 aligned shared anchors, got $diag")
+  }
+
   test("guarantee: a shared substring of length >= w + k - 1 shares a fingerprint") {
     // shared block long enough to contain a full winnowing window
     val shared = Gen.listOfN(2 * (W + K - 1), Gen.alphaLowerChar).map(_.mkString)
