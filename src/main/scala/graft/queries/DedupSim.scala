@@ -1080,59 +1080,11 @@ object DedupSim {
       |  md5(substr(xa, pa - back, back + 8 + fwd)) AS match_md5
       |FROM ext WHERE back + 8 + fwd >= 25
       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin) { (s, d) =>
-    val k = 8
-    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-    // compiled anchor kernel behind repartition: single-file input would
-    // otherwise run the whole pass on one core (q_dedup_minhash lesson)
-    val anch = docs
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .select(col("doc_id"),
-        explode(graft.text.Winnow.anchorUdf(k, 4)(col("text"))).as("a"))
-      .select(col("doc_id"), col("a._1").as("p"), col("a._2").as("h"))
-    val hot = anch.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 64).select("h")
-    val idx = anch.join(broadcast(hot), Seq("h"), "left_anti")
-    // merge hints: one reused exchange feeds both sides of the
-    // anchor-hash self-join (the Jaccard-join lore)
-    val candA = idx.select(col("h"), col("doc_id").as("da"), col("p").as("pa"))
-      .hint("merge")
-    val candB = idx.select(col("h").as("hb"), col("doc_id").as("db"), col("p").as("pb"))
-      .hint("merge")
-    val diag = candA
-      .join(candB, col("h") === col("hb") && col("da") < col("db"))
-      .groupBy(col("da"), col("db"), (col("pa") - col("pb")).as("dg"))
-      .agg(min(col("pa")).as("pa"), count(lit(1)).as("sup"))
-      .filter(col("sup") >= 2)
-      .select(col("da"), col("db"), col("pa"), (col("pa") - col("dg")).as("pb"))
-    // (back, fwd) maximal extension around the 1-based anchors, or null
-    // when the k-gram itself fails verification (64-bit hash collision)
-    val extend = udf { (xa: String, paL: Long, xb: String, pbL: Long) =>
-      val pa = paL.toInt; val pb = pbL.toInt
-      if (!xa.regionMatches(pa - 1, xb, pb - 1, k)) null
-      else {
-        var back = 0
-        while (pa - 1 - back > 0 && pb - 1 - back > 0 &&
-          xa.charAt(pa - 2 - back) == xb.charAt(pb - 2 - back)) back += 1
-        var fwd = 0
-        while (pa - 1 + k + fwd < xa.length && pb - 1 + k + fwd < xb.length &&
-          xa.charAt(pa - 1 + k + fwd) == xb.charAt(pb - 1 + k + fwd)) fwd += 1
-        (back.toLong, fwd.toLong)
-      }
-    }
-    diag
-      .join(docs.select(col("doc_id").as("da"), col("text").as("xa")), Seq("da"))
-      .join(docs.select(col("doc_id").as("db"), col("text").as("xb")), Seq("db"))
-      .withColumn("bf", extend(col("xa"), col("pa"), col("xb"), col("pb")))
-      .filter(col("bf").isNotNull)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("pa") - col("bf._1")).as("start_a"),
-        (col("pb") - col("bf._1")).as("start_b"),
-        (col("bf._1") + k + col("bf._2")).as("match_len"),
-        col("xa"))
-      .filter(col("match_len") >= 25)
-      .withColumn("match_md5",
-        md5(expr("substring(xa, cast(start_a as int), cast(match_len as int))")))
-      .drop("xa")
+    // the oracle above replays Substring.repeatedSpans' DEFAULT
+    // constants (k=8, w=4, dfCap=64, minSupport=2, minLen=25) — change
+    // one and the other must follow
+    graft.dedup.Substring
+      .repeatedSpans(Tables.load(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 

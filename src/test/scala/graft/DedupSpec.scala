@@ -129,6 +129,45 @@ class DedupSpec extends AnyFunSuite {
     assert(smallClusters.forall(_ < 8) && smallClusters.size <= 8)
   }
 
+  test("substring dedup: 40 random planted spans all recovered with exact " +
+    "bounds, and every reported span is a true equal substring of both docs") {
+    // disjoint alphabets: contexts of doc 2i from a-m, contexts of doc
+    // 2i+1 from n-z, spans from digits — extension can never cross a
+    // planted boundary, so the expected report is the span exactly
+    val rnd = new scala.util.Random(42)
+    def ctx(alpha: Char, max: Int): String =
+      Seq.fill(rnd.nextInt(max))((alpha + rnd.nextInt(13)).toChar).mkString
+    val cases = (0 until 40).map { i =>
+      // span unique per pair (pair index baked in) so pairs can't cross-match
+      val span = s"<$i>" + Seq.fill(30 + rnd.nextInt(40))(
+        ('0' + rnd.nextInt(10)).toChar).mkString + s"</$i>"
+      val pre1 = ctx('a', 60); val pre2 = ctx('n', 60)
+      (2L * i, pre1 + span + ctx('a', 60),
+        2L * i + 1, pre2 + span + ctx('n', 60),
+        pre1.length + 1L, pre2.length + 1L, span.length.toLong)
+    }
+    val docs = cases.flatMap { case (ia, ta, ib, tb, _, _, _) =>
+      Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+    val got = graft.dedup.Substring.repeatedSpans(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byPair = got.groupBy(t => (t._1, t._2))
+    val texts = cases.flatMap { case (ia, ta, ib, tb, _, _, _) =>
+      Seq(ia -> ta, ib -> tb) }.toMap
+    // soundness: every reported span is a real equal substring
+    got.foreach { case (a, b, sa, sb, len) =>
+      val xa = texts(a).substring(sa.toInt - 1, sa.toInt - 1 + len.toInt)
+      val xb = texts(b).substring(sb.toInt - 1, sb.toInt - 1 + len.toInt)
+      assert(xa == xb, s"reported span differs for pair ($a,$b)")
+    }
+    // completeness + exactness: each planted span reported with its bounds
+    cases.foreach { case (ia, ta, ib, tb, sa, sb, len) =>
+      val rows = byPair.getOrElse((ia, ib), Array.empty)
+      assert(rows.contains((ia, ib, sa, sb, len)),
+        s"pair ($ia,$ib): expected ($sa,$sb,$len), got ${rows.mkString(",")}")
+    }
+  }
+
   test("substring dedup reports the exact maximal planted span at " +
     "arbitrary alignment, and nothing for unrelated docs") {
     // planted: docs 1 and 2 share a 60-char run at different offsets,
