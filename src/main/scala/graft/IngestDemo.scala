@@ -124,6 +124,23 @@ object IngestDemo {
     val live = streaming.Streams.currentSnapshot(spark, s"$outDir/upsert_table")
       .map(_.count()).getOrElse(-1L)
     println(s"[demo] upsert-sink: $live live keys after 2 CDC batches")
+
+    // 6. streaming ingestion dedup: a document stream judged per
+    //    micro-batch against the static corpus index
+    val corpus = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val incoming = MemoryStream[(Long, String)]
+    val dq = streaming.Streams.dedupVerdictSink(
+      incoming.toDF().toDF("doc_id", "text"), corpus,
+      s"$outDir/sdedup_out", s"$outDir/sdedup_ckpt").start()
+    val copyOf0 = corpus.filter(col("doc_id") === 0).select("text")
+      .head.getString(0)
+    incoming.addData((1000000L, copyOf0), (1000001L, "a genuinely novel doc"))
+    dq.processAllAvailable()
+    dq.stop()
+    val verdicts = spark.read.parquet(s"$outDir/sdedup_out/b0")
+      .select("verdict").collect().map(_.getString(0)).sorted
+    println(s"[demo] stream-dedup: verdicts=${verdicts.mkString(",")} " +
+      "for (corpus copy, novel doc)")
     spark.stop()
   }
 }

@@ -805,57 +805,13 @@ object DedupSim {
        |FROM new_fp n LEFT JOIN exact e ON n.doc_id = e.doc_id
        |              LEFT JOIN near nr ON n.doc_id = nr.doc_id
        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+    // the oracle above replays Incremental.verdicts' DEFAULT constants
+    // (md5 minhash sig 8 = 4 bands x 2, Jaccard >= 0.5) — change one
+    // and the other must follow
     val docs = Tables.load(s, d, "documents")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .select(col("doc_id"), col("text"),
-        Text.shingleSetUdf(3)(col("text")).as("shs"))
-    val toks = Text.tokens(col("text"))
-    val fp = docs.select(col("doc_id"),
-      when(size(toks) > 0,
-        md5(array_join(sort_array(array_distinct(toks)), "|").cast("binary")))
-        .as("fp"))
-    val newFp = fp.filter(col("doc_id") % 10 === 0)
-    val oldFp = fp.filter(col("doc_id") % 10 =!= 0)
-    val exact = newFp.toDF("doc_id", "fp")
-      .join(oldFp.toDF("old_id", "fp"), "fp")
-      .groupBy("doc_id").agg(min(col("old_id")).as("dup_of_exact"))
-    // band index, split by side: the new batch's bands broadcast
-    val shingled = docs.filter(size(col("shs")) > 0)
-    val sig = shingled.select(col("doc_id"),
-      Text.md5MinhashSigUdf(8)(col("shs")).as("sig"))
-    val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("|",
-          element_at(col("sig"), 2 * b + 1),
-          element_at(col("sig"), 2 * b + 2)).as("bkey")))
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
-    val cand = broadcast(bands.filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id").as("new_id"), col("band"), col("bkey")))
-      .join(bands.filter(col("doc_id") % 10 =!= 0)
-        .select(col("doc_id").as("old_id"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .select("new_id", "old_id").distinct()
-    val near = broadcast(cand)
-      .join(shingled.select(col("doc_id").as("new_id"), col("shs").as("sa")), Seq("new_id"))
-      .join(shingled.select(col("doc_id").as("old_id"), col("shs").as("sb")), Seq("old_id"))
-      .select(col("new_id"), col("old_id"),
-        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("common"),
-        size(col("sa")).cast(LongType).as("n_a"),
-        size(col("sb")).cast(LongType).as("n_b"))
-      .filter(col("common").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("common")) >= 0.5)
-      .groupBy(col("new_id").as("doc_id"))
-      .agg(min(col("old_id")).as("dup_of_near"))
-    newFp.select("doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("dup_of_exact").isNotNull, "exact_dup")
-          .when(col("dup_of_near").isNotNull, "near_dup")
-          .otherwise("unique").as("verdict"),
-        coalesce(col("dup_of_exact"), col("dup_of_near")).as("dup_of"))
+    graft.dedup.Incremental.verdicts(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0))
       .orderBy("doc_id")
   }
 

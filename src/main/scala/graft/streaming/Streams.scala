@@ -219,6 +219,29 @@ object Streams {
   }
 
   /** Convenience: run a memory-sink query to completion for tests. */
+  /** Streaming ingestion dedup: every micro-batch of documents gets an
+    * exact_dup / near_dup / unique verdict against a STATIC corpus —
+    * [[graft.dedup.Incremental.verdicts]] applied per batch inside
+    * foreachBatch (the upsert-sink pattern; the verdict plan needs
+    * left joins + aggregation, which append-mode stream-static SQL
+    * can't express without watermark state). The micro-batch is the
+    * broadcast side of the band join; the corpus index is reused as-is
+    * every batch. Each batch's verdicts land in their own overwritten
+    * `b<batchId>` directory, so checkpoint replay is idempotent. */
+  def dedupVerdictSink(
+      docs: DataFrame,
+      corpus: DataFrame,
+      outDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dedup.Incremental.verdicts(batch, corpus)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 }

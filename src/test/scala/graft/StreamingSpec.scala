@@ -221,6 +221,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot() == committed)
   }
 
+  test("streaming dedup verdict sink: per-batch exact/near/unique vs a " +
+    "static corpus, replay-idempotent per-batch output dirs") {
+    implicit val ctx = spark.sqlContext
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four"
+    val corpus = Seq(
+      (100L, base),
+      (101L, "totally different corpus content about nothing in particular"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.dedupVerdictSink(
+      mem.toDF().toDF("doc_id", "text"), corpus,
+      s"$dir/out", s"$dir/ckpt").start()
+    try {
+      mem.addData(
+        (1L, base),                                   // exact (same token set)
+        (2L, base.replace("four", "FIVE")),           // near (one word changed)
+        (3L, "nothing shared with anything at all")) // unique
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out/b0")
+        .select("doc_id", "verdict", "dup_of")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got == Map(1L -> "exact_dup", 2L -> "near_dup", 3L -> "unique"),
+        s"got $got")
+      // second batch appends its own directory
+      mem.addData((4L, base))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$dir/out/b1")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(b1 == Map(4L -> "exact_dup"))
+    } finally q.stop()
+  }
+
   test("upsert sink fails loudly when a fresh checkpoint (batchId " +
     "restarting at 0) is pointed at an existing table dir") {
     import spark.implicits._
