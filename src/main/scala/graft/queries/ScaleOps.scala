@@ -588,9 +588,57 @@ object ScaleOps {
       .orderBy("lang", "rank")
   }
 
+  /** Temperature-flattened mixture sampling (the multilingual-training
+    * recipe: sample source s with probability ∝ n_s^alpha, alpha < 1,
+    * so small sources are up-weighted relative to their share — mBERT/
+    * XLM-R's exponent-smoothed sampling). alpha = 0.5 keeps the whole
+    * computation engine-exact: w_s = floor(sqrt(n_s)) uses the ONLY
+    * libm function IEEE specifies correctly rounded, and the per-source
+    * rate B*w_s / (W*n_s) is a single division of two exact integers —
+    * one rounding, bit-identical cross-engine (a pow(n, 0.7) variant
+    * would drift per libm; a log-space formulation would drift per
+    * summation order). Acceptance is the md5-u32 gate shared with the
+    * priority sampler: deterministic, retry-stable, replayable.
+    *
+    * Shape at 100TB: per-source counts are one tiny aggregate,
+    * broadcast back; the corpus is filtered map-side with no extra
+    * shuffle. (At extreme counts compute W*n_s in DECIMAL — the BIGINT
+    * product holds to ~2^63.) */
+  val sampleTemperature: Q = Q(
+    "q_sample_temperature",
+    """WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+      |w AS (SELECT source, n_s,
+      |        CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE))) AS BIGINT) AS w_s FROM n),
+      |tot AS (SELECT CAST(SUM(w_s) AS BIGINT) AS wt FROM w),
+      |r AS (SELECT source, n_s, w_s,
+      |        CAST(100 * w_s AS DOUBLE) / CAST(wt * n_s AS DOUBLE) AS rate
+      |      FROM w, tot)
+      |SELECT d.doc_id, d.source, r.n_s AS n_source, r.w_s AS w_source
+      |FROM documents d JOIN r ON d.source = r.source
+      |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+      |             AS BIGINT) AS DOUBLE) / 4294967296.0 < r.rate
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+    val n = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val w = n.withColumn("w_s",
+      floor(sqrt(col("n_s").cast("double"))).cast("long"))
+    val tot = w.agg(sum(col("w_s")).cast("long").as("wt"))
+    val r = w.crossJoin(broadcast(tot))
+      .withColumn("rate", (col("w_s") * 100).cast("double") /
+        (col("wt") * col("n_s")).cast("double"))
+    val u32 = conv(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long")
+    docs.join(broadcast(r), "source")
+      .filter(u32.cast("double") / lit(4294967296.0) < col("rate"))
+      .select(col("doc_id"), col("source"),
+        col("n_s").as("n_source"), col("w_s").as("w_source"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
     pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup,
-    samplePriority, contrastiveNegatives, sampleBalanced)
+    samplePriority, contrastiveNegatives, sampleBalanced, sampleTemperature)
 }

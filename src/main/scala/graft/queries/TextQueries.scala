@@ -455,8 +455,74 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Corpus-LM document scoring — the CCNet/GPT-3-style "score every
+    * incoming document with a language model trained on the reference
+    * corpus" quality step, with the exact bigram LM standing in for
+    * KenLM: the LM is built from the doc_id % 10 != 0 split (same
+    * new-batch convention as q_dedup_incremental) and every held-out
+    * doc gets (n_bigrams, oov_n, score_fx) where score_fx sums
+    * floor(n2 * 1e6 / n1) per known bigram — pure integer arithmetic,
+    * hash-exact cross-engine where a float log-prob sum never is
+    * (summation order). High oov_n / low score_fx = out-of-domain or
+    * junk; the downstream gate thresholds on it.
+    *
+    * Shape at 100TB: the LM is one groupBy over the train split
+    * (write-once artifact); scoring is a (w1, w2) equi-join of the
+    * batch's bigrams against it plus one per-doc aggregate — no
+    * per-doc LM scan, nothing quadratic. */
+  val lmScore: Q = Q(
+    "q_lm_score",
+    """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |              x -> x <> '') AS toks FROM documents),
+      |big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |        FROM tk, (SELECT unnest(range(1, 100000)) AS i) p
+      |        WHERE i <= len(toks) - 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big
+      |       WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+      |sc AS (SELECT b.doc_id,
+      |         COUNT(*) AS n_bigrams,
+      |         COUNT(*) FILTER (WHERE c2.n2 IS NULL) AS oov_n,
+      |         COALESCE(SUM(c2.n2 * 1000000 // c1.n1), 0) AS score_fx
+      |       FROM big b LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |                  LEFT JOIN c1 ON c2.w1 = c1.w1
+      |       WHERE b.doc_id % 10 = 0
+      |       GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(sc.oov_n, 0) AS BIGINT) AS oov_n,
+      |  CAST(COALESCE(sc.score_fx, 0) AS BIGINT) AS score_fx
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |WHERE d.doc_id % 10 = 0
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val big = docs
+      .select(col("doc_id"), explode(Text.shingleListUdf(2)(col("text"))).as("bg"))
+      .select(col("doc_id"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val c2 = big.filter(col("doc_id") % 10 =!= 0)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
+    val sc = big.filter(col("doc_id") % 10 === 0)
+      .join(c2.join(c1, "w1"), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("n2").isNull, 1)).as("oov_n"),
+        coalesce(sum(expr("n2 * 1000000 div n1")), lit(0L)).as("score_fx"))
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_n"), lit(0L)).as("oov_n"),
+        coalesce(col("score_fx"), lit(0L)).as("score_fx"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
-    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm, qualityGate)
+    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm, qualityGate,
+    lmScore)
 }
