@@ -975,9 +975,11 @@ object DedupSim {
     * correlated MAX(l)-over-range scans (prefix/suffix equality is
     * monotone in l, so MAX over the equality predicate equals the
     * engine's contiguous char walk). */
-  val substringDedup: Q = Q(
-    "q_dedup_substring",
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+  /** The full substring-span oracle chain as a WITH body ending in a
+    * `spans` CTE — shared by q_dedup_substring (reports spans) and
+    * q_dedup_excise (acts on them), so the two can never drift. */
+  private val substringSpansSql: String =
+    """d AS (SELECT doc_id, text, length(text) AS n FROM documents),
       |pos AS (SELECT unnest(range(1,
       |    (SELECT MAX(length(text)) FROM documents) + 1)) AS i),
       |g AS (SELECT doc_id, i,
@@ -1028,13 +1030,19 @@ object DedupSim {
       |    COALESCE((SELECT MAX(r)
       |      FROM (SELECT unnest(range(1, LEAST(na - pa - 7, nb - pb - 7) + 1)) AS r)
       |      WHERE substr(xa, pa + 8, r) = substr(xb, pb + 8, r)), 0) AS fwd
-      |  FROM wt)
-      |SELECT da AS doc_a, db AS doc_b,
-      |  CAST(pa - back AS BIGINT) AS start_a,
-      |  CAST(pb - back AS BIGINT) AS start_b,
-      |  CAST(back + 8 + fwd AS BIGINT) AS match_len,
-      |  md5(substr(xa, pa - back, back + 8 + fwd)) AS match_md5
-      |FROM ext WHERE back + 8 + fwd >= 25
+      |  FROM wt),
+      |spans AS (SELECT da AS doc_a, db AS doc_b,
+      |    CAST(pa - back AS BIGINT) AS start_a,
+      |    CAST(pb - back AS BIGINT) AS start_b,
+      |    CAST(back + 8 + fwd AS BIGINT) AS match_len,
+      |    md5(substr(xa, pa - back, back + 8 + fwd)) AS match_md5
+      |  FROM ext WHERE back + 8 + fwd >= 25)""".stripMargin
+
+  val substringDedup: Q = Q(
+    "q_dedup_substring",
+    s"""WITH $substringSpansSql
+      |SELECT doc_a, doc_b, start_a, start_b, match_len, match_md5
+      |FROM spans
       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin) { (s, d) =>
     // the oracle above replays Substring.repeatedSpans' DEFAULT
     // constants (k=8, w=4, dfCap=64, minSupport=2, minLen=25) — change
@@ -1044,10 +1052,99 @@ object DedupSim {
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 
+  /** Acting on the detected spans: EXCISE every repeated span from its
+    * LATER document (keep-first policy — doc_a survives untouched, the
+    * doc_b copy is cut), the actual dedup action of Lee et al.
+    * 2107.06499. Per victim doc the spans are merged into disjoint
+    * islands first (gaps-and-islands: running MAX(end) over the
+    * start-ordered spans marks island breaks — overlapping and nested
+    * matches collapse before any cutting), then the kept pieces are
+    * stitched back in order and fingerprinted. Output is one row per
+    * affected doc: span/island counts, removed chars, cleaned length,
+    * and the md5 of the cleaned text — the hash proves both engines cut
+    * the exact same characters.
+    *
+    * Shape at 100TB: spans are tiny relative to the corpus; the merge
+    * is a per-doc window over them, and only AFFECTED docs join their
+    * text. The stitch UDF walks each affected doc once. */
+  val substringExcise: Q = Q(
+    "q_dedup_excise",
+    s"""WITH $substringSpansSql,
+      |sp AS (SELECT doc_b AS doc_id, start_b AS s,
+      |         start_b + match_len - 1 AS e FROM spans),
+      |o AS (SELECT doc_id, s, e,
+      |       MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |     FROM sp),
+      |isl AS (SELECT doc_id, s, e,
+      |         SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY s, e
+      |                 ROWS UNBOUNDED PRECEDING) AS isle
+      |       FROM o),
+      |m AS (SELECT doc_id, isle, COUNT(*) AS n_sp, MIN(s) AS s, MAX(e) AS e
+      |      FROM isl GROUP BY 1, 2),
+      |ordered AS (SELECT doc_id, n_sp, s, e,
+      |         LAG(e, 1, CAST(0 AS BIGINT)) OVER (PARTITION BY doc_id ORDER BY s) AS pe
+      |       FROM m),
+      |pieces AS (SELECT o.doc_id,
+      |         CAST(SUM(o.n_sp) AS BIGINT) AS n_spans,
+      |         CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |         CAST(SUM(o.e - o.s + 1) AS BIGINT) AS removed_chars,
+      |         string_agg(substr(d.text, o.pe + 1, o.s - o.pe - 1), ''
+      |                    ORDER BY o.s) AS kept_head,
+      |         MAX(o.e) AS last_e
+      |       FROM ordered o JOIN d ON o.doc_id = d.doc_id GROUP BY o.doc_id)
+      |SELECT p.doc_id, p.n_spans, p.n_islands, p.removed_chars,
+      |  CAST(d.n - p.removed_chars AS BIGINT) AS cleaned_len,
+      |  md5(p.kept_head || substr(d.text, p.last_e + 1)) AS cleaned_md5
+      |FROM pieces p JOIN d ON p.doc_id = d.doc_id
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+    val spans = graft.dedup.Substring.repeatedSpans(docs, "doc_id", "text")
+    val sp = spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+      (col("start_b") + col("match_len") - 1).as("e"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("s", "e")
+    val isl = sp
+      .withColumn("pm", max(col("e")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isle", sum(
+        when(col("pm").isNull || col("s") > col("pm"), 1).otherwise(0))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val m = isl.groupBy("doc_id", "isle")
+      .agg(count(lit(1)).as("n_sp"), min(col("s")).as("s"), max(col("e")).as("e"))
+    val ordered = m.withColumn("pe",
+      lag(col("e"), 1, 0L).over(Window.partitionBy("doc_id").orderBy("s")))
+    val joined = ordered
+      .join(docs, Seq("doc_id"))
+      .withColumn("piece",
+        expr("substring(text, cast(pe + 1 as int), cast(s - pe - 1 as int))"))
+    val pieces = joined.groupBy("doc_id")
+      .agg(
+        sum(col("n_sp")).as("n_spans"),
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s") + 1).as("removed_chars"),
+        // order-free stitch: sort the (start, piece) structs by the
+        // unique island start, then join — collect_list order is
+        // nondeterministic, the array_sort is what pins it
+        array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("piece")))),
+          x => x.getField("piece")), "").as("kept_head"),
+        max(col("e")).as("last_e"))
+    pieces
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("n_spans"), col("n_islands"),
+        col("removed_chars"),
+        (length(col("text")).cast("long") - col("removed_chars")).as("cleaned_len"),
+        md5(concat(col("kept_head"),
+          expr("substring(text, cast(last_e + 1 as int))"))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
     semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest, splitLeakage,
-    substringDedup)
+    substringDedup, substringExcise)
 }

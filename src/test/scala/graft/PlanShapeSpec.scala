@@ -94,4 +94,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
     assert(!s.contains("CartesianProduct"), s.take(1500))
   }
+
+  test("q_dedup_substring: anchor-hash self-join is a hinted SMJ (one " +
+    "reused exchange), never a cartesian or nested-loop pair stage") {
+    val s = executed("q_dedup_substring")
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    assert(s.contains("SortMergeJoin"), s.take(1500))
+  }
 }
