@@ -136,7 +136,15 @@ object PlanDump {
         |old side's band index (equi-join on (band, bkey), no
         |corpus-vs-corpus self-join anywhere); only band-matched
         |candidate pairs fetch shingle arrays for the exact verify, and
-        |the old corpus is scanned once.""".stripMargin)
+        |the old corpus is scanned once.""".stripMargin,
+    "q_dedup_substring" ->
+      """Exact substring dedup: the winnow-anchor index self-joins as a
+        |hinted SMJ on anchor hash (BOTH sides fed from one reused
+        |exchange of the same anchor subtree); candidates aggregate to
+        |(pair, diagonal) groups BEFORE any text moves, and only
+        |support-filtered diagonals join the two doc texts for the
+        |extension walk. No cartesian or nested-loop stage; the pair
+        |blowout is bounded by the anchor df cap.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
