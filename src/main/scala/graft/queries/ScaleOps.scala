@@ -636,9 +636,47 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic corpus shuffle + sharding — the "shuffle the corpus
+    * and write N training shards" step: the md5-of-key order IS the
+    * permutation (reproducible across runs/engines/retries, unlike
+    * rand()), shard assignment is a STATELESS hash gate (u32 % S — no
+    * global sort anywhere), and each shard independently computes its
+    * read order plus cumulative char offsets (the contiguous-write
+    * plan for the shard file). S scales with the cluster and each
+    * shard's window sorts only its own slice — the global-sort-free
+    * form of "globally shuffle 100TB". */
+  val shardShuffle: Q = Q(
+    "q_shard_shuffle",
+    """WITH h AS (SELECT doc_id, n_chars,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      |s AS (SELECT doc_id, n_chars, hx,
+      |    CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 8 AS shard FROM h)
+      |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+      |       AS BIGINT) AS pos_in_shard,
+      |  CAST(SUM(n_chars) OVER (PARTITION BY shard ORDER BY hx, doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS BIGINT) AS chars_cum
+      |FROM s ORDER BY shard, pos_in_shard""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hx = md5(col("doc_id").cast("string").cast("binary"))
+    val base = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), hx.as("hx"))
+      .withColumn("shard",
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % 8))
+    val w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    base.select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos_in_shard"),
+        sum(col("n_chars")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long").as("chars_cum"))
+      .orderBy("shard", "pos_in_shard")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
     pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup,
-    samplePriority, contrastiveNegatives, sampleBalanced, sampleTemperature)
+    samplePriority, contrastiveNegatives, sampleBalanced, sampleTemperature,
+    shardShuffle)
 }
