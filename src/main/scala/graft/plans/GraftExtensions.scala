@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fxsqdist"),
       new ExpressionInfo(classOf[FxSqDist].getName, "graft_fxsqdist"),
       (children: Seq[Expression]) => FxSqDist(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_base58check"),
+      new ExpressionInfo(classOf[Base58Check].getName, "graft_base58check"),
+      (children: Seq[Expression]) => Base58Check.fromChildren(children)))
   }
 }

@@ -38,13 +38,29 @@ object Udfs {
   /** Base58Check address derivation from deterministic pseudo-hash160
     * payloads (md5(text) 16 bytes, zero-padded to 20). DuckDB has no
     * base58, so correctness is golden-vector ScalaTest (Base58Spec);
-    * the query itself is the driver-visible rows-only entry. */
+    * the query itself is the driver-visible rows-only entry.
+    *
+    * r6: the hot path is the codegen [[graft.plans.Base58Check]]
+    * expression (SURVEY §4.3's stretch goal closed); the original
+    * Scala UDF rides along as `address_udf` and the query RAISES if
+    * the two ever disagree on any row — the cross-check runs on every
+    * driver verify, on top of Base58Spec's golden vectors. */
   val udfBase58: Q = Q.noOracle("q_udf_base58") { (s, d) =>
     val b58 = udf((bytes: Array[Byte]) =>
       Base58.encodeChecked(0x00.toByte, bytes.padTo(20, 0x00.toByte)))
     Tables.load(s, d, "documents")
-      .select(col("doc_id"), to_binary(md5(col("text")), lit("hex")).as("h"))
-      .select(col("doc_id"), b58(col("h")).as("address"))
+      .select(col("doc_id"),
+        // zero-pad the 16-byte md5 to hash160 width OUTSIDE both
+        // implementations so they receive identical payloads
+        concat(to_binary(md5(col("text")), lit("hex")),
+          lit(Array.fill[Byte](4)(0))).as("h"))
+      .select(col("doc_id"),
+        call_function("graft_base58check", col("h")).as("address"),
+        b58(col("h")).as("address_udf"))
+      .withColumn("address",
+        when(col("address") === col("address_udf"), col("address"))
+          .otherwise(raise_error(concat(
+            lit("base58 expression/UDF mismatch on doc "), col("doc_id")))))
       .orderBy("doc_id")
   }
 

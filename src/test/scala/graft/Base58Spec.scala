@@ -33,4 +33,26 @@ class Base58Spec extends AnyFunSuite {
     assert(Base58.encodeChecked(0x00, new Array[Byte](20)) ==
       "1111111111111111111114oLvT2")
   }
+
+  test("codegen graft_base58check expression matches the golden vectors " +
+    "and the Scala implementation, incl. a non-zero version byte") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val payloads = Seq(
+      hex("010966776006953D5567439E5E39F86A0D273BEE"),
+      new Array[Byte](20),
+      hex("00010966776006953D5567439E5E39F86A0D27")) // leading-zero payload
+    val got = payloads.map(Tuple1(_)).toDF("p")
+      .select(
+        call_function("graft_base58check", col("p")).as("a0"),
+        call_function("graft_base58check", col("p"), lit(5)).as("a5"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    payloads.zip(got).foreach { case (p, (a0, a5)) =>
+      assert(a0 == Base58.encodeChecked(0x00, p))
+      assert(a5 == Base58.encodeChecked(0x05, p)) // P2SH-style version
+    }
+    assert(got(0)._1 == "16UwLL9Risc3QfPqBUvKofHmBQ7wMtjvM")
+    assert(got(1)._1 == "1111111111111111111114oLvT2")
+  }
 }
