@@ -520,9 +520,60 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document n-gram novelty / duplication fraction — the dataset
+    * audit signal behind "what share of this doc also appears
+    * elsewhere": for each doc, the fraction of its distinct 3-token
+    * shingles that occur in at least one OTHER doc (corpus df >= 2).
+    * High shared_frac marks boilerplate/template docs and memorization
+    * risk; the quality gate can threshold on it. Exact integers plus
+    * ONE division per row (correctly rounded, hash-safe).
+    *
+    * Shape at 100TB: the df count is a window over ONE exchange on
+    * shingle (the jaccard df-cap pattern — no join back, no second
+    * shingle shuffle), then one per-doc aggregate. */
+  val textNovelty: Q = Q(
+    "q_text_novelty",
+    """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |              x -> x <> '') AS toks FROM documents),
+      |pos AS (SELECT unnest(range(1, 100000)) AS i),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM t, pos WHERE i <= len(toks) - 2),
+      |wd AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh),
+      |per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+      |          COUNT(*) FILTER (WHERE df >= 2) AS n_shared
+      |        FROM wd GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(COALESCE(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+      |  CAST(COALESCE(per.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CASE WHEN COALESCE(per.n_shingles, 0) = 0 THEN 0.0
+      |       ELSE CAST(per.n_shared AS DOUBLE) / per.n_shingles END AS shared_frac
+      |FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val sh = docs.select(col("doc_id"),
+      explode(Text.shingleSetUdf(3)(col("text"))).as("shingle"))
+    val per = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, 1)).as("n_shared"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_shared").cast("double") / col("n_shingles"))
+          .as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm, qualityGate,
-    lmScore)
+    lmScore, textNovelty)
 }
