@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+
+/** Distributed BPE tokenizer training (merge learning).
+  *
+  * The industrial-scale formulation: Lloyd-style driver iteration over
+  * the WORD-FREQUENCY table, not the corpus (Sennrich et al. 2015,
+  * arXiv 1508.07909 — their reference trainer also operates on the
+  * vocab-with-counts dict). The corpus is scanned ONCE (one shuffle to
+  * build word counts); each of the K merge rounds then touches only the
+  * compact vocab relation: pair counts are a groupBy over exploded
+  * adjacent symbol pairs, the argmax is a 1-row TakeOrdered collect
+  * (same driver-action shape as KMeansFx's centroid loop), and the
+  * merge application is a compiled per-word UDF. At 100 TB the vocab is
+  * ~1e8 rows vs ~1e11 corpus tokens — the rounds cost O(vocab), and the
+  * pair-count shuffle key space is tiny (symbol bigrams).
+  *
+  * Determinism: counts are exact longs; the argmax tie-break is total
+  * (cnt DESC, x ASC, y ASC); the merge application is left-to-right
+  * greedy, which equals the "merge matches at even offsets within each
+  * run of consecutive matches" rule the DuckDB oracle replays with
+  * gaps-and-islands SQL (overlap is only possible when x == y, since a
+  * match at i and i+1 forces sym(i+1) = y = x).
+  *
+  * Words are lowercase whitespace tokens restricted to `^[a-z]+$` and
+  * length <= 40 (single-byte chars, so JVM char split == DuckDB
+  * codepoint substr; the cap drops pathological tokens, standard BPE
+  * practice). Each word gets the classic end-of-word marker '_'
+  * appended before char split.
+  */
+object Bpe {
+
+  val MaxWordLen = 40
+
+  /** word -> single-char symbols of (word + '_'). */
+  val toSymsUdf = udf { (w: String) =>
+    val s = w + "_"
+    Array.tabulate(s.length)(i => s.substring(i, i + 1))
+  }
+
+  /** Adjacent symbol pairs of one word, with multiplicity. */
+  val pairsUdf = udf { (syms: Seq[String]) =>
+    if (syms == null || syms.length < 2) Array.empty[(String, String)]
+    else Array.tabulate(syms.length - 1)(i => (syms(i), syms(i + 1)))
+  }
+
+  /** Left-to-right greedy merge of (x, y) -> xy in one word. */
+  val mergeUdf = udf { (syms: Seq[String], x: String, y: String) =>
+    if (syms == null) Array.empty[String]
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** One learned merge: the pair, its count at selection time, and the
+    * corpus token count after applying it. */
+  final case class Merge(step: Long, x: String, y: String, cnt: Long, toks: Long)
+
+  /** `documents` -> (w, freq): the single corpus-wide shuffle. */
+  def wordFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= MaxWordLen)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Learn k merges; returns them plus the final symbolized vocab
+    * (w, freq, syms). The final vocab stays persisted for the caller
+    * (released by the ContextCleaner when dropped — same lifecycle as
+    * KMeansFx.fit; wrap with your own if that matters). */
+  def train(s: SparkSession, dir: String, k: Int): (Seq[Merge], DataFrame) = {
+    var vocab = wordFreq(s, dir)
+      .select(col("w"), col("freq"), toSymsUdf(col("w")).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ListBuffer.empty[Merge]
+    for (step <- 1 to k) {
+      val best = vocab
+        .select(col("freq"), explode(pairsUdf(col("syms"))).as("p"))
+        .groupBy(col("p._1").as("x"), col("p._2").as("y"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1)
+        .collect()
+      require(best.nonEmpty, s"BPE ran out of pairs at step $step of $k")
+      val (x, y, cnt) =
+        (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      val next = vocab
+        .withColumn("syms", mergeUdf(col("syms"), lit(x), lit(y)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val toks = next
+        .agg(sum(size(col("syms")).cast("long") * col("freq")))
+        .collect()(0).getLong(0)
+      vocab.unpersist()
+      vocab = next
+      merges += Merge(step.toLong, x, y, cnt, toks)
+    }
+    (merges.toSeq, vocab)
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the identical K rounds as chained MATERIALIZED CTEs
+  // (each s{i} is referenced twice per round — without MATERIALIZED the
+  // inlined tree re-reads the parquet exponentially). Generated here so
+  // engine and oracle can never drift on K / the word filter / the
+  // tie-break.
+  // ---------------------------------------------------------------
+
+  private def baseSql: String =
+    s"""WITH w0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+       |    x -> regexp_matches(x, '^[a-z]+$$'))) AS w
+       |  FROM documents) WHERE len(w) <= $MaxWordLen GROUP BY 1),
+       |pos AS (SELECT unnest(range(1, ${MaxWordLen + 2})) AS i),
+       |s0 AS MATERIALIZED (SELECT w AS word, freq, i AS pos, substr(w || '_', i, 1) AS sym
+       |  FROM w0, pos WHERE i <= len(w) + 1)""".stripMargin
+
+  /** One merge round: pair counts, argmax, gaps-and-islands greedy
+    * merge (merge at even offsets within each run of matches), renumber. */
+  private def roundSql(i: Int): String = {
+    val p = i - 1
+    s"""p$i AS MATERIALIZED (SELECT a.sym AS x, b.sym AS y, SUM(a.freq) AS cnt
+       |  FROM s$p a JOIN s$p b ON a.word = b.word AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+       |h$i AS MATERIALIZED (SELECT word, freq, pos, sym,
+       |  COALESCE(sym = (SELECT x FROM b$i) AND
+       |    LEAD(sym) OVER (PARTITION BY word ORDER BY pos) = (SELECT y FROM b$i),
+       |    FALSE) AS hit
+       |  FROM s$p),
+       |g$i AS MATERIALIZED (SELECT *,
+       |  pos - ROW_NUMBER() OVER (PARTITION BY word, hit ORDER BY pos) AS isl
+       |  FROM h$i),
+       |m$i AS MATERIALIZED (SELECT *,
+       |  hit AND (pos - MIN(pos) OVER (PARTITION BY word, hit, isl)) % 2 = 0 AS mrg
+       |  FROM g$i),
+       |d$i AS MATERIALIZED (SELECT *,
+       |  COALESCE(LAG(mrg) OVER (PARTITION BY word ORDER BY pos), FALSE) AS dropped
+       |  FROM m$i),
+       |s$i AS MATERIALIZED (SELECT word, freq,
+       |  ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |  CASE WHEN mrg THEN sym || (SELECT y FROM b$i) ELSE sym END AS sym
+       |  FROM d$i WHERE NOT dropped),
+       |r$i AS (SELECT $i AS step, x, y, cnt, (SELECT SUM(freq) FROM s$i) AS toks
+       |  FROM b$i)""".stripMargin
+  }
+
+  private def chainSql(k: Int): String =
+    (Seq(baseSql) ++ (1 to k).map(roundSql)).mkString(",\n")
+
+  /** Oracle for the merge list (step, x, y, cnt, toks). */
+  def mergesOracle(k: Int): String = {
+    val union = (1 to k).map(i => s"SELECT * FROM r$i").mkString(" UNION ALL ")
+    s"""${chainSql(k)},
+       |fin AS ($union)
+       |SELECT CAST(step AS BIGINT) AS step, x, y, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(toks AS BIGINT) AS toks
+       |FROM fin ORDER BY step""".stripMargin
+  }
+
+  /** Oracle for the post-training symbol vocabulary. */
+  def vocabOracle(k: Int): String =
+    s"""${chainSql(k)}
+       |SELECT sym, CAST(SUM(freq) AS BIGINT) AS occurrences,
+       |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+       |FROM s$k GROUP BY sym ORDER BY occurrences DESC, sym""".stripMargin
+}
