@@ -24,8 +24,7 @@ object BpeQueries {
     * corpus tokens after applying it) — the tokenizer artifact itself,
     * K rows built from the per-round argmax collects. */
   val bpeMerges: Q = Q("q_bpe_merges", Bpe.mergesOracle(K)) { (s, d) =>
-    val (merges, vocab) = Bpe.train(s, d, K)
-    vocab.unpersist()
+    val (merges, _) = Bpe.train(s, d, K)
     import s.implicits._
     merges.toDF("step", "x", "y", "cnt", "toks").orderBy("step")
   }
