@@ -47,11 +47,35 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
+    // SPARK_GRAFT_FIRST=q_a,q_b promotes named queries to the front of
+    // the suite — the A/B harness for the driver-side inflation
+    // investigation (does q_kmeans_fx read its isolated time when no
+    // heavy neighbor precedes it?). Default order is registry order.
+    val firstNames = sys.env.get("SPARK_GRAFT_FIRST")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      firstNames.flatMap(n => selected.get(n).map(n -> _)) ++
+        selected.toSeq.filterNot { case (n, _) => firstNames.contains(n) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Per-query JVM memory evidence for the driver-inflation
+    // investigation (VERDICT r6 #1): GC wall time + collection count
+    // deltas across the timed region, and the true in-query heap
+    // high-water mark via MemoryPoolMXBean peak-usage reset/read.
+    // Full values land in the side file; the stdout line only carries
+    // the suite totals (budget: the line must stay <= ~1900 chars).
+    import scala.jdk.CollectionConverters._
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    val gcDetail = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Long, Long)] // gc_ms, gc_n, peak_mb
     // A failed query records -1 and is excluded from the total, so the
     // headline never mixes failure latencies with real runtimes; the
     // `failed` array is the visibility signal.
-    val results = selected.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       // JMH-style hygiene, both OUTSIDE the timed region:
       // 1) Drop every persisted relation left by the previous query —
       //    persists whose lifecycle is owned by the query body (e.g. the
@@ -72,6 +96,9 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
       }
       System.gc()
+      heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+      val gcMs0 = gcBeans.map(_.getCollectionTime).sum
+      val gcN0 = gcBeans.map(_.getCollectionCount).sum
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -80,8 +107,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val peakMb = heapPools.map(p =>
+        try p.getPeakUsage.getUsed catch { case _: Throwable => 0L }).sum >> 20
+      gcDetail(name) = (gcBeans.map(_.getCollectionTime).sum - gcMs0,
+        gcBeans.map(_.getCollectionCount).sum - gcN0, peakMb)
+      name -> (if (ok) sec else -1.0)
+    }.toMap
     // The driver captures only the last ~2000 chars of output and parses
     // the JSON line out of that tail, so the line must stay SHORT enough
     // to survive whole (round 3's 9-decimal values pushed it past the
@@ -90,6 +122,12 @@ object Bench {
     // the budget, degrade to 2 decimals rather than risk truncation.
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Driver-environment evidence, visible IN the artifact line: the
+    // physical core count this JVM actually sees (local[32] with fewer
+    // real cores inflates barrier-heavy iterative queries the most)
+    // and the suite's total GC wall time.
+    val cores = Runtime.getRuntime.availableProcessors
+    val gcTotalS = gcDetail.values.map(_._1).sum / 1e3
     // Locale.ROOT everywhere: a non-English default locale renders %f
     // with comma decimals and breaks the single-line JSON contract.
     def fmt(dec: Int, v: Double): String =
@@ -98,7 +136,7 @@ object Bench {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // ~1900 chars is the safe ceiling: the consumer's 2000-char tail
     // must also hold sbt's trailing "[success] Total time" line (~75).
@@ -114,19 +152,23 @@ object Bench {
       val qs = top
         .map { case (k, v) => "\"" + k + "\":" + fmt(2, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
     }
     def topFit: String =
       (results.size to 0 by -1).iterator.map(topN)
         .find(_.length <= 1900).getOrElse(topN(0))
     val line = Seq(render(3), render(2), render(1))
       .find(_.length <= 1900).getOrElse(topFit)
-    // Full-precision copy for local profiling (not part of the contract).
+    // Full-precision copy for local profiling (not part of the
+    // contract), including per-query GC/heap evidence in timed order.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detailQs = gcDetail.map { case (k, (gcMs, gcN, peakMb)) =>
+      s"\"$k\":{\"sec\":${results.getOrElse(k, -1.0)},\"gc_ms\":$gcMs,\"gc_n\":$gcN,\"peak_mb\":$peakMb}"
+    }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"gc_s":$gcTotalS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

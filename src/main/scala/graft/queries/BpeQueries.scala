@@ -1,17 +1,22 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.Q
+import graft.{Q, Tables}
 import graft.text.Bpe
 
-/** Tokenizer training over `documents` — the BPE merge-learning step of
-  * an LLM data pipeline (see [[graft.text.Bpe]] for the scale argument:
-  * one corpus shuffle to word counts, then K driver-iterated rounds
-  * over the compact vocab, Sennrich et al. arXiv 1508.07909).
+/** Tokenizer training AND application over `documents` — the BPE steps
+  * of an LLM data pipeline (see [[graft.text.Bpe]] for the scale
+  * argument: one corpus shuffle to word counts, then K driver-iterated
+  * rounds over the compact vocab with chain depth bounded by
+  * materialization, Sennrich et al. arXiv 1508.07909).
   *
-  * Both queries run the same `Bpe.train` and share the same generated
-  * oracle CTE chain, so the learned merges and the resulting vocabulary
-  * cannot drift from each other or from the oracle.
+  * All three queries run the same `Bpe.train` and share the same
+  * generated oracle CTE chain, so the learned merges, the resulting
+  * vocabulary and the corpus encoding cannot drift from each other or
+  * from the oracle. Each query releases the training caches once its
+  * result is driver-side (merges/vocab are bounded by construction:
+  * K rows and <= |alphabet|+K symbols), so a Verify run across all
+  * three leaves nothing cached behind.
   */
 object BpeQueries {
 
@@ -24,23 +29,50 @@ object BpeQueries {
     * corpus tokens after applying it) — the tokenizer artifact itself,
     * K rows built from the per-round argmax collects. */
   val bpeMerges: Q = Q("q_bpe_merges", Bpe.mergesOracle(K)) { (s, d) =>
-    val (merges, _) = Bpe.train(s, d, K)
+    val t = Bpe.train(s, d, K)
+    t.release()
     import s.implicits._
-    merges.toDF("step", "x", "y", "cnt", "toks").orderBy("step")
+    t.merges.toDF("step", "x", "y", "cnt", "toks").orderBy("step")
   }
 
   /** The post-training symbol vocabulary with corpus occurrence counts
-    * and word support — the "what tokens did we learn" audit
-    * view, aggregated distributed from the final vocab relation. */
+    * and word support — the "what tokens did we learn" audit view.
+    * The aggregate is bounded by construction (<= |alphabet| + K
+    * symbols exist after K merges), so it is collected before the
+    * caches are released and returned as a local relation. */
   val bpeVocab: Q = Q("q_bpe_vocab", Bpe.vocabOracle(K)) { (s, d) =>
-    val (_, vocab) = Bpe.train(s, d, K)
-    vocab
+    val t = Bpe.train(s, d, K)
+    import s.implicits._
+    val rows = t.vocab
       .select(col("w"), col("freq"), explode(col("syms")).as("sym"))
       .groupBy("sym")
       .agg(sum("freq").as("occurrences"),
         countDistinct("w").as("n_words"))
       .orderBy(col("occurrences").desc, col("sym").asc)
+      .as[(String, Long, Long)].collect()
+    t.release()
+    rows.toSeq.toDF("sym", "occurrences", "n_words")
   }
 
-  val all: Seq[Q] = Seq(bpeMerges, bpeVocab)
+  /** Tokenizer APPLICATION: encode every document with the learned
+    * merge table — doc -> token sequence + counts, the step a
+    * training-data pipeline actually ships. The K learned pairs travel
+    * in the UDF closure (broadcast semantics); encoding is map-side
+    * only — no join, no shuffle, at any corpus scale. Docs with zero
+    * filter-surviving words are dropped on both sides (the oracle's
+    * inner word join has the same effect). */
+  val bpeEncode: Q = Q("q_bpe_encode", Bpe.encodeOracle(K)) { (s, d) =>
+    val t = Bpe.train(s, d, K)
+    t.release() // merges are driver-side; encoding never reads the vocab
+    val enc = Bpe.encodeUdf(t.merges.map(m => (m.x, m.y)))
+    Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), enc(col("text")).as("e"))
+      .select(col("doc_id"), col("e._1").as("n_words"),
+        col("e._2").as("n_tokens"), col("e._3").as("toks"))
+      .filter(col("n_words") > 0)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(bpeMerges, bpeVocab, bpeEncode)
 }

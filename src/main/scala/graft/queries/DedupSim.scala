@@ -35,7 +35,8 @@ object DedupSim {
   private val shingleSql =
     """t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |      FROM documents),
-      |pos AS (SELECT unnest(range(1, 100000)) AS i),
+      |pos AS (SELECT unnest(range(1,
+      |  (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i),
       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       |       FROM t, pos WHERE i <= len(toks) - 2)""".stripMargin
 
@@ -525,11 +526,13 @@ object DedupSim {
       |  FROM documents),
       |bsh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                 || ' ' || toks[i+3] AS sh
-      |        FROM d, (SELECT unnest(range(1, 100000)) AS i) p
+      |        FROM d, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM d))) AS i) p
       |        WHERE doc_id % 97 = 0 AND i <= len(toks) - 3),
       |tsh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' ||
       |                 toks[i+2] || ' ' || toks[i+3] AS sh
-      |        FROM d, (SELECT unnest(range(1, 100000)) AS i) p
+      |        FROM d, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM d))) AS i) p
       |        WHERE doc_id % 97 <> 0 AND i <= len(toks) - 3)
       |SELECT t.doc_id, COUNT(*) AS n_hits, MIN(t.sh) AS first_hit
       |FROM tsh t JOIN bsh b ON t.sh = b.sh
@@ -567,7 +570,8 @@ object DedupSim {
       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
       |      || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
       |      || ' ' || toks[i+7] AS passage
-      |  FROM d, (SELECT unnest(range(1, 100000)) AS i) p
+      |  FROM d, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM d))) AS i) p
       |  WHERE i <= len(toks) - 7)
       |SELECT passage, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
       |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

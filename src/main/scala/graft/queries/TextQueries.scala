@@ -145,7 +145,8 @@ object TextQueries {
       |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |           FROM documents)
       |SELECT doc_id, i AS pos, toks[i] AS token
-      |FROM t, (SELECT unnest(range(1, 100000)) AS i) p
+      |FROM t, (SELECT unnest(range(1,
+      |         (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i) p
       |WHERE i <= len(toks) AND doc_id < 100
       |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
     val spark = s
@@ -241,7 +242,8 @@ object TextQueries {
       |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |           FROM documents),
       |tri AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS tri
-      |        FROM t, (SELECT unnest(range(1, 100000)) AS i) p
+      |        FROM t, (SELECT unnest(range(1,
+      |         (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i) p
       |        WHERE i <= len(toks) - 2),
       |c AS (SELECT doc_id, tri, COUNT(*) AS n FROM tri GROUP BY doc_id, tri),
       |r AS (SELECT doc_id, tri, n,
@@ -381,7 +383,8 @@ object TextQueries {
     """WITH tk AS (SELECT list_filter(string_split(lower(text), ' '),
       |              x -> x <> '') AS toks FROM documents),
       |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
-      |        FROM tk, (SELECT unnest(range(1, 100000)) AS i) p
+      |        FROM tk, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
       |        WHERE i <= len(toks) - 1),
       |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
       |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
@@ -475,7 +478,8 @@ object TextQueries {
     """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
       |              x -> x <> '') AS toks FROM documents),
       |big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
-      |        FROM tk, (SELECT unnest(range(1, 100000)) AS i) p
+      |        FROM tk, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
       |        WHERE i <= len(toks) - 1),
       |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big
       |       WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
@@ -535,7 +539,8 @@ object TextQueries {
     "q_text_novelty",
     """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
       |              x -> x <> '') AS toks FROM documents),
-      |pos AS (SELECT unnest(range(1, 100000)) AS i),
+      |pos AS (SELECT unnest(range(1,
+      |  (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i),
       |sh AS (SELECT DISTINCT doc_id,
       |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       |       FROM t, pos WHERE i <= len(toks) - 2),
@@ -571,9 +576,74 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Shingle width for intra-doc repetition excision: a span must
+    * repeat VERBATIM for >= 3 words within the same document to be
+    * excised. 3 matches the corpus's within-doc repetition scale
+    * (measured: W=3 affects ~30 docs per SF, W=5 excises nothing) and
+    * the Gopher-style trigram signal q_text_repetition measures; a
+    * real curation run would tune this per corpus. */
+  private val RepW = 3
+
+  /** Intra-document repetition EXCISION — the third member of the span
+    * family (q_text_repetition MEASURES within-doc duplication,
+    * q_dedup_excise removes cross-doc spans): strip repeated spans
+    * WITHIN a doc (boilerplate headers, templated chat-log loops,
+    * decoding loops), the curation step that runs before any cross-doc
+    * pass. Rule, identical on both engines: scan word 5-gram shingles
+    * left to right; every occurrence AFTER a shingle's first one marks
+    * its 5 positions excised; kept words are stitched in order and
+    * fingerprinted. For a block of length L repeated verbatim, interior
+    * shingles of the later copy are all non-first, so the whole later
+    * copy is excised exactly while the first copy survives (its
+    * shingles ARE the first occurrences); position 1 is always kept.
+    *
+    * Shape at 100TB: the operation is doc-LOCAL, so the engine side is
+    * ONE compiled narrow pass (UDF per doc, zero shuffles beyond the
+    * input repartition) — where the oracle needs three window
+    * exchanges to replay the same rule relationally. */
+  val textRepeatExcise: Q = Q(
+    "q_text_repeat_excise",
+    s"""WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |              x -> x <> '') AS toks FROM documents),
+      |pos AS (SELECT unnest(range(1,
+      |  (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i),
+      |w AS (SELECT doc_id, i AS p, toks[i] AS w FROM t, pos WHERE i <= len(toks)),
+      |sh AS (SELECT doc_id, i AS strt,
+      |         ${(0 until RepW).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")} AS shingle
+      |       FROM t, pos WHERE i <= len(toks) - ${RepW - 1}),
+      |dup AS (SELECT doc_id, strt FROM (
+      |          SELECT doc_id, strt,
+      |            MIN(strt) OVER (PARTITION BY doc_id, shingle) AS mn
+      |          FROM sh) WHERE strt > mn),
+      |cov AS (SELECT DISTINCT doc_id, strt + j AS p
+      |        FROM dup, (SELECT unnest(range(0, $RepW)) AS j) o),
+      |k AS (SELECT w.doc_id, w.p, w.w FROM w LEFT JOIN cov
+      |        ON w.doc_id = cov.doc_id AND w.p = cov.p
+      |      WHERE cov.p IS NULL),
+      |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |         md5(string_agg(w, ' ' ORDER BY p)) AS clean_fp
+      |       FROM k GROUP BY doc_id),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_words FROM w GROUP BY doc_id)
+      |SELECT tot.doc_id, CAST(tot.n_words AS BIGINT) AS n_words,
+      |  CAST(ka.n_kept AS BIGINT) AS n_kept,
+      |  CAST(tot.n_words - ka.n_kept AS BIGINT) AS n_excised,
+      |  ka.clean_fp
+      |FROM tot JOIN ka ON tot.doc_id = ka.doc_id
+      |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+    val excise = Text.repeatExciseUdf(RepW)
+    Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), excise(col("text")).as("e"))
+      .select(col("doc_id"), col("e._1").as("n_words"),
+        col("e._2").as("n_kept"), col("e._3").as("n_excised"),
+        md5(col("e._4")).as("clean_fp"))
+      .filter(col("n_words") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm, qualityGate,
-    lmScore, textNovelty)
+    lmScore, textNovelty, textRepeatExcise)
 }

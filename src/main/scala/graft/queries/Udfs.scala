@@ -171,7 +171,7 @@ object Udfs {
       |    coalesce(hex(i.input_script_bytes), '~'), ':',
       |    coalesce(i.input_script_string, '~'), ':',
       |    coalesce(i.input_script_string_error, '~'), ':',
-      |    CAST(i.input_sequence_number AS VARCHAR), ':',
+      |    coalesce(CAST(i.input_sequence_number AS VARCHAR), '~'), ':',
       |    coalesce(i.input_pubkey_base58, '~'), ':',
       |    coalesce(i.input_pubkey_base58_error, '~'))), '|') AS inputs,
       |  array_to_string(list_transform(tx.outputs, o -> concat(
@@ -185,8 +185,27 @@ object Udfs {
       |  work_terahash, work_error
       |FROM t ORDER BY block_id, transaction_id""".stripMargin) { (s, _) =>
     import org.apache.spark.sql.Column
-    graft.ingest.Bitcoin.goldenBlocks(s).coalesce(1)
-      .write.mode("overwrite").parquet(GoldenBlocksPath)
+    // Write-once, atomically published: the fixture bytes are a pure
+    // function of the (deterministic) golden decoder, so any published
+    // copy is equivalent. Writing to a temp dir and renaming means a
+    // concurrent session (Bench + tests + Verify share /tmp) can never
+    // race a partial overwrite against the oracle's read of the same
+    // glob — and the repeated-run fixture write stays OUT of the timed
+    // bench region.
+    val target = java.nio.file.Paths.get(GoldenBlocksPath)
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = GoldenBlocksPath + ".tmp-" + java.util.UUID.randomUUID
+      graft.ingest.Bitcoin.goldenBlocks(s).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        // lost the publish race to an equivalent writer: discard ours
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator.asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     val blocks = s.read.parquet(GoldenBlocksPath)
     def fld(c: Column): Column = coalesce(c.cast("string"), lit("~"))
     def rowFmt(e: Column, fields: Seq[(String, Boolean)]): Column =

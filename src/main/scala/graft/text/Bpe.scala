@@ -67,6 +67,15 @@ object Bpe {
     * corpus token count after applying it. */
   final case class Merge(step: Long, x: String, y: String, cnt: Long, toks: Long)
 
+  /** Result of [[train]]: the learned merges, the final symbolized
+    * vocab (w, freq, syms), and an explicit cache-release handle —
+    * call it once the results are materialized so a multi-query run
+    * (Verify executes q_bpe_merges, q_bpe_vocab AND q_bpe_encode)
+    * doesn't accumulate cached vocab relations waiting on the
+    * ContextCleaner. After release, `vocab` is still correct but
+    * recomputes its (depth-bounded) lineage on next use. */
+  final case class Trained(merges: Seq[Merge], vocab: DataFrame, release: () => Unit)
+
   /** `documents` -> (w, freq): the single corpus-wide shuffle. */
   def wordFreq(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -77,7 +86,7 @@ object Bpe {
       .agg(count(lit(1)).as("freq"))
 
   /** Learn k merges; returns them plus the final symbolized vocab
-    * (w, freq, syms).
+    * (w, freq, syms) and a cache-release handle.
     *
     * One Spark job per round, not three: the pair-count table is tiny
     * BY CONSTRUCTION (at most (|alphabet| + k)^2 symbol bigrams at any
@@ -86,24 +95,36 @@ object Bpe {
     * job either — toks(vocab) = pairTotal + wordTotal, since each word
     * contributes len(syms) = pairs + 1, so round i+1's pair collect
     * prices round i's merge for free (one final agg prices merge k).
-    * Merge application is a lazy nested-UDF chain over ONE cached base
-    * relation — k cheap recomputing scans beat k persist+unpersist
-    * round-trips (measured: the churny version ran ~2x slower on pure
-    * scheduling overhead). The base cache is released by the
-    * ContextCleaner when the result frames are dropped (KMeansFx.fit
-    * lifecycle); wrap with your own if that matters. */
-  def train(s: SparkSession, dir: String, k: Int): (Seq[Merge], DataFrame) = {
-    val base = wordFreq(s, dir)
+    *
+    * Merge application is a lazy nested-UDF chain over the cached
+    * current relation, MATERIALIZED every `materializeEvery` rounds:
+    * the pending chain is applied, persisted and counted, and the
+    * previous cache dropped, so UDF nesting depth (and per-round
+    * recompute work) is bounded by R = materializeEvery regardless of
+    * k — train is O(k * vocab) + O(k/R) materializations instead of
+    * the unbounded-chain O(k^2 * vocab). R defaults to 16 so small-k
+    * demo runs (K=8 in the registry) keep the measured-faster
+    * zero-churn shape — per-round persist+unpersist was measured ~2x
+    * slower at K=8 on pure scheduling overhead — while tokenizer-real
+    * k (BpeSpec pins K=64 against an in-memory reference) stays
+    * linear. */
+  def train(s: SparkSession, dir: String, k: Int,
+      materializeEvery: Int = 16): Trained = {
+    require(materializeEvery >= 1, "materializeEvery must be >= 1")
+    var cur = wordFreq(s, dir)
       .select(col("w"), col("freq"), toSymsUdf(col("w")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val wordTotal = base.agg(sum(col("freq"))).collect()(0).getLong(0)
+    val live = scala.collection.mutable.ListBuffer[DataFrame](cur)
+    val wordTotal = cur.agg(sum(col("freq"))).collect()(0).getLong(0)
     val picked = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-    def symsCol: Column = picked.foldLeft(col("syms")) {
-      case (c, (x, y, _)) => mergeUdf(c, lit(x), lit(y))
+    // merges applied since the last materialization — the lazy chain
+    val pending = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def symsCol: Column = pending.foldLeft(col("syms")) {
+      case (c, (x, y)) => mergeUdf(c, lit(x), lit(y))
     }
     val toksAfter = scala.collection.mutable.ListBuffer.empty[Long]
     for (step <- 1 to k) {
-      val pc = base
+      val pc = cur
         .select(col("freq"), explode(pairsUdf(symsCol)).as("p"))
         .groupBy(col("p._1").as("x"), col("p._2").as("y"))
         .agg(sum("freq").as("cnt"))
@@ -112,15 +133,64 @@ object Bpe {
       if (step > 1) toksAfter += pc.map(_.getLong(2)).sum + wordTotal
       val best = pc.minBy(r => (-r.getLong(2), r.getString(0), r.getString(1)))
       picked += ((best.getString(0), best.getString(1), best.getLong(2)))
+      pending += ((best.getString(0), best.getString(1)))
+      if (pending.size >= materializeEvery && step < k) {
+        val nxt = cur.select(col("w"), col("freq"), symsCol.as("syms"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count() // materialize through the parent cache, THEN drop it
+        live += nxt
+        cur.unpersist(blocking = false)
+        cur = nxt
+        pending.clear()
+      }
     }
-    val finalVocab = base.select(col("w"), col("freq"), symsCol.as("syms"))
+    val finalVocab = cur.select(col("w"), col("freq"), symsCol.as("syms"))
     toksAfter += finalVocab
       .agg(sum(size(col("syms")).cast("long") * col("freq")))
       .collect()(0).getLong(0)
     val merges = picked.zip(toksAfter).zipWithIndex.map {
       case (((x, y, cnt), toks), i) => Merge(i + 1L, x, y, cnt, toks)
     }
-    (merges.toSeq, finalVocab)
+    Trained(merges.toSeq, finalVocab,
+      () => live.foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Tokenize one word (marker appended) with the learned merge list,
+    * applied in learning order, each pass left-to-right greedy — the
+    * exact per-word semantics of `mergeUdf` folded over the merges. */
+  def tokenizeWord(w: String, merges: Seq[(String, String)]): Array[String] = {
+    val s = w + "_"
+    var syms = Array.tabulate(s.length)(i => s.substring(i, i + 1))
+    merges.foreach { case (x, y) =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+    }
+    syms
+  }
+
+  /** ENCODE a document with a learned merge table: the tokenizer
+    * APPLICATION step every training-data pipeline ships. The merge
+    * list (k pairs) travels in the UDF closure — broadcast semantics,
+    * map-side only, NO join against the vocab and no shuffle at any
+    * corpus scale. Word filter identical to [[wordFreq]] (lowercase,
+    * `^[a-z]+$`, length cap), so on the training corpus every encoded
+    * word is covered by the learned vocabulary by construction.
+    * Returns (n_words, n_tokens, space-joined token string). */
+  def encodeUdf(merges: Seq[(String, String)]) = udf { (text: String) =>
+    if (text == null) (0L, 0L, "")
+    else {
+      val words = text.toLowerCase(java.util.Locale.ROOT).split(" ")
+        .filter(w => w.nonEmpty && w.length <= MaxWordLen &&
+          w.forall(c => c >= 'a' && c <= 'z'))
+      val toks = words.flatMap(w => tokenizeWord(w, merges))
+      (words.length.toLong, toks.length.toLong, toks.mkString(" "))
+    }
   }
 
   // ---------------------------------------------------------------
@@ -189,4 +259,29 @@ object Bpe {
        |SELECT sym, CAST(SUM(freq) AS BIGINT) AS occurrences,
        |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
        |FROM s$k GROUP BY sym ORDER BY occurrences DESC, sym""".stripMargin
+
+  /** Oracle for corpus ENCODING with the learned merges: tokenization
+    * of a word is a pure function of the word, and s$k already holds
+    * the final symbolization of every corpus word — so the oracle
+    * encodes each DISTINCT word once from the chain and joins the
+    * documents' word occurrences (in order) against it. One extra CTE
+    * step over the same generated chain: engine and oracle share K,
+    * the word filter and the tie-break by construction. */
+  def encodeOracle(k: Int): String =
+    s"""${chainSql(k)},
+       |wt AS MATERIALIZED (SELECT word,
+       |  string_agg(sym, ' ' ORDER BY pos) AS wtoks, COUNT(*) AS ntoks
+       |  FROM s$k GROUP BY word),
+       |dt AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+       |    x -> regexp_matches(x, '^[a-z]+$$') AND len(x) <= $MaxWordLen) AS ws
+       |  FROM documents),
+       |dw AS (SELECT doc_id, i, ws[i] AS w
+       |  FROM dt, (SELECT unnest(range(1,
+       |    (SELECT COALESCE(MAX(len(ws)), 0) + 1 FROM dt))) AS i) p
+       |  WHERE i <= len(ws))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(wt.ntoks) AS BIGINT) AS n_tokens,
+       |  string_agg(wt.wtoks, ' ' ORDER BY i) AS toks
+       |FROM dw JOIN wt ON dw.w = wt.word
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

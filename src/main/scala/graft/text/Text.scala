@@ -104,6 +104,48 @@ object Text {
       minima
     }
 
+  /** Intra-document repeated-span excision in ONE compiled pass (the
+    * q_text_repeat_excise kernel): scanning word n-gram shingles left
+    * to right, every occurrence after a shingle's first marks its n
+    * positions covered; uncovered words are stitched back in order.
+    * Doc-local by construction — map-side only at any corpus scale.
+    * Returns (n_words, n_kept, n_excised, clean_text). */
+  def repeatExciseUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) (0L, 0L, 0L, "")
+      else {
+        val ws = text.toLowerCase(java.util.Locale.ROOT).split(" ")
+          .filter(_.nonEmpty)
+        val len = ws.length
+        val covered = new Array[Boolean](len)
+        if (len >= n) {
+          val seen = new java.util.HashSet[String]()
+          var i = 0
+          while (i <= len - n) {
+            val sb = new StringBuilder(ws(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+            if (!seen.add(sb.toString)) {
+              var j2 = i
+              while (j2 < i + n) { covered(j2) = true; j2 += 1 }
+            }
+            i += 1
+          }
+        }
+        val kept = new StringBuilder
+        var nKept = 0L
+        var i = 0
+        while (i < len) {
+          if (!covered(i)) {
+            if (nKept > 0) kept.append(' ')
+            kept.append(ws(i)); nKept += 1
+          }
+          i += 1
+        }
+        (len.toLong, nKept, len - nKept, kept.toString)
+      }
+    }
+
   /** BPE-ish subword-count proxy: alpha runs + digit runs + leftovers.
     * (A real BPE table is model-specific; this regex split gives the
     * deterministic token-count shape pipelines budget with.) */

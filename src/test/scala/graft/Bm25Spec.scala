@@ -77,6 +77,28 @@ class Bm25Spec extends AnyFunSuite {
     assert(r3.head.getLong(0) == 1L)
   }
 
+  test("full sf0.01 table: top-k ids AND scores match the independent " +
+    "reference end-to-end") {
+    // the registry query's exact shape (same terms / k1 / b) over the
+    // full 5000-doc table, checked against the naive no-Spark
+    // reference — not the hand-built fixture
+    val corpus = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val terms = Seq("dup", "merge", "window", "scan")
+    val k = 50
+    val got = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      terms, k, k1, b).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val refTop = bm25Ref(corpus, terms).filter(_._2 > 0).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    assert(got.length == refTop.length)
+    got.zip(refTop).foreach { case ((gid, gs), (rid, rs)) =>
+      assert(gid == rid, s"rank order diverged: got doc $gid, want $rid")
+      assert(math.abs(gs - rs) < 1e-9, s"doc $gid: got $gs want $rs")
+    }
+  }
+
   test("corpus query returns k rows sorted by score desc with id tiebreak") {
     val out = graft.queries.TextQueries.bm25TopK
       .run(spark, SharedSpark.sf001).collect()

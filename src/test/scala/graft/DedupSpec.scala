@@ -193,4 +193,52 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 2L, expStartA.toLong, expStartB.toLong, 62L)),
       s"got ${rows.toSeq}")
   }
+
+  test("substring support guarantee AT the minLen boundary: spans of " +
+    "length 4w+k-3 .. +3 recovered at every winnow-phase alignment pair") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    // Substring.scala:19-25: a true match of length L contains
+    // floor((L-k+1-2(w-1))/w) aligned interior winnow windows, so
+    // minSupport=2 is guarantee-safe for minLen >= 4w+k-3 (21 at the
+    // k=8/w=4 defaults). The planted-span tests above use L well past
+    // the bound; this property pins the boundary itself: one trial =
+    // a full 2w x 2w grid of pre-context lengths (every winnow phase
+    // on BOTH docs) with span lengths cycling 21..24, contexts drawn
+    // from disjoint alphabets so extension can never cross an edge.
+    val k = 8; val w = 4; val boundary = 4 * w + k - 3 // 21
+    val prop = forAll(Gen.choose(0L, Long.MaxValue)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      def ctx(base: Char, len: Int): String =
+        Seq.fill(len)((base + rnd.nextInt(13)).toChar).mkString
+      val cases = (for {
+        preA <- 0 until 2 * w
+        preB <- 0 until 2 * w
+      } yield {
+        val idx = preA * 2 * w + preB
+        val len = boundary + idx % 4
+        // span unique per pair (index baked in), rest digits
+        val span = f"<$idx%02d>" +
+          Seq.fill(len - 4)(('0' + rnd.nextInt(10)).toChar).mkString
+        assert(span.length == len)
+        val ta = ctx('a', preA) + span + ctx('a', 10 + rnd.nextInt(40))
+        val tb = ctx('n', preB) + span + ctx('n', 10 + rnd.nextInt(40))
+        (2L * idx, ta, 2L * idx + 1, tb,
+          preA + 1L, preB + 1L, len.toLong)
+      }).toSeq
+      val docs = cases.flatMap { case (ia, ta, ib, tb, _, _, _) =>
+        Seq((ia, ta), (ib, tb)) }.toDF("doc_id", "text")
+      val got = graft.dedup.Substring
+        .repeatedSpans(docs, "doc_id", "text", minLen = boundary)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+      cases.forall { case (ia, _, ib, _, sa, sb, len) =>
+        got.contains((ia, ib, sa, sb, len))
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
