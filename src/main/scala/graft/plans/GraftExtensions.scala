@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FxSqDist].getName, "graft_fxsqdist"),
       (children: Seq[Expression]) => FxSqDist(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_fxlog2"),
+      new ExpressionInfo(classOf[FxLog2].getName, "graft_fxlog2"),
+      (children: Seq[Expression]) => FxLog2(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_base58check"),
       new ExpressionInfo(classOf[Base58Check].getName, "graft_base58check"),
       (children: Seq[Expression]) => Base58Check.fromChildren(children)))

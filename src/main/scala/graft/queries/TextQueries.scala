@@ -368,6 +368,64 @@ object TextQueries {
       terms = Seq("dup", "merge", "window", "scan"), k = 20)
   }
 
+  /** BM25 top-20 in exact integer fixed-point ([[graft.text.Bm25
+    * .topKFx]]): same ranking model as q_bm25_topk but idf comes from
+    * the [[graft.plans.FxLog2]] square-and-shift integer log2, so the
+    * scores ARE hash-matchable — the oracle replays fxlog2 as a
+    * 30-step recursive CTE over `length(bin(n))-1` plus the identical
+    * square/shift recurrence, on the handful of distinct (2df+1, 2N+2)
+    * arguments (per-term, not per-doc — the log runs on ≤|terms|+1
+    * values in both engines). This lifts the one scoring family the
+    * no-oracle tail attributed to libm ln() into the hash gate. */
+  val bm25Fx: Q = Q(
+    "q_bm25_fx",
+    """WITH RECURSIVE
+      |tk AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |         x -> x <> '') AS toks FROM documents),
+      |dld AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM tk),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dld),
+      |tf AS (SELECT doc_id, dl, t.term AS term, COUNT(*) AS tf
+      |       FROM dld, unnest(toks) AS t(term)
+      |       WHERE t.term IN ('dup', 'merge', 'window', 'scan')
+      |       GROUP BY 1, 2, 3),
+      |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      |args AS (SELECT DISTINCT 2 * df + 1 AS n FROM dfr
+      |         UNION SELECT 2 * n_docs + 2 FROM stats),
+      |base AS (SELECT n, length(bin(n)) - 1 AS e FROM args),
+      |fxl(n, i, x, r) AS (
+      |  SELECT n, 0,
+      |    CASE WHEN e <= 30 THEN n << (30 - e) ELSE n >> (e - 30) END,
+      |    CAST(e AS BIGINT) << 30
+      |  FROM base
+      |  UNION ALL
+      |  SELECT n, i + 1,
+      |    CASE WHEN ((x * x) >> 30) >= (1::BIGINT << 31)
+      |         THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+      |    CASE WHEN ((x * x) >> 30) >= (1::BIGINT << 31)
+      |         THEN r | (1::BIGINT << (29 - i)) ELSE r END
+      |  FROM fxl WHERE i < 30),
+      |lg AS (SELECT n, r FROM fxl WHERE i = 30),
+      |idf AS (SELECT d.term, ln.r - ld.r AS idf2
+      |        FROM dfr d CROSS JOIN stats s
+      |        JOIN lg ln ON ln.n = 2 * s.n_docs + 2
+      |        JOIN lg ld ON ld.n = 2 * d.df + 1),
+      |sc AS (SELECT t.doc_id,
+      |         SUM(i.idf2 * (22 * t.tf * 1099511627776 //
+      |             ((10 * t.tf + 3) * 1048576 +
+      |              9 * (t.dl * s.n_docs * 1048576 // s.sum_dl))) // 1048576)
+      |           AS score_fx,
+      |         COUNT(*) AS n_terms_hit
+      |       FROM tf t CROSS JOIN stats s JOIN idf i ON t.term = i.term
+      |       GROUP BY 1)
+      |SELECT doc_id, CAST(score_fx AS BIGINT) AS score_fx,
+      |       CAST(n_terms_hit AS BIGINT) AS n_terms_hit
+      |FROM sc ORDER BY score_fx DESC, doc_id LIMIT 20""".stripMargin) {
+    (s, d) =>
+      graft.text.Bm25.topKFx(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        terms = Seq("dup", "merge", "window", "scan"), k = 20)
+  }
+
   /** Bigram language-model statistics: corpus bigram counts and the
     * conditional probability P(w2|w1) = c(w1 w2) / c(w1 ·) — the
     * count-based LM / next-token-statistics primitive. One compiled
@@ -644,6 +702,7 @@ object TextQueries {
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
-    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, ngramLm, qualityGate,
+    textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
+    qualityGate,
     lmScore, textNovelty, textRepeatExcise)
 }

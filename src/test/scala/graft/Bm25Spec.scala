@@ -112,4 +112,66 @@ class Bm25Spec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(topIds.subsetOf(dupDocs))
   }
+
+  /** Independent integer reference for [[Bm25.topKFx]]'s formula —
+    * plain loops, no Spark, sharing only [[graft.plans.FxLog2]]. */
+  private def bm25FxRef(
+      corpus: Seq[(Long, String)],
+      terms: Seq[String]): Map[Long, Long] = {
+    import graft.plans.FxLog2.fxlog2
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = toks.size.toLong
+    val sumDl = toks.values.map(_.length.toLong).sum
+    val dfm = terms.map(t =>
+      t -> toks.values.count(_.contains(t)).toLong).toMap
+    toks.flatMap { case (id, tk) =>
+      val dl = tk.length.toLong
+      val ws = terms.flatMap { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0L || dfm(t) == 0L) None
+        else {
+          val idf2 = fxlog2(2L * n + 2L) - fxlog2(2L * dfm(t) + 1L)
+          val dlr20 = dl * n * 1048576L / sumDl
+          val tfnorm20 = 22L * tf * 1099511627776L /
+            ((10L * tf + 3L) * 1048576L + 9L * dlr20)
+          Some(idf2 * tfnorm20 / 1048576L)
+        }
+      }
+      if (ws.isEmpty) None else Some(id -> ws.sum)
+    }
+  }
+
+  test("fx scores match the independent integer reference EXACTLY " +
+    "and agree with the double scores to fx precision") {
+    val corpus = Seq(
+      (1L, "spark shuffle join join join scan"),
+      (2L, "spark scan filter sort window agg batch stream merge col"),
+      (3L, "join merge window"),
+      (4L, "filter sort batch"),
+      (5L, "join spark " + Seq.fill(50)("pad").mkString(" ")))
+    val terms = Seq("join", "spark", "window")
+    val got = Bm25.topKFx(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      terms, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = bm25FxRef(corpus, terms)
+    assert(got == ref)
+    // fx scores are log2-units: score_fx / 2^30 ≈ score_ln / ln 2
+    val dbl = bm25Ref(corpus, terms).filter(_._2 > 0)
+    got.foreach { case (id, fx) =>
+      val want = dbl(id) / math.log(2.0)
+      assert(math.abs(fx / math.pow(2.0, 30) - want) < 1e-3,
+        s"doc $id: fx ${fx / math.pow(2.0, 30)} vs double $want")
+    }
+  }
+
+  test("fx corpus query ranks like the double-precision query at " +
+    "sf0.001 (same top-20 id set)") {
+    val fxIds = graft.queries.TextQueries.bm25Fx
+      .run(spark, SharedSpark.sf001).collect().map(_.getLong(0)).toSet
+    val dblIds = graft.queries.TextQueries.bm25TopK
+      .run(spark, SharedSpark.sf001).collect().map(_.getLong(0)).toSet
+    assert(fxIds == dblIds)
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import graft.plans.FxLog2
+
+/** graft_fxlog2 — the integer square-and-shift log2 kernel behind the
+  * hash-matchable BM25 (q_bm25_fx). Exactness claims pinned here:
+  * powers of two are EXACT, the truncation error is one-sided and
+  * bounded, the function is monotone (ranking-safe), and the codegen
+  * expression equals the static kernel through a real query.
+  */
+class FxLog2Spec extends AnyFunSuite {
+
+  private def checked(p: org.scalacheck.Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("powers of two are exact: fxlog2(2^k) = k << 30") {
+    for (k <- 0 to 62)
+      assert(FxLog2.fxlog2(1L << k) == k.toLong << 30, s"k=$k")
+  }
+
+  test("truncation error is one-sided and < 2^-29 of log2(n)") {
+    checked(forAll(Gen.choose(1L, Long.MaxValue)) { n =>
+      val fx = FxLog2.fxlog2(n) / math.pow(2.0, 30)
+      val ref = math.log(n.toDouble) / math.log(2.0)
+      // per-step mantissa truncation only ever LOSES value
+      fx <= ref + 1e-9 && fx >= ref - math.pow(2.0, -29) - 1e-9
+    })
+  }
+
+  test("monotone: m < n implies fxlog2(m) <= fxlog2(n) (ranking-safe)") {
+    checked(forAll(Gen.choose(1L, Long.MaxValue - 1),
+      Gen.choose(1L, 1L << 40)) { (m, d) =>
+      val n = if (Long.MaxValue - d < m) Long.MaxValue else m + d
+      FxLog2.fxlog2(m) <= FxLog2.fxlog2(n)
+    })
+  }
+
+  test("non-positive input raises loudly") {
+    intercept[IllegalArgumentException](FxLog2.fxlog2(0L))
+    intercept[IllegalArgumentException](FxLog2.fxlog2(-5L))
+  }
+
+  test("codegen expression matches the static kernel in-query") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ns = Seq(1L, 2L, 3L, 7L, 1000003L, (1L << 40) + 12345L,
+      Long.MaxValue)
+    val got = ns.toDF("n")
+      .select(col("n"), call_function("graft_fxlog2", col("n")).as("fx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach(n => assert(got(n) == FxLog2.fxlog2(n), s"n=$n"))
+  }
+}
