@@ -426,6 +426,99 @@ object TextQueries {
         terms = Seq("dup", "merge", "window", "scan"), k = 20)
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * arXiv 2302.03169 "Data Selection for Language Models via
+    * Importance Resampling"): hashed-bigram bag features, per-bucket
+    * log importance ratio log(p_target(b) / p_raw(b)) with Laplace
+    * smoothing, per-doc weight = sum of its feature buckets' ratios.
+    * Target distribution = the 'en' slice; raw = the whole corpus.
+    * All in exact integers: bucket = md5-u32 % 1024, and the log is
+    * [[graft.plans.FxLog2]] on the cross-multiplied smoothed counts —
+    *   w_fx(b) = fxlog2((n_t+1)·(R+B)) - fxlog2((n_r+1)·(T+B))
+    * — so the weights hash-match (the oracle replays fxlog2 as the
+    * recursive CTE over the ≤2·1024 distinct arguments).
+    *
+    * Shape at 100TB: bucket counts are ≤B rows BY CONSTRUCTION (one
+    * map-side-combined shuffle over the bigram stream), the weight
+    * table broadcasts, and the per-doc sum is the corpus's only
+    * row-scale shuffle — the log never runs per-document. */
+  val dsirWeight: Q = Q(
+    "q_dsir_weight",
+    """WITH RECURSIVE
+      |tk AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '),
+      |         x -> x <> '') AS toks FROM documents),
+      |bb AS (SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8))
+      |              AS BIGINT) % 1024 AS b
+      |       FROM tk, (SELECT unnest(range(1,
+      |         (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
+      |       WHERE i <= len(toks) - 1),
+      |cr AS (SELECT b, COUNT(*) AS n_r,
+      |         COUNT(*) FILTER (WHERE lang = 'en') AS n_t
+      |       FROM bb GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_r) AS BIGINT) AS r_tot,
+      |               CAST(SUM(n_t) AS BIGINT) AS t_tot FROM cr),
+      |wt AS (SELECT cr.b,
+      |         CAST((cr.n_t + 1) * (tot.r_tot + 1024) AS BIGINT) AS num,
+      |         CAST((cr.n_r + 1) * (tot.t_tot + 1024) AS BIGINT) AS den
+      |       FROM cr CROSS JOIN tot),
+      |args AS (SELECT DISTINCT num AS n FROM wt
+      |         UNION SELECT DISTINCT den FROM wt),
+      |base AS (SELECT n, length(bin(n)) - 1 AS e FROM args),
+      |fxl(n, i, x, r) AS (
+      |  SELECT n, 0,
+      |    CASE WHEN e <= 30 THEN n << (30 - e) ELSE n >> (e - 30) END,
+      |    CAST(e AS BIGINT) << 30
+      |  FROM base
+      |  UNION ALL
+      |  SELECT n, i + 1,
+      |    CASE WHEN ((x * x) >> 30) >= (1::BIGINT << 31)
+      |         THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+      |    CASE WHEN ((x * x) >> 30) >= (1::BIGINT << 31)
+      |         THEN r | (1::BIGINT << (29 - i)) ELSE r END
+      |  FROM fxl WHERE i < 30),
+      |lg AS (SELECT n, r FROM fxl WHERE i = 30),
+      |wfx AS (SELECT wt.b, ln.r - ld.r AS w_fx
+      |        FROM wt JOIN lg ln ON ln.n = wt.num
+      |                 JOIN lg ld ON ld.n = wt.den),
+      |sc AS (SELECT bb.doc_id, COUNT(*) AS n_feats,
+      |         SUM(w.w_fx) AS weight_fx
+      |       FROM bb JOIN wfx w ON bb.b = w.b GROUP BY 1)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      |  CAST(COALESCE(sc.weight_fx, 0) AS BIGINT) AS weight_fx
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val bb = docs
+      .select(col("doc_id"), col("lang"),
+        explode(Text.shingleListUdf(2)(col("text"))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("bg").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 1024).as("b"))
+    val cr = bb.groupBy("b").agg(
+      count(lit(1)).as("n_r"),
+      count(when(col("lang") === "en", 1)).as("n_t"))
+    val tot = cr.agg(
+      sum(col("n_r")).as("r_tot"), sum(col("n_t")).as("t_tot"))
+    val wfx = cr.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (call_function("graft_fxlog2",
+          (col("n_t") + 1L) * (col("r_tot") + 1024L)) -
+          call_function("graft_fxlog2",
+            (col("n_r") + 1L) * (col("t_tot") + 1024L))).as("w_fx"))
+    val sc = bb.join(broadcast(wfx), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_fx")).as("weight_fx"))
+    docs.select("doc_id", "lang")
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_fx"), lit(0L)).as("weight_fx"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram language-model statistics: corpus bigram counts and the
     * conditional probability P(w2|w1) = c(w1 w2) / c(w1 ·) — the
     * count-based LM / next-token-statistics primitive. One compiled
@@ -703,6 +796,6 @@ object TextQueries {
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
-    qualityGate,
+    dsirWeight, qualityGate,
     lmScore, textNovelty, textRepeatExcise)
 }
