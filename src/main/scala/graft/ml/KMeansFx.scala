@@ -148,22 +148,33 @@ object KMeansFx {
 
   /** [[oracleCtes]] with the seed count as an arbitrary SQL expression
     * (e.g. [[derivedKSql]]'s corpus-size-derived scalar subquery). */
-  def oracleCtesKExpr(kExpr: String, iters: Int, dim: Int): String = {
+  def oracleCtesKExpr(kExpr: String, iters: Int, dim: Int): String =
+    oracleCtesSlice(kExpr, iters, dim, offset = 0, sfx = "")
+
+  /** The same chain over a SUBSPACE slice `embedding[offset+1 ..
+    * offset+dim]` with every CTE name suffixed — product quantization
+    * ([[Pq]]) runs one chain per subspace in a single WITH. Emits
+    * byte-identical SQL to the historical generator when offset=0 and
+    * sfx="" (the q_kmeans_fx / q_dedup_semantic / q_ann_ivf oracles
+    * are unchanged). */
+  def oracleCtesSlice(
+      kExpr: String, iters: Int, dim: Int, offset: Int, sfx: String): String = {
+    val idx = if (offset == 0) "i" else s"i + $offset"
     val head =
-      s"""pts AS (SELECT vec_id, i,
-         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      s"""pts$sfx AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[$idx] AS DOUBLE) * 1000000) AS BIGINT) AS v
          |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
-         |c0 AS (SELECT vec_id AS cid, i, v FROM pts WHERE vec_id < $kExpr)""".stripMargin
+         |c0$sfx AS (SELECT vec_id AS cid, i, v FROM pts$sfx WHERE vec_id < $kExpr)""".stripMargin
     val its = (1 to iters).map { j =>
-      s"""a$j AS (SELECT p.vec_id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS dist
-         |  FROM pts p JOIN c${j - 1} c ON p.i = c.i GROUP BY p.vec_id, c.cid),
-         |s$j AS (SELECT vec_id, cid, dist FROM (
+      s"""a$j$sfx AS (SELECT p.vec_id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS dist
+         |  FROM pts$sfx p JOIN c${j - 1}$sfx c ON p.i = c.i GROUP BY p.vec_id, c.cid),
+         |s$j$sfx AS (SELECT vec_id, cid, dist FROM (
          |    SELECT vec_id, cid, dist,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-         |    FROM a$j) WHERE rn = 1),
-         |c$j AS (SELECT s.cid, p.i,
+         |    FROM a$j$sfx) WHERE rn = 1),
+         |c$j$sfx AS (SELECT s.cid, p.i,
          |    CAST(((SUM(p.v) + 2000000 * COUNT(*)) // COUNT(*)) - 2000000 AS BIGINT) AS v
-         |  FROM s$j s JOIN pts p ON s.vec_id = p.vec_id GROUP BY s.cid, p.i)""".stripMargin
+         |  FROM s$j$sfx s JOIN pts$sfx p ON s.vec_id = p.vec_id GROUP BY s.cid, p.i)""".stripMargin
     }
     (Seq(head) ++ its).mkString(",\n")
   }

@@ -633,6 +633,22 @@ object DedupSim {
       .orderBy("vec_id")
   }
 
+  /** Product quantization of the embedding corpus ([[graft.ml.Pq]],
+    * Jégou et al. TPAMI 2011): each 64-float vector compressed to
+    * M=4 subspace codes from 16-way fx-k-means codebooks, plus the
+    * exact integer quantization error — the compressed-index
+    * construction IVF-PQ engines build at billion-vector scale. The
+    * oracle replays all four subspace Lloyd chains bit-for-bit in one
+    * WITH (suffixed [[graft.ml.KMeansFx.oracleCtesSlice]] chains). */
+  val embedPq: Q = Q(
+    "q_embed_pq",
+    graft.ml.Pq.oracleSql(m = 4, subDim = 16, k = 16, iters = 2)) { (s, d) =>
+    graft.ml.Pq.encode(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iters = 2)
+      .orderBy("vec_id")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with fixed-point k-means
     * ([[graft.ml.KMeansFx]]), then compare pairs ONLY within a cluster
@@ -1149,6 +1165,6 @@ object DedupSim {
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, dedupIncremental, dedupKeepBest, splitLeakage,
-    substringDedup, substringExcise)
+    semanticDedup, embedQuantize, embedPq, dedupIncremental, dedupKeepBest,
+    splitLeakage, substringDedup, substringExcise)
 }

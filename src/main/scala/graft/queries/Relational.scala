@@ -387,6 +387,43 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** UNPIVOT — the inverse of q_agg_pivot: a wide per-group metrics
+    * row melted to (group, metric, value) long form via the native
+    * `Dataset.unpivot` (Spark lowers it to one Expand node — each
+    * input row fans out to the metric rows in-place, no shuffle and no
+    * N-way self-union scan). Values are integer cents/counts so the
+    * melted column stays one hash-safe BIGINT. The oracle is the
+    * portable UNION ALL formulation over the same aggregate. */
+  val aggUnpivot: Q = Q(
+    "q_agg_unpivot",
+    """WITH a AS (SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS cents_sum,
+      |    CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS cents_max
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, metric, value FROM (
+      |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM a
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'cents_sum', cents_sum FROM a
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'cents_max', cents_max FROM a)
+      |ORDER BY o_orderpriority, metric""".stripMargin) { (s, d) =>
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents).cast("long").as("cents_sum"),
+        max(cents).as("cents_max"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("cents_sum"), col("cents_max")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
   /** Correlated EXISTS through the SQL surface: Catalyst decorrelates
     * this into the same shuffled semi join q_join_semi declares
     * directly (RewritePredicateSubquery) — the subquery never executes
@@ -565,6 +602,7 @@ object Relational {
     joinInner, joinLeft, joinFull, joinSemi, joinAnti, joinBroadcast,
     sortLimit, topKGroup,
     unionAll, unionDistinct, intersectQ, exceptQ,
-    aggPivot, subqueryExists, subqueryScalar, aggHistogram, aggApproxPercentile,
+    aggPivot, aggUnpivot, subqueryExists, subqueryScalar, aggHistogram,
+    aggApproxPercentile,
     featureBins, featureStandardize)
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ml.Pq
+
+/** Product quantization ([[graft.ml.Pq]]) against an independent
+  * in-memory reference of the same fixed-point Lloyd iteration —
+  * pins the PQ-specific wiring (1-based subspace slicing, per-subspace
+  * code columns, error summation) that the q_embed_pq oracle replays
+  * at corpus scale.
+  */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val Off = 2000000L
+
+  /** Reference fx-Lloyd over one subspace: floor(x*1e6) scaling, seeds
+    * = ids < k, (dist, cid) tie-break, ((s + Off·n) div n) − Off
+    * centroid update — the same arithmetic KMeansFx declares, written
+    * as a driver-side loop with no Spark involved. */
+  private def refKmeans(
+      pts: Map[Long, Seq[Double]], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    // Through FLOAT first: the embedding column is float, so the engine
+    // scales the float-rounded value (0.9f = 0.89999997… → 899999).
+    val fx = pts.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toFloat.toDouble * 1e6).toLong)
+    }
+    var cents: Map[Long, Seq[Long]] =
+      fx.filter(_._1 < k).map { case (id, v) => id -> v }
+    var assign: Map[Long, (Long, Long)] = Map.empty
+    for (_ <- 1 to iters) {
+      assign = fx.map { case (id, v) =>
+        val best = cents.toSeq.map { case (cid, cv) =>
+          val d = v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d, cid)
+        }.min
+        id -> (best._2, best._1)
+      }
+      cents = assign.groupBy(_._2._1).map { case (cid, members) =>
+        val vs = members.keys.toSeq.map(fx)
+        val n = vs.size.toLong
+        cid -> vs.transpose.map(col => (col.sum + Off * n) / n - Off)
+      }
+    }
+    assign
+  }
+
+  test("PQ codes and error match the in-memory reference on a " +
+    "hand-checkable fixture") {
+    val m = 2; val subDim = 2; val k = 2; val iters = 2
+    // Six dim-4 vectors; subspace halves cluster differently on purpose
+    // (vector 5's first half sits near seed 0, second half near seed 1).
+    val vecs: Map[Long, Seq[Double]] = Map(
+      0L -> Seq(0.1, 0.1, 0.9, 0.9),
+      1L -> Seq(0.9, 0.9, 0.1, 0.1),
+      2L -> Seq(0.12, 0.08, 0.88, 0.91),
+      3L -> Seq(0.88, 0.93, 0.09, 0.12),
+      4L -> Seq(0.11, 0.13, 0.13, 0.09),
+      5L -> Seq(0.09, 0.12, 0.14, 0.11))
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+    val expected = (0 until m).map { j =>
+      refKmeans(vecs.map { case (id, v) =>
+        id -> v.slice(j * subDim, (j + 1) * subDim)
+      }, k, iters)
+    }
+
+    val got = Pq.encode(df, "vec_id", "embedding", m, subDim, k, iters)
+      .collect().map(r => r.getLong(0) ->
+        ((0 until m).map(j => r.getLong(1 + j)), r.getLong(1 + m))).toMap
+
+    assert(got.keySet == vecs.keySet)
+    for (id <- vecs.keys) {
+      val wantCodes = (0 until m).map(j => expected(j)(id)._1)
+      val wantErr = (0 until m).map(j => expected(j)(id)._2).sum
+      assert(got(id)._1 == wantCodes,
+        s"vec $id codes ${got(id)._1} != reference $wantCodes")
+      assert(got(id)._2 == wantErr,
+        s"vec $id err ${got(id)._2} != reference $wantErr")
+    }
+    // the fixture must actually exercise divergent subspace codes
+    assert(got(5L)._1.distinct.size > 1,
+      "fixture degenerate: vector 5 coded identically in every subspace")
+  }
+
+  test("PQ on the sf0.001 corpus: one row per vector, codes within " +
+    "[0, k), error no worse than single-codebook quantization") {
+    val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")
+    val n = emb.count()
+    val pq = Pq.encode(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iters = 2).cache()
+    assert(pq.count() == n)
+    val codeCols = (0 until 4).map(j => col(s"code_$j"))
+    val bad = pq.filter(codeCols.map(c => c < 0 || c >= 16).reduce(_ || _))
+    assert(bad.count() == 0, "code outside [0, k)")
+    // Four independent 16-dim codebooks can never do worse in total
+    // fx-squared error than assigning the full 64-dim vector to the
+    // single best of the same 16 seeds (PQ's whole premise: the
+    // product space refines the single codebook).
+    val pqErr = pq.agg(sum(col("err_fx"))).head.getLong(0)
+    val fullErr = graft.ml.KMeansFx
+      .fit(emb, "vec_id", "embedding", k = 16, iters = 2)
+      .agg(sum(col("dist"))).head.getLong(0)
+    assert(pqErr <= fullErr,
+      s"PQ error $pqErr exceeds single-codebook error $fullErr")
+    pq.unpersist()
+  }
+}
