@@ -56,7 +56,32 @@ object KMeansFx {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame =
+    fitSeeded(emb, idCol, vecCol, lit(k.toLong), iters)._1
+
+  /** [[fit]] plus the CODEBOOK the final assignment was measured
+    * against — the centroids after `iters - 1` Lloyd updates (`c{iters-1}`
+    * in the oracle chain), i.e. exactly the table a quantization code
+    * refers to. Product-quantization ADC search ([[Pq.adcTopK]]) needs
+    * both halves consistent: a code is only meaningful together with
+    * the codebook that produced it. Returns
+    * ((idCol, cluster, dist), (cid, cv)); both frames share one
+    * persisted scaled-points relation. */
+  def fitWithCodebook(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): (DataFrame, DataFrame) =
     fitSeeded(emb, idCol, vecCol, lit(k.toLong), iters)
+
+  /** Scaled fx points (pid, v: Array[Long]) — the shared quantization
+    * of [[fit]] exposed so ADC query vectors go through the identical
+    * float→double→floor chain as the indexed corpus. */
+  private[ml] def fxPoints(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v"))
+
+  private[ml] def fxSqDist(a: Column, b: Column): Column = sqDist(a, b)
 
   /** [[fit]] with k DERIVED from the corpus size, k = max(minK,
     * n / targetClusterSize) — the SemDeDup posture "k grows with the
@@ -73,7 +98,7 @@ object KMeansFx {
       iters: Int): DataFrame =
     fitSeeded(emb, idCol, vecCol,
       greatest(lit(minK.toLong), expr(s"__n div $targetClusterSize")), iters,
-      withCount = true)
+      withCount = true)._1
 
   /** The SQL expression for the derived k, shared with oracle builders
     * so engine and oracle can never drift. */
@@ -86,7 +111,7 @@ object KMeansFx {
       vecCol: String,
       kCol: Column,
       iters: Int,
-      withCount: Boolean = false): DataFrame = {
+      withCount: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // One materialization of the scaled points, hash-partitioned on the
     // POINT ID so every iteration's per-point argmin window reuses the
@@ -110,7 +135,9 @@ object KMeansFx {
     var cents = seedSrc.filter(col("pid") < kCol)
       .select(col("pid").as("cid"), col("v").as("cv"))
     var assign: DataFrame = null
+    var centsUsed: DataFrame = null
     for (_ <- 1 to iters) {
+      centsUsed = cents
       assign = pts.crossJoin(broadcast(cents))
         .withColumn("dist", sqDist(col("v"), col("cv")))
         .withColumn("rn", row_number().over(
@@ -126,7 +153,8 @@ object KMeansFx {
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
           s => s("ci")).as("cv"))
     }
-    assign.select(col("pid").as(idCol), col("cid").as("cluster"), col("dist"))
+    (assign.select(col("pid").as(idCol), col("cid").as("cluster"),
+      col("dist")), centsUsed)
   }
 
   /** The identical iteration as DuckDB SQL over the embeddings table —

@@ -649,6 +649,24 @@ object DedupSim {
       .orderBy("vec_id")
   }
 
+  /** ADC top-k search over the PQ index ([[graft.ml.Pq.adcTopK]]) —
+    * the query path of an IVF-PQ engine (Jégou et al. TPAMI 2011
+    * §IV): probes precompute M×k LUTs of exact fx distances to the
+    * subspace codebooks; a corpus vector's score is M table lookups
+    * on its 2-byte codes. The corpus is scanned as codes, never as
+    * floats — the posture that makes billion-vector ANN fit in RAM.
+    * All-integer, so the oracle replays the LUTs and lookups exactly
+    * against the same suffixed Lloyd chains as q_embed_pq. */
+  val annPq: Q = Q(
+    "q_ann_pq",
+    graft.ml.Pq.adcOracleSql(
+      m = 4, subDim = 16, k = 16, iters = 2, probeMod = 100, topK = 10)) {
+    (s, d) =>
+      graft.ml.Pq.adcTopK(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        m = 4, subDim = 16, k = 16, iters = 2, probeMod = 100, topK = 10)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with fixed-point k-means
     * ([[graft.ml.KMeansFx]]), then compare pairs ONLY within a cluster
@@ -1165,6 +1183,6 @@ object DedupSim {
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, embedPq, dedupIncremental, dedupKeepBest,
+    semanticDedup, embedQuantize, embedPq, annPq, dedupIncremental, dedupKeepBest,
     splitLeakage, substringDedup, substringExcise)
 }

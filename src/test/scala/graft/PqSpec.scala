@@ -19,9 +19,11 @@ class PqSpec extends AnyFunSuite {
   /** Reference fx-Lloyd over one subspace: floor(x*1e6) scaling, seeds
     * = ids < k, (dist, cid) tie-break, ((s + Off·n) div n) − Off
     * centroid update — the same arithmetic KMeansFx declares, written
-    * as a driver-side loop with no Spark involved. */
-  private def refKmeans(
-      pts: Map[Long, Seq[Double]], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+    * as a driver-side loop with no Spark involved. Returns assignments
+    * and the codebook the FINAL assignment was measured against. */
+  private def refKmeansFull(
+      pts: Map[Long, Seq[Double]], k: Int, iters: Int)
+      : (Map[Long, (Long, Long)], Map[Long, Seq[Long]]) = {
     // Through FLOAT first: the embedding column is float, so the engine
     // scales the float-rounded value (0.9f = 0.89999997… → 899999).
     val fx = pts.map { case (id, v) =>
@@ -30,7 +32,9 @@ class PqSpec extends AnyFunSuite {
     var cents: Map[Long, Seq[Long]] =
       fx.filter(_._1 < k).map { case (id, v) => id -> v }
     var assign: Map[Long, (Long, Long)] = Map.empty
+    var centsUsed: Map[Long, Seq[Long]] = cents
     for (_ <- 1 to iters) {
+      centsUsed = cents
       assign = fx.map { case (id, v) =>
         val best = cents.toSeq.map { case (cid, cv) =>
           val d = v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
@@ -44,8 +48,12 @@ class PqSpec extends AnyFunSuite {
         cid -> vs.transpose.map(col => (col.sum + Off * n) / n - Off)
       }
     }
-    assign
+    (assign, centsUsed)
   }
+
+  private def refKmeans(
+      pts: Map[Long, Seq[Double]], k: Int, iters: Int): Map[Long, (Long, Long)] =
+    refKmeansFull(pts, k, iters)._1
 
   test("PQ codes and error match the in-memory reference on a " +
     "hand-checkable fixture") {
@@ -85,6 +93,55 @@ class PqSpec extends AnyFunSuite {
     // the fixture must actually exercise divergent subspace codes
     assert(got(5L)._1.distinct.size > 1,
       "fixture degenerate: vector 5 coded identically in every subspace")
+  }
+
+  test("ADC top-k matches the in-memory reference: LUT lookups equal " +
+    "the distance to the reconstructed vector") {
+    val m = 2; val subDim = 2; val k = 2; val iters = 2
+    val probeMod = 3L // probes: vectors 0 and 3
+    val vecs: Map[Long, Seq[Double]] = Map(
+      0L -> Seq(0.1, 0.1, 0.9, 0.9),
+      1L -> Seq(0.9, 0.9, 0.1, 0.1),
+      2L -> Seq(0.12, 0.08, 0.88, 0.91),
+      3L -> Seq(0.88, 0.93, 0.09, 0.12),
+      4L -> Seq(0.11, 0.13, 0.13, 0.09),
+      5L -> Seq(0.09, 0.12, 0.14, 0.11))
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+    val fitted = (0 until m).map { j =>
+      refKmeansFull(vecs.map { case (id, v) =>
+        id -> v.slice(j * subDim, (j + 1) * subDim)
+      }, k, iters)
+    }
+    val fx = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toFloat.toDouble * 1e6).toLong)
+    }
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = vecs.keys.filter(_ % probeMod == 0).toSeq.sorted.flatMap { p =>
+      val scored = vecs.keys.filter(_ != p).toSeq.map { v =>
+        val adc = (0 until m).map { j =>
+          val code = fitted(j)._1(v)._1
+          val qSub = fx(p).slice(j * subDim, (j + 1) * subDim)
+          sq(qSub, fitted(j)._2(code))
+        }.sum
+        (v, adc)
+      }.sortBy { case (v, adc) => (adc, v) }
+      scored.zipWithIndex.map { case ((v, adc), i) => (p, i + 1L, v, adc) }
+    }
+
+    val got = graft.ml.Pq.adcTopK(df, "vec_id", "embedding",
+      m, subDim, k, iters, probeMod, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"\nengine:    $got\nreference: $expected")
+    // the fixture must exercise a non-degenerate ranking (different
+    // probes prefer different neighbors)
+    val top1 = got.filter(_._2 == 1L).map(_._3)
+    assert(top1.distinct.size > 1, "fixture degenerate: same top-1 everywhere")
   }
 
   test("PQ on the sf0.001 corpus: one row per vector, codes within " +
