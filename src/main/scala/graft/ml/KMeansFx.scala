@@ -112,6 +112,22 @@ object KMeansFx {
       kCol: Column,
       iters: Int,
       withCount: Boolean = false): (DataFrame, DataFrame) = {
+    val out = fitFx(
+      emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v")),
+      kCol, iters, withCount)
+    (out._1.withColumnRenamed("pid", idCol), out._2)
+  }
+
+  /** The Lloyd loop over ALREADY-SCALED points (pid, v: Array[Long]) —
+    * the entry residual quantization uses ([[Pq.ivfAdcTopK]] fits
+    * subspace codebooks over integer residuals, which never pass
+    * through the float→fx boundary). Returns ((pid, cluster, dist),
+    * (cid, cv)) like [[fitWithCodebook]]. */
+  private[ml] def fitFx(
+      ptsRaw: DataFrame,
+      kCol: Column,
+      iters: Int,
+      withCount: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // One materialization of the scaled points, hash-partitioned on the
     // POINT ID so every iteration's per-point argmin window reuses the
@@ -124,8 +140,8 @@ object KMeansFx {
     // + unpersist split the job and cost ~50%. The cache is released by
     // the ContextCleaner when the result frame is dropped; on a shared
     // cluster wrap fit() calls with your own lifecycle if that matters.
-    val pts = emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v"))
-      .repartition(emb.sparkSession.conf
+    val pts = ptsRaw
+      .repartition(ptsRaw.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt, col("pid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seedSrc =
@@ -153,7 +169,7 @@ object KMeansFx {
         .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
           s => s("ci")).as("cv"))
     }
-    (assign.select(col("pid").as(idCol), col("cid").as("cluster"),
+    (assign.select(col("pid"), col("cid").as("cluster"),
       col("dist")), centsUsed)
   }
 
@@ -188,10 +204,22 @@ object KMeansFx {
   def oracleCtesSlice(
       kExpr: String, iters: Int, dim: Int, offset: Int, sfx: String): String = {
     val idx = if (offset == 0) "i" else s"i + $offset"
-    val head =
-      s"""pts$sfx AS (SELECT vec_id, i,
+    oracleCtesFromSrc(
+      s"""SELECT vec_id, i,
          |    CAST(floor(CAST(embedding[$idx] AS DOUBLE) * 1000000) AS BIGINT) AS v
-         |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p),
+         |  FROM embeddings, (SELECT unnest(range(1, ${dim + 1})) AS i) p""".stripMargin,
+      kExpr, iters, sfx)
+  }
+
+  /** The same chain over an ARBITRARY (vec_id, i, v) source select —
+    * residual quantization ([[Pq.ivfAdcTopK]]'s oracle) runs
+    * per-subspace chains over integer residuals rather than embedding
+    * slices. `srcSql` must yield one row per (vec_id, i in 1..dim)
+    * with v already in fx longs. */
+  def oracleCtesFromSrc(
+      srcSql: String, kExpr: String, iters: Int, sfx: String): String = {
+    val head =
+      s"""pts$sfx AS ($srcSql),
          |c0$sfx AS (SELECT vec_id AS cid, i, v FROM pts$sfx WHERE vec_id < $kExpr)""".stripMargin
     val its = (1 to iters).map { j =>
       s"""a$j$sfx AS (SELECT p.vec_id, c.cid, SUM((p.v - c.v) * (p.v - c.v)) AS dist

@@ -153,6 +153,154 @@ object Pq {
        |WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** IVF-ADC (Jégou et al. TPAMI 2011 §V, the FAISS "IVFADC" index):
+    * a coarse quantizer of `kc` cells partitions the corpus; each
+    * vector stores its cell plus PQ codes of its RESIDUAL (vector −
+    * cell centroid), which PQ approximates far better than raw
+    * coordinates because residuals are centered. A probe visits only
+    * its `nprobe` nearest cells and scores candidates by ADC over a
+    * LUT built per (probe, cell) — the LUT must be per-cell because
+    * the query residual changes with the cell it is measured against.
+    *
+    * Shape at 100TB: the corpus is touched twice (coarse fit +
+    * subspace fits over the persisted residual relation) and scored
+    * as codes only; LUTs are Q·nprobe·M·k rows and broadcast, cells
+    * prune candidates BEFORE any distance work (the inverted-list
+    * posture — candidates drop by ~nprobe/kc), and only topK·Q rows
+    * survive to the final exchange.
+    *
+    * Output: (probe_id, rank, vec_id, adc_fx), exact integers. */
+  def ivfAdcTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kc: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int,
+      probeMod: Long,
+      topK: Int): DataFrame = {
+    val (coarseAssign, coarseCb) =
+      KMeansFx.fitWithCodebook(emb, idCol, vecCol, kc, iters)
+    // Residuals in exact integers: fx(v) − cell centroid. Persisted for
+    // the same reason as the KMeansFx point cache — M subspace fits and
+    // the candidate join all scan it, and the nested iteration plans
+    // upstream (the coarse Lloyd loop) defeat exchange reuse.
+    val res = KMeansFx.fxPoints(emb, idCol, vecCol)
+      .join(coarseAssign.select(col(idCol).as("pid"),
+        col("cluster").as("cell")), "pid")
+      .join(broadcast(coarseCb.withColumnRenamed("cid", "cell")), "cell")
+      .select(col("pid"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fitted = (0 until m).map { j =>
+      KMeansFx.fitFx(
+        res.select(col("pid"), slice(col("rv"), j * subDim + 1, subDim).as("v")),
+        lit(k.toLong), iters)
+    }
+    val codes = fitted.zipWithIndex.map { case ((assign, _), j) =>
+      assign.select(col("pid"), col("cluster").as(s"code_$j"))
+    }.reduce(_.join(_, "pid"))
+    // Probe inverted lists: nprobe nearest cells, ties (dist, cid asc) —
+    // the same ordering the assignment's rank-1 uses, so a probe's own
+    // cell is always its first list.
+    val plists = graft.ops.TopK.perGroup(
+      KMeansFx.fxPoints(emb.filter(col(idCol) % probeMod === 0), idCol, vecCol)
+        .crossJoin(broadcast(coarseCb))
+        .withColumn("cdist", KMeansFx.fxSqDist(col("v"), col("cv"))),
+      partitionBy = Seq(col("pid")),
+      orderBy = Seq(col("cdist").asc, col("cid").asc),
+      k = nprobe, rankCol = "__pr")
+      .select(col("pid").as("probe_id"), col("cid").as("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("qr"))
+    val luts = (0 until m).map { j =>
+      plists.select(col("probe_id"), col("cell"),
+          slice(col("qr"), j * subDim + 1, subDim).as("q"))
+        .crossJoin(broadcast(fitted(j)._2))
+        .select(col("probe_id").as(s"p_$j"), col("cell").as(s"cell_$j"),
+          col("cid").as(s"c_$j"),
+          KMeansFx.fxSqDist(col("q"), col("cv")).as(s"d_$j"))
+    }
+    var scored = codes
+      .join(res.select(col("pid"), col("cell")), "pid")
+      .join(broadcast(plists.select(col("probe_id"), col("cell"))), "cell")
+    for (j <- 0 until m) {
+      val cond = col(s"cell_$j") === col("cell") &&
+        col(s"p_$j") === col("probe_id") && col(s"c_$j") === col(s"code_$j")
+      scored = scored.join(broadcast(luts(j)), cond)
+    }
+    val adc = (0 until m).map(j => col(s"d_$j")).reduce(_ + _)
+    graft.ops.TopK.perGroup(
+      scored.filter(col("pid") =!= col("probe_id"))
+        .select(col("probe_id"), col("pid").as(idCol), adc.as("adc_fx")),
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("adc_fx").asc, col(idCol).asc),
+      k = topK, rankCol = "rank")
+      .select("probe_id", "rank", idCol, "adc_fx")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The DuckDB replay of [[ivfAdcTopK]]: the coarse Lloyd chain, an
+    * integer residual CTE, per-subspace chains over rebased residual
+    * slices ([[KMeansFx.oracleCtesFromSrc]]), per-(probe, cell) LUTs,
+    * and M equi-joined lookups gated by the probed-cell list. */
+  def ivfAdcOracleSql(
+      kc: Int, nprobe: Int, m: Int, subDim: Int, k: Int, iters: Int,
+      probeMod: Long, topK: Int): String = {
+    val dim = m * subDim
+    val coarse =
+      KMeansFx.oracleCtesSlice(kc.toString, iters, dim, offset = 0, sfx = "_c")
+    val cb = s"c${iters - 1}_c"
+    val subChains = (0 until m).map { j =>
+      KMeansFx.oracleCtesFromSrc(
+        s"""SELECT vec_id, i - ${j * subDim} AS i, v FROM res
+           |  WHERE i > ${j * subDim} AND i <= ${(j + 1) * subDim}""".stripMargin,
+        k.toString, iters, s"_$j")
+    }.mkString(",\n")
+    val luts = (0 until m).map { j =>
+      s"""lut_$j AS (SELECT q.probe_id, q.cell, c.cid,
+         |    SUM((q.v - c.v) * (q.v - c.v)) AS d
+         |  FROM (SELECT probe_id, cell, i - ${j * subDim} AS i, v FROM qres
+         |        WHERE i > ${j * subDim} AND i <= ${(j + 1) * subDim}) q
+         |  JOIN c${iters - 1}_$j c ON q.i = c.i GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN s${iters}_$j s$j ON s$j.vec_id = s0.vec_id")
+      .mkString("\n")
+    val lutJoins = (0 until m).map { j =>
+      s"JOIN lut_$j l$j ON l$j.probe_id = pl.probe_id AND l$j.cell = pl.cell AND l$j.cid = s$j.cid"
+    }.mkString("\n")
+    val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
+    s"""WITH $coarse,
+       |res AS (SELECT p.vec_id, p.i, p.v - c.v AS v
+       |  FROM pts_c p JOIN s${iters}_c s ON p.vec_id = s.vec_id
+       |  JOIN $cb c ON c.cid = s.cid AND c.i = p.i),
+       |$subChains,
+       |plists AS (SELECT vec_id AS probe_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS pr
+       |    FROM a${iters}_c WHERE vec_id % $probeMod = 0) WHERE pr <= $nprobe),
+       |qres AS (SELECT pl.probe_id, pl.cell, p.i, p.v - c.v AS v
+       |  FROM plists pl JOIN pts_c p ON p.vec_id = pl.probe_id
+       |  JOIN $cb c ON c.cid = pl.cell AND c.i = p.i),
+       |$luts,
+       |adc AS (SELECT pl.probe_id, s0.vec_id, CAST($adcSum AS BIGINT) AS adc_fx
+       |  FROM s${iters}_0 s0
+       |$codeJoins
+       |  JOIN s${iters}_c sc ON sc.vec_id = s0.vec_id
+       |  JOIN plists pl ON pl.cell = sc.cid
+       |$lutJoins
+       |  WHERE s0.vec_id <> pl.probe_id),
+       |ranked AS (SELECT probe_id, vec_id, adc_fx,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY adc_fx, vec_id) AS rank
+       |  FROM adc)
+       |SELECT probe_id, rank, vec_id, adc_fx FROM ranked
+       |WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** The DuckDB replay of [[encode]] over the embeddings table. */
   def oracleSql(m: Int, subDim: Int, k: Int, iters: Int): String = {
     val ctes = (0 until m)

@@ -667,6 +667,28 @@ object DedupSim {
         m = 4, subDim = 16, k = 16, iters = 2, probeMod = 100, topK = 10)
   }
 
+  /** IVF-ADC search (Jégou et al. TPAMI 2011 §V — the FAISS IVFADC
+    * index, the architecture actually deployed at billion-vector
+    * scale): a coarse quantizer partitions the corpus into cells, PQ
+    * codes quantize each vector's RESIDUAL against its cell centroid,
+    * and a probe scans only its nprobe nearest cells with a
+    * per-(probe, cell) ADC lookup table. Inverted-list pruning + code
+    * scanning compound: candidates shrink ~nprobe/kc BEFORE any
+    * distance work, and surviving ones cost M table lookups each.
+    * All-integer (residuals are differences of fx longs), so the
+    * oracle replays coarse chain, residual CTE, subspace chains,
+    * LUTs, and lookups exactly. */
+  val annIvfPq: Q = Q(
+    "q_ann_ivfpq",
+    graft.ml.Pq.ivfAdcOracleSql(
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, topK = 10)) { (s, d) =>
+    graft.ml.Pq.ivfAdcTopK(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, topK = 10)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with fixed-point k-means
     * ([[graft.ml.KMeansFx]]), then compare pairs ONLY within a cluster
@@ -1183,6 +1205,7 @@ object DedupSim {
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, embedPq, annPq, dedupIncremental, dedupKeepBest,
+    semanticDedup, embedQuantize, embedPq, annPq, annIvfPq,
+    dedupIncremental, dedupKeepBest,
     splitLeakage, substringDedup, substringExcise)
 }

@@ -26,9 +26,17 @@ class PqSpec extends AnyFunSuite {
       : (Map[Long, (Long, Long)], Map[Long, Seq[Long]]) = {
     // Through FLOAT first: the embedding column is float, so the engine
     // scales the float-rounded value (0.9f = 0.89999997… → 899999).
-    val fx = pts.map { case (id, v) =>
+    refKmeansFx(pts.map { case (id, v) =>
       id -> v.map(x => math.floor(x.toFloat.toDouble * 1e6).toLong)
-    }
+    }, k, iters)
+  }
+
+  /** The same loop over ALREADY-SCALED fx points — residual
+    * quantization (ivfAdcTopK) fits codebooks on integer residuals
+    * that never pass through the float boundary. */
+  private def refKmeansFx(
+      fx: Map[Long, Seq[Long]], k: Int, iters: Int)
+      : (Map[Long, (Long, Long)], Map[Long, Seq[Long]]) = {
     var cents: Map[Long, Seq[Long]] =
       fx.filter(_._1 < k).map { case (id, v) => id -> v }
     var assign: Map[Long, (Long, Long)] = Map.empty
@@ -142,6 +150,65 @@ class PqSpec extends AnyFunSuite {
     // probes prefer different neighbors)
     val top1 = got.filter(_._2 == 1L).map(_._3)
     assert(top1.distinct.size > 1, "fixture degenerate: same top-1 everywhere")
+  }
+
+  test("IVF-ADC top-k matches the in-memory reference: residual codes, " +
+    "per-(probe, cell) LUTs, inverted-list pruning") {
+    val kc = 2; val nprobe = 2; val m = 2; val subDim = 2
+    val k = 2; val iters = 2; val probeMod = 3L; val topK = 10
+    val vecs: Map[Long, Seq[Double]] = Map(
+      0L -> Seq(0.1, 0.1, 0.9, 0.9),
+      1L -> Seq(0.9, 0.9, 0.1, 0.1),
+      2L -> Seq(0.12, 0.08, 0.88, 0.91),
+      3L -> Seq(0.88, 0.93, 0.09, 0.12),
+      4L -> Seq(0.11, 0.13, 0.13, 0.09),
+      5L -> Seq(0.09, 0.12, 0.14, 0.11))
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    val fx = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toFloat.toDouble * 1e6).toLong)
+    }
+    val (cAssign, cCb) = refKmeansFull(vecs, kc, iters)
+    val resid = fx.map { case (id, v) =>
+      id -> v.zip(cCb(cAssign(id)._1)).map { case (a, b) => a - b }
+    }
+    val subFits = (0 until m).map { j =>
+      refKmeansFx(resid.map { case (id, v) =>
+        id -> v.slice(j * subDim, (j + 1) * subDim)
+      }, k, iters)
+    }
+    val probes = vecs.keys.filter(_ % probeMod == 0).toSeq.sorted
+    val expected = probes.flatMap { p =>
+      val cells = cCb.toSeq.map { case (cid, cv) => (sq(fx(p), cv), cid) }
+        .sorted.take(nprobe).map(_._2)
+      val cand = vecs.keys.filter(v => v != p && cells.contains(cAssign(v)._1))
+      val scored = cand.toSeq.map { v =>
+        val cell = cAssign(v)._1
+        val qr = fx(p).zip(cCb(cell)).map { case (a, b) => a - b }
+        val adc = (0 until m).map { j =>
+          val code = subFits(j)._1(v)._1
+          sq(qr.slice(j * subDim, (j + 1) * subDim), subFits(j)._2(code))
+        }.sum
+        (v, adc)
+      }.sortBy { case (v, adc) => (adc, v) }.take(topK)
+      scored.zipWithIndex.map { case ((v, adc), i) => (p, i + 1L, v, adc) }
+    }
+
+    val got = Pq.ivfAdcTopK(df, "vec_id", "embedding",
+      kc, nprobe, m, subDim, k, iters, probeMod, topK)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"\nengine:    $got\nreference: $expected")
+    // with nprobe = kc every vector is a candidate, so the fixture
+    // must exercise LUTs for BOTH cells per probe (candidates from the
+    // probe's non-home cell score against a different query residual)
+    assert(expected.map(_._3).map(cAssign(_)._1).toSet.size > 1,
+      "fixture degenerate: all candidates share one cell")
   }
 
   test("PQ on the sf0.001 corpus: one row per vector, codes within " +
