@@ -144,7 +144,21 @@ object PlanDump {
         |(pair, diagonal) groups BEFORE any text moves, and only
         |support-filtered diagonals join the two doc texts for the
         |extension walk. No cartesian or nested-loop stage; the pair
-        |blowout is bounded by the anchor df cap.""".stripMargin)
+        |blowout is bounded by the anchor df cap.""".stripMargin,
+    "q_ann_ivfpq" ->
+      """IVF-ADC: coarse centroids, probe lists, and the M per-(probe,
+        |cell) LUTs are all BroadcastExchange; the corpus-side work is
+        |the persisted residual relation scanned as codes — candidates
+        |are pruned by the probed-cell equi-join BEFORE any LUT lookup,
+        |and the final top-k is a WindowGroupLimit, so only topK rows
+        |per probe reach the last exchange. No full-corpus scan per
+        |probe anywhere.""".stripMargin,
+    "q_sketch_kmv" ->
+      """KMV distinct sketch: one map-side-partial distinct on (day,
+        |hash), then bottom-k per day via WindowGroupLimit — k rows per
+        |day survive to the month merge, which never touches the corpus
+        |again (the mergeable-sketch shape). The exact_distinct witness
+        |is the only other corpus aggregation.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -349,6 +349,76 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** KMV (k-minimum-values, a.k.a. bottom-k) distinct sketch
+    * (Bar-Yossef et al. "Counting distinct elements in a data stream",
+    * RANDOM 2002; Beyer et al. SIGMOD 2007 for the unbiased (k−1)/U_k
+    * estimator), built per ship-DAY and MERGED to per-month estimates —
+    * the mergeability demo is the point: the union of two bottom-k
+    * sets re-trimmed to k IS the sketch of the union, so shard
+    * sketches combine without ever revisiting the data. md5 hex is the
+    * hash (identical lowercase hex in both engines; lexicographic
+    * order on fixed-width hex = numeric order), and the estimator
+    * (k−1)·2^48 / h_(k) runs on the first 48 hash bits as a single
+    * exact integer division (hash-safe cross-engine; CLAUDE.md float
+    * rule). `exact_distinct` rides along as the accuracy witness — at
+    * 100TB you'd never compute it; the sketch is the feasible path.
+    *
+    * Shape at 100TB: one map-side-partial distinct on (day, hash),
+    * bottom-k per day via the map-side group limit ([[graft.ops
+    * .TopK]]) — k·days rows survive, and the month merge touches only
+    * those. The sketch never shuffles the corpus on anything but the
+    * (day, hash) distinct. */
+  val kmvDistinct: Q = Q(
+    "q_sketch_kmv",
+    """WITH dh AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS day,
+      |    md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+      |dsk AS (SELECT day, h FROM (
+      |    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+      |    FROM dh) WHERE rn <= 64),
+      |mh AS (SELECT DISTINCT CAST(date_trunc('month', day) AS DATE) AS month, h
+      |       FROM dsk),
+      |msk AS (SELECT month, h FROM (
+      |    SELECT month, h, ROW_NUMBER() OVER (PARTITION BY month ORDER BY h) AS rn
+      |    FROM mh) WHERE rn <= 64),
+      |est AS (SELECT month, COUNT(*) AS sketch_k, MAX(h) AS hk
+      |        FROM msk GROUP BY month),
+      |ex AS (SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS month,
+      |    COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem GROUP BY month)
+      |SELECT e.month, e.sketch_k,
+      |  CASE WHEN e.sketch_k < 64 THEN e.sketch_k
+      |       ELSE 17732923532771328 //
+      |         GREATEST(CAST(concat('0x', substr(e.hk, 1, 12)) AS BIGINT), 1) END
+      |    AS kmv_est,
+      |  x.exact_distinct
+      |FROM est e JOIN ex x ON e.month = x.month ORDER BY e.month""".stripMargin) {
+    (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+      val dh = li.select(to_date(col("l_shipdate")).as("day"),
+        md5(col("l_orderkey").cast(org.apache.spark.sql.types.StringType)).as("h"))
+        .distinct()
+      val dsk = graft.ops.TopK.perGroup(dh,
+        partitionBy = Seq(col("day")), orderBy = Seq(col("h").asc),
+        k = 64, rankCol = "__rn").select("day", "h")
+      val mh = dsk.select(trunc(col("day"), "month").as("month"), col("h"))
+        .distinct()
+      val msk = graft.ops.TopK.perGroup(mh,
+        partitionBy = Seq(col("month")), orderBy = Seq(col("h").asc),
+        k = 64, rankCol = "__rn").select("month", "h")
+      val est = msk.groupBy("month")
+        .agg(count(lit(1)).as("sketch_k"), max(col("h")).as("hk"))
+      val ex = li
+        .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+      est.join(ex, "month")
+        .select(col("month"), col("sketch_k"),
+          when(col("sketch_k") < 64, col("sketch_k"))
+            .otherwise(expr("17732923532771328 div " +
+              "greatest(cast(conv(substr(hk, 1, 12), 16, 10) as bigint), 1)"))
+            .as("kmv_est"),
+          col("exact_distinct"))
+        .orderBy("month")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
-    copurchase, triangles, dauMau)
+    copurchase, triangles, dauMau, kmvDistinct)
 }

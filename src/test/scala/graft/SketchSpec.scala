@@ -43,4 +43,34 @@ class SketchSpec extends AnyFunSuite {
         }
     }
   }
+
+  test("KMV mergeability: the day->month merged sketch estimate equals " +
+    "a direct month-level bottom-k (sketch of union = union of sketches)") {
+    val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+    // Direct month sketch: bottom-64 per month straight off the corpus,
+    // no day stage — if merging day sketches lost information, the
+    // query's estimates would diverge from these.
+    val mh = li.select(
+        trunc(to_date(col("l_shipdate")), "month").as("month"),
+        md5(col("l_orderkey").cast("string")).as("h"))
+      .distinct()
+    val direct = graft.ops.TopK.perGroup(mh,
+      partitionBy = Seq(col("month")), orderBy = Seq(col("h").asc),
+      k = 64, rankCol = "__rn")
+      .groupBy("month").agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+      .collect()
+      .map(r => r.getDate(0).toString -> {
+        val k = r.getLong(1)
+        if (k < 64) k
+        else 17732923532771328L /
+          math.max(java.lang.Long.parseLong(r.getString(2).take(12), 16), 1L)
+      }).toMap
+    val merged = graft.queries.Analytics.kmvDistinct
+      .run(spark, SharedSpark.sf001).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (m, est) =>
+      assert(est == direct(m), s"month $m: merged est $est != direct ${direct(m)}")
+    }
+  }
 }
