@@ -146,13 +146,15 @@ object PlanDump {
         |extension walk. No cartesian or nested-loop stage; the pair
         |blowout is bounded by the anchor df cap.""".stripMargin,
     "q_ann_ivfpq" ->
-      """IVF-ADC: coarse centroids, probe lists, and the M per-(probe,
-        |cell) LUTs are all BroadcastExchange; the corpus-side work is
-        |the persisted residual relation scanned as codes — candidates
-        |are pruned by the probed-cell equi-join BEFORE any LUT lookup,
-        |and the final top-k is a WindowGroupLimit, so only topK rows
-        |per probe reach the last exchange. No full-corpus scan per
-        |probe anywhere.""".stripMargin,
+      """IVF-ADC: coarse centroids, probe lists, and the combined
+        |(probe, cell, subspace) LUT are all BroadcastExchange; ALL M
+        |residual subspace codebooks train in one batched Lloyd plan
+        |(grouped fit — one cached relation, one broadcast per
+        |iteration); scoring is a single broadcast hash join of the
+        |long-form code table against the LUT (the probed-cell prune
+        |and the code lookup are the same join) plus a map-side-partial
+        |integer sum, and the final top-k is a WindowGroupLimit. No
+        |full-corpus scan per probe anywhere.""".stripMargin,
     "q_sketch_kmv" ->
       """KMV distinct sketch: one map-side-partial distinct on (day,
         |hash), then bottom-k per day via WindowGroupLimit — k rows per

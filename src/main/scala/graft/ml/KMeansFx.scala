@@ -173,6 +173,53 @@ object KMeansFx {
       col("dist")), centsUsed)
   }
 
+  /** Batched Lloyd over GROUPED pre-scaled points (g, pid, v): every
+    * group trains its own independent codebook with the exact
+    * [[fitFx]] arithmetic (same seeds pid < k per group, same
+    * (dist, cid) tie-break, same offset division), but all groups
+    * share ONE cached relation, one broadcast per iteration, and one
+    * argmin window — M subspace fits for the price of one plan.
+    * Product quantization over M subspaces runs through this: M
+    * separate [[fitFx]] calls cost M caches and an M×-size physical
+    * plan (measured 18.5s for the sf0.1 IVF-ADC query; batched form
+    * below 5s, identical output). Returns ((g, pid, cluster, dist),
+    * (g, cid, cv)). */
+  private[ml] def fitFxGrouped(
+      ptsRaw: DataFrame,
+      kCol: Column,
+      iters: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = ptsRaw
+      .repartition(ptsRaw.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col("pid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = pts.filter(col("pid") < kCol)
+      .select(col("g"), col("pid").as("cid"), col("v").as("cv"))
+    var assign: DataFrame = null
+    var centsUsed: DataFrame = null
+    for (_ <- 1 to iters) {
+      centsUsed = cents
+      // Equi-join on the group id (broadcast hash, not a cross
+      // product): a point only ever meets its own group's centroids.
+      assign = pts.join(broadcast(cents), Seq("g"))
+        .withColumn("dist", sqDist(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g", "pid").orderBy(col("dist"), col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("g"), col("pid"), col("cid"), col("dist"), col("v"))
+      cents = assign
+        .select(col("g"), col("cid"), posexplode(col("v")).as(Seq("i", "vi")))
+        .groupBy("g", "cid", "i")
+        .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
+        .withColumn("ci", expr(s"((s + $Off * n) div n) - $Off"))
+        .groupBy("g", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
+          s => s("ci")).as("cv"))
+    }
+    (assign.select(col("g"), col("pid"), col("cid").as("cluster"),
+      col("dist")), centsUsed)
+  }
+
   /** The identical iteration as DuckDB SQL over the embeddings table —
     * generated alongside [[fit]] so oracle and engine can never drift
     * on k/iteration count/scale constants. */

@@ -26,6 +26,21 @@ object Pq {
     * (idCol, code_0..code_{m-1}, err_fx) where code_j is the
     * subspace-j centroid id and err_fx = Σ_j fx-squared-distance to
     * that centroid (the assignment distances, summed). */
+  /** (g, pid, v): one row per (vector, subspace) — the grouped-points
+    * form every subspace fit shares, so M Lloyd runs cost ONE cached
+    * relation and one physical plan ([[KMeansFx.fitFxGrouped]]).
+    * Slicing the fx array equals fx-ing the float slice (the scaling
+    * is elementwise), so codes are bit-identical to per-subspace
+    * fits. */
+  private def subspacePoints(
+      emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    KMeansFx.fxPoints(emb, idCol, vecCol)
+      .select(col("pid"), explode(array((0 until m).map(j =>
+        struct(lit(j.toLong).as("g"),
+          slice(col("v"), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("e.g").as("g"), col("pid"), col("e.sv").as("v"))
+
   def encode(
       emb: DataFrame,
       idCol: String,
@@ -34,19 +49,13 @@ object Pq {
       subDim: Int,
       k: Int,
       iters: Int): DataFrame = {
-    val parts = (0 until m).map { j =>
-      KMeansFx.fit(
-        emb.select(col(idCol),
-          slice(col(vecCol), j * subDim + 1, subDim).as("sub")),
-        idCol, "sub", k, iters)
-        .select(col(idCol),
-          col("cluster").as(s"code_$j"), col("dist").as(s"dist_$j"))
-    }
-    val joined = parts.reduce(_.join(_, idCol))
-    val cols = col(idCol) +:
-      (0 until m).map(j => joined(s"code_$j")) :+
-      (0 until m).map(j => joined(s"dist_$j")).reduce(_ + _).as("err_fx")
-    joined.select(cols: _*)
+    val (assign, _) = KMeansFx.fitFxGrouped(
+      subspacePoints(emb, idCol, vecCol, m, subDim), lit(k.toLong), iters)
+    val aggs = (0 until m).map(j =>
+      max(when(col("g") === j, col("cluster"))).as(s"code_$j")) :+
+      sum(col("dist")).as("err_fx")
+    assign.groupBy(col("pid").as(idCol))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** ADC (asymmetric distance computation) top-k search over the PQ
@@ -57,9 +66,11 @@ object Pq {
     * 2-byte codes, never as floats. Probes are `idCol % probeMod = 0`
     * (the q_ann_topk convention); the probe itself is excluded.
     *
-    * Shape at 100TB: the M per-probe LUTs are Q·k rows each and
-    * broadcast, so scoring is M broadcast hash joins over the code
-    * table (no corpus shuffle); `rank <= k` over the probe window is
+    * Shape at 100TB: all M subspace codebooks train in ONE batched
+    * Lloyd plan ([[KMeansFx.fitFxGrouped]]); the combined LUT is
+    * Q·M·k rows and broadcast, so scoring is one broadcast hash join
+    * over the long-form code table plus a map-side-partial integer
+    * sum per (probe, vector); `rank <= k` over the probe window is
     * rewritten to a map-side group limit ([[graft.ops.TopK]]), so only
     * k·Q rows survive to the final exchange.
     *
@@ -78,34 +89,25 @@ object Pq {
       iters: Int,
       probeMod: Long,
       topK: Int): DataFrame = {
-    val fitted = (0 until m).map { j =>
-      KMeansFx.fitWithCodebook(
-        emb.select(col(idCol),
-          slice(col(vecCol), j * subDim + 1, subDim).as("sub")),
-        idCol, "sub", k, iters)
-    }
-    val codes = fitted.zipWithIndex.map { case ((assign, _), j) =>
-      assign.select(col(idCol), col("cluster").as(s"code_$j"))
-    }.reduce(_.join(_, idCol))
-    val probes = emb.filter(col(idCol) % probeMod === 0)
-    var scored = codes
-    for (j <- 0 until m) {
-      val sub = KMeansFx.fxPoints(
-        probes.select(col(idCol),
-          slice(col(vecCol), j * subDim + 1, subDim).as("sub")),
-        idCol, "sub")
-      val lut = sub.crossJoin(broadcast(fitted(j)._2))
-        .select(col("pid").as(s"p_$j"), col("cid").as(s"c_$j"),
-          KMeansFx.fxSqDist(col("v"), col("cv")).as(s"d_$j"))
-      val cond: Column =
-        if (j == 0) col("code_0") === col("c_0")
-        else col(s"code_$j") === col(s"c_$j") && col("p_0") === col(s"p_$j")
-      scored = scored.join(broadcast(lut), cond)
-    }
-    val adc = (0 until m).map(j => col(s"d_$j")).reduce(_ + _)
+    val (assign, cb) = KMeansFx.fitFxGrouped(
+      subspacePoints(emb, idCol, vecCol, m, subDim), lit(k.toLong), iters)
+    // One LUT for all subspaces: (g, probe_id, cluster, d) — Q·M·k
+    // rows, broadcast. Scoring is ONE broadcast hash join of the
+    // long-form code table against it plus a map-side-partial sum,
+    // instead of M chained joins each dragging a fit subplan along.
+    val lut = subspacePoints(
+        emb.filter(col(idCol) % probeMod === 0), idCol, vecCol, m, subDim)
+      .join(broadcast(cb), Seq("g"))
+      .select(col("g"), col("pid").as("probe_id"),
+        col("cid").as("cluster"),
+        KMeansFx.fxSqDist(col("v"), col("cv")).as("d"))
+    val scored = assign.select(col("g"), col("pid"), col("cluster"))
+      .join(broadcast(lut), Seq("g", "cluster"))
+      .filter(col("pid") =!= col("probe_id"))
+      .groupBy("probe_id", "pid")
+      .agg(sum(col("d")).as("adc_fx"))
     graft.ops.TopK.perGroup(
-      scored.filter(col(idCol) =!= col("p_0"))
-        .select(col("p_0").as("probe_id"), col(idCol), adc.as("adc_fx")),
+      scored.select(col("probe_id"), col("pid").as(idCol), col("adc_fx")),
       partitionBy = Seq(col("probe_id")),
       orderBy = Seq(col("adc_fx").asc, col(idCol).asc),
       k = topK, rankCol = "rank")
@@ -195,14 +197,14 @@ object Pq {
       .select(col("pid"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fitted = (0 until m).map { j =>
-      KMeansFx.fitFx(
-        res.select(col("pid"), slice(col("rv"), j * subDim + 1, subDim).as("v")),
-        lit(k.toLong), iters)
-    }
-    val codes = fitted.zipWithIndex.map { case ((assign, _), j) =>
-      assign.select(col("pid"), col("cluster").as(s"code_$j"))
-    }.reduce(_.join(_, "pid"))
+    // All M residual subspace codebooks in ONE batched Lloyd plan
+    // (slicing the residual array per subspace inside the explode).
+    val (assignR, cbR) = KMeansFx.fitFxGrouped(
+      res.select(col("pid"), explode(array((0 until m).map(j =>
+          struct(lit(j.toLong).as("g"),
+            slice(col("rv"), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+        .select(col("e.g").as("g"), col("pid"), col("e.sv").as("v")),
+      lit(k.toLong), iters)
     // Probe inverted lists: nprobe nearest cells, ties (dist, cid asc) —
     // the same ordering the assignment's rank-1 uses, so a probe's own
     // cell is always its first list.
@@ -215,26 +217,28 @@ object Pq {
       k = nprobe, rankCol = "__pr")
       .select(col("pid").as("probe_id"), col("cid").as("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("qr"))
-    val luts = (0 until m).map { j =>
-      plists.select(col("probe_id"), col("cell"),
-          slice(col("qr"), j * subDim + 1, subDim).as("q"))
-        .crossJoin(broadcast(fitted(j)._2))
-        .select(col("probe_id").as(s"p_$j"), col("cell").as(s"cell_$j"),
-          col("cid").as(s"c_$j"),
-          KMeansFx.fxSqDist(col("q"), col("cv")).as(s"d_$j"))
-    }
-    var scored = codes
+    // One LUT for all (probe, cell, subspace): Q·nprobe·M·k rows,
+    // broadcast. Joining candidates on (g, cell, cluster) implicitly
+    // restricts to probed cells — the inverted-list prune and the code
+    // lookup are the same broadcast hash join.
+    val lut = plists
+      .select(col("probe_id"), col("cell"), explode(array((0 until m).map(j =>
+          struct(lit(j.toLong).as("g"),
+            slice(col("qr"), j * subDim + 1, subDim).as("q"))): _*)).as("e"))
+      .select(col("e.g").as("g"), col("probe_id"), col("cell"),
+        col("e.q").as("q"))
+      .join(broadcast(cbR), Seq("g"))
+      .select(col("g"), col("probe_id"), col("cell"),
+        col("cid").as("cluster"),
+        KMeansFx.fxSqDist(col("q"), col("cv")).as("d"))
+    val scored = assignR.select(col("g"), col("pid"), col("cluster"))
       .join(res.select(col("pid"), col("cell")), "pid")
-      .join(broadcast(plists.select(col("probe_id"), col("cell"))), "cell")
-    for (j <- 0 until m) {
-      val cond = col(s"cell_$j") === col("cell") &&
-        col(s"p_$j") === col("probe_id") && col(s"c_$j") === col(s"code_$j")
-      scored = scored.join(broadcast(luts(j)), cond)
-    }
-    val adc = (0 until m).map(j => col(s"d_$j")).reduce(_ + _)
+      .join(broadcast(lut), Seq("g", "cell", "cluster"))
+      .filter(col("pid") =!= col("probe_id"))
+      .groupBy("probe_id", "pid")
+      .agg(sum(col("d")).as("adc_fx"))
     graft.ops.TopK.perGroup(
-      scored.filter(col("pid") =!= col("probe_id"))
-        .select(col("probe_id"), col("pid").as(idCol), adc.as("adc_fx")),
+      scored.select(col("probe_id"), col("pid").as(idCol), col("adc_fx")),
       partitionBy = Seq(col("probe_id")),
       orderBy = Seq(col("adc_fx").asc, col(idCol).asc),
       k = topK, rankCol = "rank")

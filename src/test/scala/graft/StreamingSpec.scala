@@ -272,4 +272,41 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("behind committed version"))
   }
+
+  test("s_stream_kmv: incremental bottom-k sketch equals the batch " +
+    "sketch at every micro-batch prefix (mergeability over time)") {
+    implicit val ctx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def kmvRef(ids: Seq[Long], k: Int): (Long, Long) = {
+      val hs = ids.distinct.map(i => md5hex(i.toString)).sorted.take(k)
+      val est =
+        if (hs.length < k) hs.length.toLong
+        else (k - 1).toLong * 281474976710656L /
+          math.max(java.lang.Long.parseLong(hs.last.take(12), 16), 1L)
+      (hs.length.toLong, est)
+    }
+    val mem = MemoryStream[(String, Long)]
+    val ds = graft.streaming.StatefulKmv.kmvDistinct(
+      spark, mem.toDF().toDF("grp", "id"), "grp", "id", k = 16)
+    val q = Streams.runToMemory(ds.toDF(), "kmvstream", "update")
+    try {
+      val b1 = (1L to 60L).toSeq
+      val b2 = (41L to 100L).toSeq // overlaps b1: distinct-ness matters
+      mem.addData(b1.map(i => ("x", i)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(i => ("x", i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("kmvstream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val p1 = kmvRef(b1, 16)
+      val pAll = kmvRef(b1 ++ b2, 16)
+      // one update per micro-batch, each equal to the BATCH sketch over
+      // everything seen so far
+      assert(rows == Set(("x", p1._1, p1._2), ("x", pAll._1, pAll._2)),
+        s"got $rows, want prefix=$p1 full=$pAll")
+      assert(pAll._2 > 0 && p1._1 == 16L && pAll._1 == 16L)
+    } finally q.stop()
+  }
 }
