@@ -141,6 +141,23 @@ object IngestDemo {
       .select("verdict").collect().map(_.getString(0)).sorted
     println(s"[demo] stream-dedup: verdicts=${verdicts.mkString(",")} " +
       "for (corpus copy, novel doc)")
+
+    // 7. streaming KMV distinct sketch: per-key bottom-k state, the
+    //    incremental twin of q_sketch_kmv
+    val kmvIn = MemoryStream[(String, Long)]
+    val kq = streaming.Streams.runToMemory(
+      streaming.StatefulKmv.kmvDistinct(
+        spark, kmvIn.toDF().toDF("grp", "id"), "grp", "id", k = 16).toDF(),
+      "demo_kmv", "update")
+    kmvIn.addData((1L to 40L).map(i => ("users", i)): _*)
+    kq.processAllAvailable()
+    kmvIn.addData((21L to 60L).map(i => ("users", i)): _*)
+    kq.processAllAvailable()
+    kq.stop()
+    val kmvRows = spark.table("demo_kmv").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    println(s"[demo] stream-kmv: updates=${kmvRows.mkString(",")} " +
+      "(sketch_k, est) after 40 then 60 distinct ids")
     spark.stop()
   }
 }

@@ -118,11 +118,10 @@ object KMeansFx {
     (out._1.withColumnRenamed("pid", idCol), out._2)
   }
 
-  /** The Lloyd loop over ALREADY-SCALED points (pid, v: Array[Long]) —
-    * the entry residual quantization uses ([[Pq.ivfAdcTopK]] fits
-    * subspace codebooks over integer residuals, which never pass
-    * through the float→fx boundary). Returns ((pid, cluster, dist),
-    * (cid, cv)) like [[fitWithCodebook]]. */
+  /** The Lloyd loop over ALREADY-SCALED points (pid, v: Array[Long])
+    * — shared core of [[fit]]/[[fitWithCodebook]]; for points that
+    * are integer-born (e.g. PQ residuals) the float→fx boundary is
+    * skipped entirely. Returns ((pid, cluster, dist), (cid, cv)). */
   private[ml] def fitFx(
       ptsRaw: DataFrame,
       kCol: Column,
