@@ -102,4 +102,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s.take(1500))
     assert(s.contains("SortMergeJoin"), s.take(1500))
   }
+
+  test("q_ann_ivfpq: code scoring is a broadcast hash join (the LUT " +
+    "side broadcasts), no cartesian product, final top-k is a group " +
+    "limit") {
+    val s = executed("q_ann_ivfpq")
+    // BroadcastNestedLoopJoin IS allowed here: the Lloyd loop's
+    // point-vs-every-centroid probe is a deliberate broadcast cross
+    // product. A CartesianProduct (shuffled both sides) is not.
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(s.contains("WindowGroupLimit"), s.take(1500))
+  }
+
+  test("q_sketch_kmv: bottom-k per shard is a WindowGroupLimit (map-side " +
+    "group limit), no join wider than the final month merge, and the " +
+    "corpus is scanned exactly twice (sketch + exact witness)") {
+    val plan = staticPlan("q_sketch_kmv")
+    val s = plan.toString
+    assert(s.contains("WindowGroupLimit"), s.take(1500))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"expected 2 lineitem scans, got ${scans.size}")
+  }
 }
