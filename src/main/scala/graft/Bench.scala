@@ -138,8 +138,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
-    // ~1900 chars is the safe ceiling: the consumer's 2000-char tail
-    // must also hold sbt's trailing "[success] Total time" line (~75).
+    // 1800 chars is the ceiling: the consumer's 2000-char tail must
+    // also hold sbt's trailing "[success] Total time" line (~75), and
+    // r7 measured only 5 chars of headroom at a 1900 ceiling with 137
+    // queries — 1800 keeps ~100 chars of slack as the registry grows.
     // When the full map no longer fits at 1 decimal, keep 2-decimal
     // entries for as many of the MOST EXPENSIVE queries as the budget
     // holds and report how many cheap ones were dropped — the hot
@@ -156,9 +158,9 @@ object Bench {
     }
     def topFit: String =
       (results.size to 0 by -1).iterator.map(topN)
-        .find(_.length <= 1900).getOrElse(topN(0))
+        .find(_.length <= 1800).getOrElse(topN(0))
     val line = Seq(render(3), render(2), render(1))
-      .find(_.length <= 1900).getOrElse(topFit)
+      .find(_.length <= 1800).getOrElse(topFit)
     // Full-precision copy for local profiling (not part of the
     // contract), including per-query GC/heap evidence in timed order.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }

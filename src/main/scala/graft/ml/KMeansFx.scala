@@ -7,18 +7,27 @@ import org.apache.spark.sql.functions._
   * bit-for-bit: coordinates become `floor(x * 1e6)` BIGINTs (the
   * IEEE-exact float→double→multiply→floor chain shared with the
   * fxdot kernels), squared distances are integer sums, and centroid
-  * updates divide with a positive offset so truncating (Spark `div`)
-  * and flooring (DuckDB `//`) integer division agree on negative
-  * coordinate sums. Floating k-means can never hash-match across
-  * engines — the per-dimension mean's summation order differs per
-  * shuffle.
+  * updates divide with a positive offset so truncating and flooring
+  * integer division agree on negative coordinate sums. Floating
+  * k-means can never hash-match across engines — the per-dimension
+  * mean's summation order differs per shuffle.
   *
-  * Shape at 100TB: the k centroids broadcast every iteration (k*dim
-  * longs); the corpus is probed in place by a compiled
-  * squared-distance UDF and only (point, cluster) assignments plus
-  * k*dim partial sums shuffle — the textbook mapReduce k-means.
-  * Deterministic seeding (lowest k ids) replaces rand() init: at
-  * scale use a hash-sampled seed set, still rand()-free.
+  * Shape at 100TB — the Spark MLlib posture
+  * (`org.apache.spark.ml.clustering.KMeans` does exactly this): the
+  * corpus stays distributed and is probed by a narrow argmin map
+  * against the current centroids; each iteration reduces k·dim
+  * partial sums and collects ONLY the k·dim centroid state to the
+  * driver, which seeds the next iteration's closure. Centroid state
+  * is k·dim longs — for the k in play here (8..~hundreds) that is
+  * kilobytes; a vocabulary-scale k would switch to the join
+  * formulation. Iterating the state driver-side instead of nesting
+  * it in lazy plans keeps the physical plan per iteration CONSTANT
+  * (one map + one partial-agg shuffle), where the previous in-plan
+  * chain re-executed every prior iteration's window pass inside each
+  * broadcast build (O(iters²) passes), compiled >100 distinct codegen
+  * fragments per query (evicting Spark's 100-entry codegen cache),
+  * and read 11-23s for 2000 vectors; this form reads ~2s for the
+  * same IVF-ADC query, outputs bit-identical.
   */
 object KMeansFx {
 
@@ -41,7 +50,7 @@ object KMeansFx {
   }
 
   /** Squared distance via the codegen [[graft.plans.FxSqDist]] kernel —
-    * the Lloyd loop probes every (point, centroid) pair with it, and
+    * ADC LUT construction probes (query, centroid) pairs with it, and
     * the fused array loop avoids the per-pair Seq boxing of a Scala
     * UDF (requires GraftExtensions, like the fxdot kernels). */
   private def sqDist(a: org.apache.spark.sql.Column,
@@ -56,7 +65,7 @@ object KMeansFx {
       vecCol: String,
       k: Int,
       iters: Int): DataFrame =
-    fitSeeded(emb, idCol, vecCol, lit(k.toLong), iters)._1
+    fitWithCodebook(emb, idCol, vecCol, k, iters)._1
 
   /** [[fit]] plus the CODEBOOK the final assignment was measured
     * against — the centroids after `iters - 1` Lloyd updates (`c{iters-1}`
@@ -64,15 +73,18 @@ object KMeansFx {
     * refers to. Product-quantization ADC search ([[Pq.adcTopK]]) needs
     * both halves consistent: a code is only meaningful together with
     * the codebook that produced it. Returns
-    * ((idCol, cluster, dist), (cid, cv)); both frames share one
-    * persisted scaled-points relation. */
+    * ((idCol, cluster, dist), (cid, cv)); the codebook is a
+    * LocalRelation (driver-side k·dim state), so broadcasting it costs
+    * no job. */
   def fitWithCodebook(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): (DataFrame, DataFrame) =
-    fitSeeded(emb, idCol, vecCol, lit(k.toLong), iters)
+      iters: Int): (DataFrame, DataFrame) = {
+    val (a, cb) = fitFx(prepare(fxPoints(emb, idCol, vecCol)), k.toLong, iters)
+    (a.select(col("pid").as(idCol), col("cluster"), col("dist")), cb)
+  }
 
   /** Scaled fx points (pid, v: Array[Long]) — the shared quantization
     * of [[fit]] exposed so ADC query vectors go through the identical
@@ -81,142 +93,221 @@ object KMeansFx {
       emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v"))
 
+  /** [[fxPoints]] repartitioned + cached ([[prepare]]) — the relation
+    * [[fitFx]] expects, exposed so IVF ([[Pq.ivfAdcTopK]]) shares one
+    * point cache between the coarse fit and the residual map. */
+  private[ml] def preparedFxPoints(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    prepare(fxPoints(emb, idCol, vecCol))
+
   private[ml] def fxSqDist(a: Column, b: Column): Column = sqDist(a, b)
 
   /** [[fit]] with k DERIVED from the corpus size, k = max(minK,
     * n / targetClusterSize) — the SemDeDup posture "k grows with the
     * corpus so n/k stays bounded" made executable instead of a comment.
-    * The count is an in-plan single-row aggregate cross-joined under
-    * the seed filter (no driver action), so the identical expression
-    * replays in the SQL oracle via a scalar subquery. */
+    * The count is one job over the cached points (the same first pass
+    * MLlib's fit takes); the oracle replays the identical expression
+    * as a scalar subquery ([[derivedKSql]] — `//` and `/` agree
+    * because both operands are non-negative). */
   def fitDerivedK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       minK: Int,
       targetClusterSize: Long,
-      iters: Int): DataFrame =
-    fitSeeded(emb, idCol, vecCol,
-      greatest(lit(minK.toLong), expr(s"__n div $targetClusterSize")), iters,
-      withCount = true)._1
+      iters: Int): DataFrame = {
+    val pts = prepare(fxPoints(emb, idCol, vecCol))
+    val k = math.max(minK.toLong, pts.count() / targetClusterSize)
+    fitFx(pts, k, iters)._1
+      .select(col("pid").as(idCol), col("cluster"), col("dist"))
+  }
 
   /** The SQL expression for the derived k, shared with oracle builders
     * so engine and oracle can never drift. */
   def derivedKSql(minK: Int, targetClusterSize: Long): String =
     s"(SELECT GREATEST($minK, COUNT(*) // $targetClusterSize) FROM embeddings)"
 
-  private def fitSeeded(
-      emb: DataFrame,
-      idCol: String,
-      vecCol: String,
-      kCol: Column,
-      iters: Int,
-      withCount: Boolean = false): (DataFrame, DataFrame) = {
-    val out = fitFx(
-      emb.select(col(idCol).as("pid"), toFx(col(vecCol)).as("v")),
-      kCol, iters, withCount)
-    (out._1.withColumnRenamed("pid", idCol), out._2)
-  }
-
-  /** The Lloyd loop over ALREADY-SCALED points (pid, v: Array[Long])
-    * — shared core of [[fit]]/[[fitWithCodebook]]; for points that
-    * are integer-born (e.g. PQ residuals) the float→fx boundary is
-    * skipped entirely. Returns ((pid, cluster, dist), (cid, cv)). */
-  private[ml] def fitFx(
-      ptsRaw: DataFrame,
-      kCol: Column,
-      iters: Int,
-      withCount: Boolean = false): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    // One materialization of the scaled points, hash-partitioned on the
-    // POINT ID so every iteration's per-point argmin window reuses the
-    // partitioning instead of re-exchanging the assignment frame each
-    // round (ids unique -> spread as even as round-robin; a 1-partition
-    // cache would serialize the distance scans — CLAUDE.md perf lore).
-    // The persist is LOAD-BEARING and deliberate: exchange reuse alone
-    // recomputes the toFx scan across the nested iteration plans
-    // (measured 1.6s -> 2.0-3.2s at sf0.1), and an eager localCheckpoint
-    // + unpersist split the job and cost ~50%. The cache is released by
-    // the ContextCleaner when the result frame is dropped; on a shared
-    // cluster wrap fit() calls with your own lifecycle if that matters.
-    val pts = ptsRaw
+  /** One materialization of the scaled points, hash-partitioned on the
+    * POINT ID: the single-file inputs otherwise collapse the narrow
+    * per-iteration map onto one core (CLAUDE.md perf lore), and every
+    * iteration plus the final assignment rescans this relation. The
+    * cache is released by the ContextCleaner when the result frame is
+    * dropped; on a shared cluster wrap fit() calls with your own
+    * lifecycle if that matters. */
+  private def prepare(ptsRaw: DataFrame): DataFrame =
+    ptsRaw
       .repartition(ptsRaw.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt, col("pid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seedSrc =
-      if (withCount)
-        pts.crossJoin(broadcast(pts.agg(count(lit(1)).as("__n"))))
-      else pts
-    var cents = seedSrc.filter(col("pid") < kCol)
-      .select(col("pid").as("cid"), col("v").as("cv"))
-    var assign: DataFrame = null
-    var centsUsed: DataFrame = null
-    for (_ <- 1 to iters) {
+
+  /** Argmin of the fx squared distance over `cents` (sorted by cid
+    * ascending), ties to the lowest cid — identical to the
+    * (dist, cid)-ordered rank-1 window of the oracle chain. Returns
+    * struct(cluster, dist) or null for a null vector. */
+  private def argminUdf(cents: Array[(Long, Array[Long])]) = udf {
+    v: Seq[Long] =>
+      if (v == null) null
+      else {
+        var bestCid = -1L
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          val cv = cents(j)._2
+          require(cv.length == v.length,
+            s"fx point length ${v.length} != centroid length ${cv.length}")
+          var d = 0L
+          var i = 0
+          while (i < cv.length) {
+            val t = v(i) - cv(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestCid = cents(j)._1 }
+          j += 1
+        }
+        (bestCid, bestD)
+      }
+  }
+
+  /** The Lloyd loop over ALREADY-PREPARED points (pid, v: Array[Long])
+    * — shared core of [[fit]]/[[fitWithCodebook]]/[[fitDerivedK]].
+    * Assignment is a narrow map ([[argminUdf]]); the update is one
+    * partial-aggregated shuffle of k·dim sums collected to the driver,
+    * where the `(s + Off·n) div n − Off` centroid formula runs in the
+    * same Long arithmetic the oracle's SQL uses (dividends positive by
+    * the Off shift, so `/` here ≡ `//` there). Returns
+    * ((pid, cluster, dist, v), (cid, cv)) — the assignment keeps `v`
+    * so residual quantization ([[Pq.ivfAdcTopK]]) needs no join back. */
+  private[ml] def fitFx(
+      pts: DataFrame,
+      k: Long,
+      iters: Int): (DataFrame, DataFrame) = {
+    var cents: Array[(Long, Array[Long])] = pts.filter(col("pid") < k)
+      .select(col("pid"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    var centsUsed = cents
+    for (it <- 1 to iters) {
       centsUsed = cents
-      assign = pts.crossJoin(broadcast(cents))
-        .withColumn("dist", sqDist(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("pid").orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("pid"), col("cid"), col("dist"), col("v"))
-      cents = assign
-        .select(col("cid"), posexplode(col("v")).as(Seq("i", "vi")))
-        .groupBy("cid", "i")
-        .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
-        .withColumn("ci", expr(s"((s + $Off * n) div n) - $Off"))
-        .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
-          s => s("ci")).as("cv"))
+      if (it < iters) {
+        val sums = assigned(pts, cents)
+          .select(col("s._1").as("cid"), posexplode(col("v")).as(Seq("i", "vi")))
+          .groupBy("cid", "i")
+          .agg(sum(col("vi")).as("sm"), count(lit(1)).as("n"))
+          .collect()
+        cents = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          val dim = rows.length
+          val cv = new Array[Long](dim)
+          rows.foreach { r =>
+            cv(r.getInt(1)) = (r.getLong(2) + Off * r.getLong(3)) / r.getLong(3) - Off
+          }
+          (cid, cv)
+        }.toArray.sortBy(_._1)
+      }
     }
-    (assign.select(col("pid"), col("cid").as("cluster"),
-      col("dist")), centsUsed)
+    val assign = assigned(pts, centsUsed)
+      .select(col("pid"), col("s._1").as("cluster"),
+        col("s._2").as("dist"), col("v"))
+    (assign, codebookDf(pts, centsUsed.map { case (cid, cv) =>
+      (Option.empty[Long], cid, cv) }).drop("g"))
+  }
+
+  private def assigned(
+      pts: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame =
+    pts.withColumn("s", argminUdf(cents)(col("v")))
+
+  private def codebookDf(
+      like: DataFrame,
+      rows: Array[(Option[Long], Long, Array[Long])]): DataFrame = {
+    val spark = like.sparkSession
+    import spark.implicits._
+    rows.toSeq.map { case (g, cid, cv) => (g, cid, cv.toSeq) }
+      .toDF("g", "cid", "cv")
   }
 
   /** Batched Lloyd over GROUPED pre-scaled points (g, pid, v): every
     * group trains its own independent codebook with the exact
     * [[fitFx]] arithmetic (same seeds pid < k per group, same
     * (dist, cid) tie-break, same offset division), but all groups
-    * share ONE cached relation, one broadcast per iteration, and one
-    * argmin window — M subspace fits for the price of one plan.
-    * Product quantization over M subspaces runs through this: M
-    * separate [[fitFx]] calls cost M caches and an M×-size physical
-    * plan (measured 18.5s for the sf0.1 IVF-ADC query; batched form
-    * below 5s, identical output). Returns ((g, pid, cluster, dist),
-    * (g, cid, cv)). */
+    * share ONE cached relation, one narrow argmin map, and one
+    * partial-agg shuffle per iteration — M subspace fits for the
+    * price of one. Product quantization over M subspaces runs through
+    * this. Returns ((g, pid, cluster, dist), (g, cid, cv)); the
+    * codebook is a LocalRelation. */
   private[ml] def fitFxGrouped(
       ptsRaw: DataFrame,
-      kCol: Column,
+      k: Int,
       iters: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val pts = ptsRaw
-      .repartition(ptsRaw.sparkSession.conf
-        .get("spark.sql.shuffle.partitions", "32").toInt, col("pid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = pts.filter(col("pid") < kCol)
-      .select(col("g"), col("pid").as("cid"), col("v").as("cv"))
-    var assign: DataFrame = null
-    var centsUsed: DataFrame = null
-    for (_ <- 1 to iters) {
+    val pts = prepare(ptsRaw)
+    def collectCents(src: DataFrame): Map[Long, Array[(Long, Array[Long])]] =
+      src.collect()
+        .groupBy(_.getLong(0))
+        .map { case (g, rows) =>
+          g -> rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
+            .sortBy(_._1)
+        }
+    var cents: Map[Long, Array[(Long, Array[Long])]] = collectCents(
+      pts.filter(col("pid") < k).select(col("g"), col("pid"), col("v")))
+    var centsUsed = cents
+    for (it <- 1 to iters) {
       centsUsed = cents
-      // Equi-join on the group id (broadcast hash, not a cross
-      // product): a point only ever meets its own group's centroids.
-      assign = pts.join(broadcast(cents), Seq("g"))
-        .withColumn("dist", sqDist(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("g", "pid").orderBy(col("dist"), col("cid"))))
-        .filter(col("rn") === 1)
-        .select(col("g"), col("pid"), col("cid"), col("dist"), col("v"))
-      cents = assign
-        .select(col("g"), col("cid"), posexplode(col("v")).as(Seq("i", "vi")))
-        .groupBy("g", "cid", "i")
-        .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
-        .withColumn("ci", expr(s"((s + $Off * n) div n) - $Off"))
-        .groupBy("g", "cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("ci")))),
-          s => s("ci")).as("cv"))
+      if (it < iters) {
+        val sums = assignedGrouped(pts, cents)
+          .select(col("g"), col("s._1").as("cid"),
+            posexplode(col("v")).as(Seq("i", "vi")))
+          .groupBy("g", "cid", "i")
+          .agg(sum(col("vi")).as("sm"), count(lit(1)).as("n"))
+          .collect()
+        cents = sums.groupBy(_.getLong(0)).map { case (g, gRows) =>
+          g -> gRows.groupBy(_.getLong(1)).map { case (cid, rows) =>
+            val cv = new Array[Long](rows.length)
+            rows.foreach { r =>
+              cv(r.getInt(2)) = (r.getLong(3) + Off * r.getLong(4)) / r.getLong(4) - Off
+            }
+            (cid, cv)
+          }.toArray.sortBy(_._1)
+        }
+      }
     }
-    (assign.select(col("g"), col("pid"), col("cid").as("cluster"),
-      col("dist")), centsUsed)
+    val assign = assignedGrouped(pts, centsUsed)
+      .select(col("g"), col("pid"), col("s._1").as("cluster"),
+        col("s._2").as("dist"))
+    val cbRows = centsUsed.toArray.sortBy(_._1).flatMap { case (g, cs) =>
+      cs.map { case (cid, cv) => (Option(g), cid, cv) }
+    }
+    (assign, codebookDf(pts, cbRows))
+  }
+
+  /** Per-group argmin: the group id picks its own centroid table from
+    * the closure map; arithmetic identical to [[argminUdf]]. */
+  private def assignedGrouped(
+      pts: DataFrame,
+      cents: Map[Long, Array[(Long, Array[Long])]]): DataFrame = {
+    val f = udf { (g: Long, v: Seq[Long]) =>
+      if (v == null) null
+      else {
+        val cs = cents.getOrElse(g, Array.empty[(Long, Array[Long])])
+        var bestCid = -1L
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          val cv = cs(j)._2
+          require(cv.length == v.length,
+            s"fx point length ${v.length} != centroid length ${cv.length}")
+          var d = 0L
+          var i = 0
+          while (i < cv.length) {
+            val t = v(i) - cv(i)
+            d += t * t
+            i += 1
+          }
+          if (d < bestD) { bestD = d; bestCid = cs(j)._1 }
+          j += 1
+        }
+        (bestCid, bestD)
+      }
+    }
+    pts.withColumn("s", f(col("g"), col("v")))
   }
 
   /** The identical iteration as DuckDB SQL over the embeddings table —

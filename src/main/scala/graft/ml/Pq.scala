@@ -50,7 +50,7 @@ object Pq {
       k: Int,
       iters: Int): DataFrame = {
     val (assign, _) = KMeansFx.fitFxGrouped(
-      subspacePoints(emb, idCol, vecCol, m, subDim), lit(k.toLong), iters)
+      subspacePoints(emb, idCol, vecCol, m, subDim), k, iters)
     val aggs = (0 until m).map(j =>
       max(when(col("g") === j, col("cluster"))).as(s"code_$j")) :+
       sum(col("dist")).as("err_fx")
@@ -90,7 +90,7 @@ object Pq {
       probeMod: Long,
       topK: Int): DataFrame = {
     val (assign, cb) = KMeansFx.fitFxGrouped(
-      subspacePoints(emb, idCol, vecCol, m, subDim), lit(k.toLong), iters)
+      subspacePoints(emb, idCol, vecCol, m, subDim), k, iters)
     // One LUT for all subspaces: (g, probe_id, cluster, d) — Q·M·k
     // rows, broadcast. Scoring is ONE broadcast hash join of the
     // long-form code table against it plus a map-side-partial sum,
@@ -184,19 +184,20 @@ object Pq {
       iters: Int,
       probeMod: Long,
       topK: Int): DataFrame = {
-    val (coarseAssign, coarseCb) =
-      KMeansFx.fitWithCodebook(emb, idCol, vecCol, kc, iters)
-    // Residuals in exact integers: fx(v) − cell centroid. Persisted for
-    // the same reason as the KMeansFx point cache — M subspace fits and
-    // the candidate join all scan it, and the nested iteration plans
-    // upstream (the coarse Lloyd loop) defeat exchange reuse.
-    val res = KMeansFx.fxPoints(emb, idCol, vecCol)
-      .join(coarseAssign.select(col(idCol).as("pid"),
-        col("cluster").as("cell")), "pid")
+    // The coarse fit's assignment keeps the fx vector, so residuals are
+    // one narrow map over the fit's cached points: join the (kc-row)
+    // codebook LocalRelation back and subtract. No corpus re-shuffle,
+    // no extra persist — both downstream consumers (the grouped
+    // subspace fit, which caches its own exploded relation, and the
+    // candidate join, which only needs (pid, cell)) recompute this
+    // narrow chain from the shared point cache.
+    val (coarseAssign, coarseCb) = KMeansFx.fitFx(
+      KMeansFx.preparedFxPoints(emb, idCol, vecCol), kc, iters)
+    val res = coarseAssign
+      .select(col("pid"), col("cluster").as("cell"), col("v"))
       .join(broadcast(coarseCb.withColumnRenamed("cid", "cell")), "cell")
       .select(col("pid"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("rv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // All M residual subspace codebooks in ONE batched Lloyd plan
     // (slicing the residual array per subspace inside the explode).
     val (assignR, cbR) = KMeansFx.fitFxGrouped(
@@ -204,7 +205,7 @@ object Pq {
           struct(lit(j.toLong).as("g"),
             slice(col("rv"), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
         .select(col("e.g").as("g"), col("pid"), col("e.sv").as("v")),
-      lit(k.toLong), iters)
+      k, iters)
     // Probe inverted lists: nprobe nearest cells, ties (dist, cid asc) —
     // the same ordering the assignment's rank-1 uses, so a probe's own
     // cell is always its first list.
