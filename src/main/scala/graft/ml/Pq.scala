@@ -247,13 +247,91 @@ object Pq {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVFADC-R (Jégou et al. TPAMI 2011 §VI): run [[ivfAdcTopK]] for a
+    * larger candidate list `rerankR`, then re-rank those candidates by
+    * the EXACT fx distance between probe and corpus vector and keep
+    * `topK` — the refinement step production IVF engines bolt on to
+    * recover the accuracy the PQ approximation gives up, at the cost
+    * of touching only Q·R full vectors instead of the corpus.
+    *
+    * Shape at 100TB: the candidate table is Q·R rows and broadcasts;
+    * the exact pass is ONE more narrow corpus scan filtered by that
+    * broadcast (at cluster scale: point lookups against the vector
+    * store), then a group limit. No new corpus shuffle.
+    *
+    * Output: (probe_id, rank, vec_id, exact_fx), exact integers. */
+  def ivfAdcRerankTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kc: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int,
+      probeMod: Long,
+      rerankR: Int,
+      topK: Int): DataFrame = {
+    val cand = ivfAdcTopK(emb, idCol, vecCol, kc, nprobe, m, subDim, k,
+      iters, probeMod, rerankR)
+      .select(col("probe_id"), col(idCol))
+    val pts = KMeansFx.fxPoints(emb, idCol, vecCol)
+    val exact = pts.join(broadcast(cand), pts("pid") === cand(idCol))
+      .select(col("probe_id"), col(idCol), col("v"))
+      .join(broadcast(
+        KMeansFx.fxPoints(emb.filter(col(idCol) % probeMod === 0),
+            idCol, vecCol)
+          .select(col("pid").as("probe_id"), col("v").as("pv"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col(idCol),
+        KMeansFx.fxSqDist(col("v"), col("pv")).as("exact_fx"))
+    graft.ops.TopK.perGroup(
+      exact,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("exact_fx").asc, col(idCol).asc),
+      k = topK, rankCol = "rank")
+      .select("probe_id", "rank", idCol, "exact_fx")
+      .orderBy("probe_id", "rank")
+  }
+
   /** The DuckDB replay of [[ivfAdcTopK]]: the coarse Lloyd chain, an
     * integer residual CTE, per-subspace chains over rebased residual
     * slices ([[KMeansFx.oracleCtesFromSrc]]), per-(probe, cell) LUTs,
     * and M equi-joined lookups gated by the probed-cell list. */
   def ivfAdcOracleSql(
       kc: Int, nprobe: Int, m: Int, subDim: Int, k: Int, iters: Int,
-      probeMod: Long, topK: Int): String = {
+      probeMod: Long, topK: Int): String =
+    s"""WITH ${ivfAdcCtes(kc, nprobe, m, subDim, k, iters, probeMod)}
+       |SELECT probe_id, rank, vec_id, adc_fx FROM ranked
+       |WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin
+
+  /** The DuckDB replay of [[ivfAdcRerankTopK]]: the same chain as
+    * [[ivfAdcOracleSql]] through the ADC ranking, then the exact
+    * re-rank measured on the full-dim fx points CTE (`pts_c`) the
+    * coarse chain already defines. */
+  def ivfAdcRerankOracleSql(
+      kc: Int, nprobe: Int, m: Int, subDim: Int, k: Int, iters: Int,
+      probeMod: Long, rerankR: Int, topK: Int): String =
+    s"""WITH ${ivfAdcCtes(kc, nprobe, m, subDim, k, iters, probeMod)},
+       |cand AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= $rerankR),
+       |ex AS (SELECT c.probe_id, c.vec_id,
+       |    SUM((a.v - b.v) * (a.v - b.v)) AS exact_fx
+       |  FROM cand c JOIN pts_c a ON a.vec_id = c.vec_id
+       |  JOIN pts_c b ON b.vec_id = c.probe_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT probe_id, vec_id, exact_fx,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                       ORDER BY exact_fx, vec_id) AS rank
+       |  FROM ex)
+       |SELECT probe_id, rank, vec_id, CAST(exact_fx AS BIGINT) AS exact_fx
+       |FROM rr WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin
+
+  /** Shared CTE chain of the IVF-ADC oracles, ending at `ranked`
+    * (per-probe ADC rank over the probed-cell candidates). */
+  private def ivfAdcCtes(
+      kc: Int, nprobe: Int, m: Int, subDim: Int, k: Int, iters: Int,
+      probeMod: Long): String = {
     val dim = m * subDim
     val coarse =
       KMeansFx.oracleCtesSlice(kc.toString, iters, dim, offset = 0, sfx = "_c")
@@ -278,7 +356,7 @@ object Pq {
       s"JOIN lut_$j l$j ON l$j.probe_id = pl.probe_id AND l$j.cell = pl.cell AND l$j.cid = s$j.cid"
     }.mkString("\n")
     val adcSum = (0 until m).map(j => s"l$j.d").mkString(" + ")
-    s"""WITH $coarse,
+    s"""$coarse,
        |res AS (SELECT p.vec_id, p.i, p.v - c.v AS v
        |  FROM pts_c p JOIN s${iters}_c s ON p.vec_id = s.vec_id
        |  JOIN $cb c ON c.cid = s.cid AND c.i = p.i),
@@ -301,9 +379,7 @@ object Pq {
        |ranked AS (SELECT probe_id, vec_id, adc_fx,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id
        |                       ORDER BY adc_fx, vec_id) AS rank
-       |  FROM adc)
-       |SELECT probe_id, rank, vec_id, adc_fx FROM ranked
-       |WHERE rank <= $topK ORDER BY probe_id, rank""".stripMargin
+       |  FROM adc)""".stripMargin
   }
 
   /** The DuckDB replay of [[encode]] over the embeddings table. */

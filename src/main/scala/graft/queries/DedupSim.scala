@@ -689,6 +689,25 @@ object DedupSim {
       probeMod = 100, topK = 10)
   }
 
+  /** IVFADC-R (Jégou et al. TPAMI 2011 §VI — FAISS's IVFPQR): the
+    * IVF-ADC candidate list widened to R=30, then re-ranked by the
+    * EXACT fx probe↔vector distance and cut to top-10 — the
+    * refinement pass that buys back the PQ approximation error by
+    * touching only Q·R full vectors. The exact pass is one narrow
+    * corpus scan against the broadcast candidate list (point lookups
+    * at cluster scale); the oracle replays ADC ranking AND the exact
+    * re-rank over the same full-dim fx points CTE. */
+  val annIvfPqRerank: Q = Q(
+    "q_ann_ivfpq_rerank",
+    graft.ml.Pq.ivfAdcRerankOracleSql(
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, rerankR = 30, topK = 10)) { (s, d) =>
+    graft.ml.Pq.ivfAdcRerankTopK(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, rerankR = 30, topK = 10)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with fixed-point k-means
     * ([[graft.ml.KMeansFx]]), then compare pairs ONLY within a cluster
@@ -1205,7 +1224,7 @@ object DedupSim {
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
-    semanticDedup, embedQuantize, embedPq, annPq, annIvfPq,
+    semanticDedup, embedQuantize, embedPq, annPq, annIvfPq, annIvfPqRerank,
     dedupIncremental, dedupKeepBest,
     splitLeakage, substringDedup, substringExcise)
 }

@@ -792,10 +792,106 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** CCNet/fastText-style binary quality classifier (Wenzek et al.
+    * arXiv 1911.00359 train reference-vs-crawl; Joulin et al. arXiv
+    * 1607.01759 hash features into a bounded table): label = doc from
+    * a "curated" source (src0-src2, the reference-corpus stand-in),
+    * features = the doc's DISTINCT tokens hashed into B=2048 buckets
+    * (md5-u32 % B, the same feature-hashing trick as q_dsir_weight),
+    * weights = smoothed odds-ratios of per-bucket doc frequencies in
+    * the TRAIN split (md5(doc_id) < 'cc', ~80%), bucketed into integer
+    * steps {-2,-1,0,1,2} by exact cross-multiplication (rate ratio
+    * >= 4x / >= 2x) — no log, no float, so model AND scores replay
+    * bit-for-bit in DuckDB. Score = sum of the doc's bucket weights;
+    * predicted = score >= 0, reported next to the true label and the
+    * split flag so held-out accuracy is computable downstream.
+    *
+    * Shape at 100TB: bucket dfs are <= B rows BY CONSTRUCTION (one
+    * map-side-combined shuffle over the hashed token stream), the
+    * weight table broadcasts at any corpus size, and scoring is one
+    * narrow map + one per-doc shuffle — the same posture as
+    * q_dsir_weight, with a supervised label instead of an importance
+    * target. */
+  val qualityClassifier: Q = {
+    val B = 2048
+    Q(
+      "q_quality_classifier",
+      s"""WITH lab AS (SELECT doc_id,
+         |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS label,
+         |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 1 ELSE 0 END AS is_train,
+         |    text FROM documents),
+         |db AS (SELECT DISTINCT doc_id, label, is_train,
+         |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $B AS b
+         |  FROM lab, UNNEST(list_distinct(list_filter(
+         |      string_split(lower(text), ' '), x -> x <> ''))) AS u(tok)),
+         |n AS (SELECT SUM(label) AS n_pos, SUM(1 - label) AS n_neg
+         |  FROM lab WHERE is_train = 1),
+         |df AS (SELECT b, SUM(label) AS df_pos, SUM(1 - label) AS df_neg
+         |  FROM db WHERE is_train = 1 GROUP BY b),
+         |w AS (SELECT b,
+         |    CASE WHEN (df_pos + 1) * (n_neg + 2) >= 4 * (df_neg + 1) * (n_pos + 2) THEN 2
+         |         WHEN (df_pos + 1) * (n_neg + 2) >= 2 * (df_neg + 1) * (n_pos + 2) THEN 1
+         |         WHEN (df_neg + 1) * (n_pos + 2) >= 4 * (df_pos + 1) * (n_neg + 2) THEN -2
+         |         WHEN (df_neg + 1) * (n_pos + 2) >= 2 * (df_pos + 1) * (n_neg + 2) THEN -1
+         |         ELSE 0 END AS w
+         |  FROM df CROSS JOIN n),
+         |sc AS (SELECT db.doc_id, SUM(COALESCE(w.w, 0)) AS score
+         |  FROM db LEFT JOIN w ON db.b = w.b GROUP BY 1)
+         |SELECT l.doc_id, CAST(l.label AS BIGINT) AS label,
+         |  CAST(l.is_train AS BIGINT) AS is_train,
+         |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN COALESCE(sc.score, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id
+         |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.load(s, d, "documents")
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      val lab = docs.select(col("doc_id"),
+        col("source").isin("src0", "src1", "src2").cast(LongType).as("label"),
+        (md5(col("doc_id").cast("string").cast("binary")) < "cc")
+          .cast(LongType).as("is_train"),
+        col("text"))
+      val db = lab
+        .select(col("doc_id"), col("label"), col("is_train"),
+          explode(Text.shingleSetUdf(1)(col("text"))).as("tok"))
+        .select(col("doc_id"), col("label"), col("is_train"),
+          (conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+            .cast(LongType) % B).as("b"))
+        .distinct()
+      val n = lab.filter(col("is_train") === 1)
+        .agg(sum(col("label")).as("n_pos"),
+          sum(lit(1L) - col("label")).as("n_neg"))
+      val df = db.filter(col("is_train") === 1)
+        .groupBy("b")
+        .agg(sum(col("label")).as("df_pos"),
+          sum(lit(1L) - col("label")).as("df_neg"))
+      val w = df.crossJoin(broadcast(n))
+        .select(col("b"),
+          when((col("df_pos") + 1L) * (col("n_neg") + 2L) >=
+            (col("df_neg") + 1L) * (col("n_pos") + 2L) * 4L, 2L)
+            .when((col("df_pos") + 1L) * (col("n_neg") + 2L) >=
+              (col("df_neg") + 1L) * (col("n_pos") + 2L) * 2L, 1L)
+            .when((col("df_neg") + 1L) * (col("n_pos") + 2L) >=
+              (col("df_pos") + 1L) * (col("n_neg") + 2L) * 4L, -2L)
+            .when((col("df_neg") + 1L) * (col("n_pos") + 2L) >=
+              (col("df_pos") + 1L) * (col("n_neg") + 2L) * 2L, -1L)
+            .otherwise(0L).as("w"))
+      val sc = db.join(broadcast(w), Seq("b"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("score"))
+      lab.select("doc_id", "label", "is_train")
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"), col("is_train"),
+          coalesce(col("score"), lit(0L)).as("score"),
+          when(coalesce(col("score"), lit(0L)) >= 0, 1L)
+            .otherwise(0L).as("predicted"))
+        .orderBy("doc_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
     dsirWeight, qualityGate,
-    lmScore, textNovelty, textRepeatExcise)
+    lmScore, textNovelty, textRepeatExcise, qualityClassifier)
 }

@@ -211,6 +211,70 @@ class PqSpec extends AnyFunSuite {
       "fixture degenerate: all candidates share one cell")
   }
 
+  test("IVFADC-R re-rank matches the in-memory reference: ADC top-R " +
+    "candidates re-ordered by EXACT fx distance, cut to top-k") {
+    val kc = 2; val nprobe = 2; val m = 2; val subDim = 2
+    val k = 2; val iters = 2; val probeMod = 3L
+    val rerankR = 4; val topK = 2
+    val vecs: Map[Long, Seq[Double]] = Map(
+      0L -> Seq(0.1, 0.1, 0.9, 0.9),
+      1L -> Seq(0.9, 0.9, 0.1, 0.1),
+      2L -> Seq(0.12, 0.08, 0.88, 0.91),
+      3L -> Seq(0.88, 0.93, 0.09, 0.12),
+      4L -> Seq(0.11, 0.13, 0.13, 0.09),
+      5L -> Seq(0.09, 0.12, 0.14, 0.11))
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val fx = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toFloat.toDouble * 1e6).toLong)
+    }
+    val (cAssign, cCb) = refKmeansFull(vecs, kc, iters)
+    val resid = fx.map { case (id, v) =>
+      id -> v.zip(cCb(cAssign(id)._1)).map { case (a, b) => a - b }
+    }
+    val subFits = (0 until m).map { j =>
+      refKmeansFx(resid.map { case (id, v) =>
+        id -> v.slice(j * subDim, (j + 1) * subDim)
+      }, k, iters)
+    }
+    val probes = vecs.keys.filter(_ % probeMod == 0).toSeq.sorted
+    val expected = probes.flatMap { p =>
+      val cells = cCb.toSeq.map { case (cid, cv) => (sq(fx(p), cv), cid) }
+        .sorted.take(nprobe).map(_._2)
+      val cand = vecs.keys.filter(v => v != p && cells.contains(cAssign(v)._1))
+      val adcTop = cand.toSeq.map { v =>
+        val cell = cAssign(v)._1
+        val qr = fx(p).zip(cCb(cell)).map { case (a, b) => a - b }
+        val adc = (0 until m).map { j =>
+          val code = subFits(j)._1(v)._1
+          sq(qr.slice(j * subDim, (j + 1) * subDim), subFits(j)._2(code))
+        }.sum
+        (v, adc)
+      }.sortBy { case (v, adc) => (adc, v) }.take(rerankR).map(_._1)
+      val reranked = adcTop.map(v => (v, sq(fx(p), fx(v))))
+        .sortBy { case (v, e) => (e, v) }.take(topK)
+      reranked.zipWithIndex.map { case ((v, e), i) => (p, i + 1L, v, e) }
+    }
+    val got = Pq.ivfAdcRerankTopK(df, "vec_id", "embedding",
+      kc, nprobe, m, subDim, k, iters, probeMod, rerankR, topK)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"\nengine:    $got\nreference: $expected")
+    // the fixture must actually exercise the re-rank: some probe's
+    // exact-distance order must differ from its ADC order
+    val adcOrder = Pq.ivfAdcTopK(df, "vec_id", "embedding",
+      kc, nprobe, m, subDim, k, iters, probeMod, rerankR)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val rerankPairs = expected.map { case (p, _, v, _) => (p, v) }
+    assert(adcOrder.take(rerankPairs.size) != rerankPairs ||
+      adcOrder.size > rerankPairs.size,
+      "fixture degenerate: rerank is the identity on the full list")
+  }
+
   test("PQ on the sf0.001 corpus: one row per vector, codes within " +
     "[0, k), error no worse than single-codebook quantization") {
     val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")

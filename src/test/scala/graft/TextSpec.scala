@@ -46,4 +46,29 @@ class TextSpec extends AnyFunSuite {
       .select(Text.regexTokens(col("text"))).head.getSeq[String](0)
     assert(out == Seq("gpt", "4", "is", "2x", "better"))
   }
+
+  test("quality classifier: separable fixture is classified correctly " +
+    "on held-out docs, weights trained on the train split only") {
+    // Positives (src0-src2) speak a disjoint vocabulary from negatives:
+    // every bucket weight saturates and held-out accuracy must be 100%.
+    val docs = (0L until 60L).map { id =>
+      val pos = id % 2 == 0
+      val src = if (pos) s"src${id % 3}" else s"src${3 + id % 5}"
+      val text = if (pos) "alpha beta gamma delta" else "omega sigma tau rho"
+      (id, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("qclass").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_quality_classifier")(spark, dir).collect()
+    assert(out.length == 60)
+    val mis = out.filter(r => r.getLong(4) != r.getLong(1))
+    assert(mis.isEmpty,
+      s"misclassified: ${mis.map(_.getLong(0)).mkString(",")}")
+    // both splits are populated and both appear in the output
+    assert(out.map(_.getLong(2)).toSet == Set(0L, 1L))
+    // fully separable vocab: every doc's |score| is at least the
+    // 4-token saturated magnitude would give with a sign match
+    assert(out.forall(r => if (r.getLong(1) == 1) r.getLong(3) > 0
+      else r.getLong(3) < 0))
+  }
 }
