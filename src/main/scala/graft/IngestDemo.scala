@@ -158,6 +158,26 @@ object IngestDemo {
       .map(r => (r.getLong(1), r.getLong(2)))
     println(s"[demo] stream-kmv: updates=${kmvRows.mkString(",")} " +
       "(sketch_k, est) after 40 then 60 distinct ids")
+
+    // 8. streaming PQ encode: new vectors quantized map-side against a
+    //    frozen batch-trained codebook (the FAISS `add` path;
+    //    stream codes ≡ batch codes, pinned by StreamingSpec)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val enc = ml.Pq.encoderFor(emb, "vec_id", "embedding",
+      m = 4, subDim = 16, k = 16, iters = 2)
+    val vecIn = MemoryStream[(Long, Seq[Float])]
+    val pq = streaming.Streams.runToMemory(
+      vecIn.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), enc(col("embedding")).as("codes")),
+      "demo_pqenc", "append")
+    val firstVecs = emb.orderBy("vec_id").limit(3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    vecIn.addData(firstVecs.toIndexedSeq: _*)
+    pq.processAllAvailable()
+    pq.stop()
+    val pqRows = spark.table("demo_pqenc").collect()
+      .map(r => s"${r.getLong(0)}:[${r.getSeq[Long](1).mkString(" ")}]")
+    println(s"[demo] stream-pq-encode: ${pqRows.sorted.mkString(", ")}")
     spark.stop()
   }
 }

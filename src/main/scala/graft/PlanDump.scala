@@ -146,15 +146,24 @@ object PlanDump {
         |extension walk. No cartesian or nested-loop stage; the pair
         |blowout is bounded by the anchor df cap.""".stripMargin,
     "q_ann_ivfpq" ->
-      """IVF-ADC: coarse centroids, probe lists, and the combined
-        |(probe, cell, subspace) LUT are all BroadcastExchange; ALL M
-        |residual subspace codebooks train in one batched Lloyd plan
-        |(grouped fit — one cached relation, one broadcast per
-        |iteration); scoring is a single broadcast hash join of the
-        |long-form code table against the LUT (the probed-cell prune
-        |and the code lookup are the same join) plus a map-side-partial
-        |integer sum, and the final top-k is a WindowGroupLimit. No
-        |full-corpus scan per probe anywhere.""".stripMargin,
+      """IVF-ADC: Lloyd state iterates DRIVER-side (the MLlib shape —
+        |k·dim centroid collects), so assignment and residuals are
+        |narrow argmin maps over one cached point relation and the
+        |codebooks are LocalRelations (broadcasting them costs no job);
+        |ALL M residual subspace codebooks still train in one grouped
+        |plan (one cached exploded relation, one partial-agg shuffle
+        |per iteration); scoring is a single broadcast hash join of the
+        |long-form code table against the (probe, cell, subspace) LUT
+        |(the probed-cell prune and the code lookup are the same join)
+        |plus a map-side-partial integer sum, and the final top-k is a
+        |WindowGroupLimit. No full-corpus scan per probe anywhere.""".stripMargin,
+    "q_ann_ivfpq_rerank" ->
+      """IVFADC-R: the ADC stage is q_ann_ivfpq's plan with R=30; the
+        |refinement is ONE more narrow corpus scan broadcast-joined to
+        |the Q·R candidate list (point lookups at cluster scale), the
+        |exact fx distance via the codegen graft_fxsqdist kernel, and a
+        |WindowGroupLimit cut to the final top-k. The corpus is never
+        |shuffled for the re-rank.""".stripMargin,
     "q_sketch_kmv" ->
       """KMV distinct sketch: one map-side-partial distinct on (day,
         |hash), then bottom-k per day via WindowGroupLimit — k rows per

@@ -34,9 +34,11 @@ object KMeansFx {
   private val Scale = 1e6
   private val Off = 2000000L // > max |scaled coordinate|, keeps dividends positive
 
-  private val toFx = udf { v: Seq[Float] =>
-    if (v == null) null
-    else v.map { x =>
+  /** The float→double→multiply→floor fx chain for one vector — shared
+    * by the batch scan UDF and the streaming encoder ([[Pq.encoderFor]])
+    * so a streamed vector quantizes through the identical arithmetic. */
+  private[ml] def scaleVec(v: Seq[Float]): Array[Long] =
+    v.map { x =>
       val s = math.floor(x.toDouble * Scale).toLong
       // The +Off trick only keeps dividends positive while every scaled
       // coordinate stays inside (-Off, Off); an out-of-range vector
@@ -47,6 +49,9 @@ object KMeansFx {
           s">= $Off — raise Off to cover the data's coordinate range")
       s
     }.toArray
+
+  private val toFx = udf { v: Seq[Float] =>
+    if (v == null) null else scaleVec(v)
   }
 
   /** Squared distance via the codegen [[graft.plans.FxSqDist]] kernel —

@@ -58,6 +58,60 @@ object Pq {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Train the PQ codebooks on a STATIC corpus and return a UDF that
+    * encodes any vector into its M codes — the model-apply half of the
+    * index-maintenance story: new vectors arriving on a stream are
+    * quantized map-side against the frozen codebook (the FAISS `add`
+    * path), with the identical float→fx chain and (dist, cid) argmin
+    * tie-break as [[encode]], so streamed codes are bit-identical to a
+    * batch re-encode (StreamingSpec pins this on a two-batch stream).
+    *
+    * Shape at scale: the codebook is M·k·subDim longs in the closure —
+    * kilobytes — so the stream never shuffles; encoding is stateless
+    * per row and works under any trigger. */
+  def encoderFor(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val (_, cb) = KMeansFx.fitFxGrouped(
+      subspacePoints(emb, idCol, vecCol, m, subDim), k, iters)
+    val cents: Map[Long, Array[(Long, Array[Long])]] = cb.collect()
+      .groupBy(_.getLong(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => (r.getLong(1), r.getSeq[Long](2).toArray))
+          .sortBy(_._1)
+      }
+    udf { v: Seq[Float] =>
+      if (v == null) null
+      else {
+        val fx = KMeansFx.scaleVec(v)
+        Array.tabulate(m) { j =>
+          val cs = cents(j.toLong)
+          var bestCid = -1L
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)._2
+            var d = 0L
+            var i = 0
+            while (i < subDim) {
+              val t = fx(j * subDim + i) - cv(i)
+              d += t * t
+              i += 1
+            }
+            if (d < bestD) { bestD = d; bestCid = cs(c)._1 }
+            c += 1
+          }
+          bestCid
+        }
+      }
+    }
+  }
+
   /** ADC (asymmetric distance computation) top-k search over the PQ
     * index — the query path of an IVF-PQ engine: each probe vector
     * precomputes an M×k lookup table of exact fx squared distances to

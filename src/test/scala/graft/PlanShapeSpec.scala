@@ -115,6 +115,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("WindowGroupLimit"), s.take(1500))
   }
 
+  test("q_ann_ivfpq_rerank: the exact refinement is a broadcast join " +
+    "of the candidate list (no corpus shuffle, no cartesian product) " +
+    "cut by a group limit") {
+    val s = executed("q_ann_ivfpq_rerank")
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    assert(s.contains("BroadcastHashJoin"), s.take(1500))
+    assert(s.contains("WindowGroupLimit"), s.take(1500))
+    assert(s.contains("graft_fxsqdist"), s.take(1500))
+  }
+
   test("q_sketch_kmv: bottom-k per shard is a WindowGroupLimit (map-side " +
     "group limit), no join wider than the final month merge, and the " +
     "corpus is scanned exactly twice (sketch + exact witness)") {

@@ -309,4 +309,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(pAll._2 > 0 && p1._1 == 16L && pAll._1 == 16L)
     } finally q.stop()
   }
+
+  test("s_stream_pq_encode: vectors encoded on a stream against a " +
+    "frozen batch-trained codebook are bit-identical to batch encode " +
+    "(the FAISS add path — stateless, no shuffle per trigger)") {
+    implicit val ctx = spark.sqlContext
+    val (m, subDim, k, iters) = (4, 16, 16, 2)
+    val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")
+    val enc = graft.ml.Pq.encoderFor(
+      emb, "vec_id", "embedding", m, subDim, k, iters)
+    val batch = graft.ml.Pq.encode(
+      emb, "vec_id", "embedding", m, subDim, k, iters)
+      .collect()
+      .map(r => r.getLong(0) -> (0 until m).map(j => r.getLong(1 + j)).toSeq)
+      .toMap
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = mem.toDF().toDF("vec_id", "embedding")
+      .select(col("vec_id"), enc(col("embedding")).as("codes"))
+    val q = Streams.runToMemory(out, "pqencode", "append")
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      mem.addData(b1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("pqencode").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got.size == all.length)
+      val bad = got.filter { case (id, codes) => batch(id) != codes }
+      assert(bad.isEmpty,
+        s"stream/batch code drift on ${bad.keys.take(5).mkString(",")}")
+    } finally q.stop()
+  }
 }
