@@ -178,6 +178,19 @@ object IngestDemo {
     val pqRows = spark.table("demo_pqenc").collect()
       .map(r => s"${r.getLong(0)}:[${r.getSeq[Long](1).mkString(" ")}]")
     println(s"[demo] stream-pq-encode: ${pqRows.sorted.mkString(", ")}")
+
+    // 9. IVF-PQ index persistence: build once (3 parquet tables, codes
+    //    partitioned by cell = the on-disk inverted list), serve many
+    ml.Pq.writeIvfPqIndex(emb, "vec_id", "embedding",
+      kc = 8, m = 4, subDim = 16, k = 16, iters = 2, s"$outDir/ivfpq_index")
+    val served = ml.Pq.searchIvfPqIndex(
+      emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+      s"$outDir/ivfpq_index", nprobe = 2, m = 4, subDim = 16, topK = 10)
+      .count()
+    val nCells = new java.io.File(s"$outDir/ivfpq_index/codes").listFiles()
+      .count(_.getName.startsWith("cell="))
+    println(s"[demo] ivfpq-index: $served results served from " +
+      s"$nCells cell partitions on disk")
     spark.stop()
   }
 }

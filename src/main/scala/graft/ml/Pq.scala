@@ -238,6 +238,21 @@ object Pq {
       iters: Int,
       probeMod: Long,
       topK: Int): DataFrame = {
+    val (coarseCb, cbR, codes) = ivfParts(emb, idCol, vecCol, kc, m, subDim,
+      k, iters)
+    adcSearch(
+      KMeansFx.fxPoints(emb.filter(col(idCol) % probeMod === 0), idCol, vecCol),
+      coarseCb, cbR, codes, nprobe, m, subDim, topK, idCol)
+  }
+
+  /** Coarse codebook (cid, cv), subspace codebooks (g, cid, cv), and
+    * the long-form coded corpus (g, pid, cluster, cell) — the trained
+    * halves of an IVF-PQ index, shared by [[ivfAdcTopK]] and
+    * [[writeIvfPqIndex]]. */
+  private def ivfParts(
+      emb: DataFrame, idCol: String, vecCol: String,
+      kc: Int, m: Int, subDim: Int, k: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     // The coarse fit's assignment keeps the fx vector, so residuals are
     // one narrow map over the fit's cached points: join the (kc-row)
     // codebook LocalRelation back and subtract. No corpus re-shuffle,
@@ -260,11 +275,31 @@ object Pq {
             slice(col("rv"), j * subDim + 1, subDim).as("sv"))): _*)).as("e"))
         .select(col("e.g").as("g"), col("pid"), col("e.sv").as("v")),
       k, iters)
+    val codes = assignR.select(col("g"), col("pid"), col("cluster"))
+      .join(res.select(col("pid"), col("cell")), "pid")
+    (coarseCb, cbR, codes)
+  }
+
+  /** ADC search of `probesFx` (pid, v) against a coded corpus:
+    * inverted lists, per-(probe, cell) LUT, one broadcast hash join
+    * over the code table, group-limit top-k. Shared by the
+    * train-and-search path ([[ivfAdcTopK]]) and the serve-from-index
+    * path ([[searchIvfPqIndex]]). */
+  private def adcSearch(
+      probesFx: DataFrame,
+      coarseCb: DataFrame,
+      cbR: DataFrame,
+      codes: DataFrame,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      topK: Int,
+      idCol: String): DataFrame = {
     // Probe inverted lists: nprobe nearest cells, ties (dist, cid asc) —
     // the same ordering the assignment's rank-1 uses, so a probe's own
     // cell is always its first list.
     val plists = graft.ops.TopK.perGroup(
-      KMeansFx.fxPoints(emb.filter(col(idCol) % probeMod === 0), idCol, vecCol)
+      probesFx
         .crossJoin(broadcast(coarseCb))
         .withColumn("cdist", KMeansFx.fxSqDist(col("v"), col("cv"))),
       partitionBy = Seq(col("pid")),
@@ -286,8 +321,7 @@ object Pq {
       .select(col("g"), col("probe_id"), col("cell"),
         col("cid").as("cluster"),
         KMeansFx.fxSqDist(col("q"), col("cv")).as("d"))
-    val scored = assignR.select(col("g"), col("pid"), col("cluster"))
-      .join(res.select(col("pid"), col("cell")), "pid")
+    val scored = codes
       .join(broadcast(lut), Seq("g", "cell", "cluster"))
       .filter(col("pid") =!= col("probe_id"))
       .groupBy("probe_id", "pid")
@@ -299,6 +333,66 @@ object Pq {
       k = topK, rankCol = "rank")
       .select("probe_id", "rank", idCol, "adc_fx")
       .orderBy("probe_id", "rank")
+  }
+
+  /** Persist a trained IVF-PQ index as three parquet tables under
+    * `dir` — the FAISS write_index posture (build once, serve many):
+    * `coarse_codebook` (cid, cv), `pq_codebooks` (g, cid, cv), and the
+    * coded corpus `codes` (one row per vector: cell + M small integer
+    * codes, the 2-bytes-per-vector representation). Training scans the
+    * corpus exactly as [[ivfAdcTopK]] does; serving never touches the
+    * float corpus again ([[searchIvfPqIndex]]).
+    *
+    * Shape at 100TB: `codes` is the only corpus-scale table and writes
+    * partitioned by cell, so a probe's nprobe cells prune at the FILE
+    * level on read — the on-disk analog of the inverted list. */
+  def writeIvfPqIndex(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kc: Int,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int,
+      dir: String): Unit = {
+    val (coarseCb, cbR, codes) = ivfParts(emb, idCol, vecCol, kc, m, subDim,
+      k, iters)
+    coarseCb.write.mode("overwrite").parquet(s"$dir/coarse_codebook")
+    cbR.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    val aggs = (0 until m).map(j =>
+      max(when(col("g") === j, col("cluster"))).as(s"code_$j"))
+    codes.groupBy(col("pid"), col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes")
+  }
+
+  /** Serve ADC top-k from a persisted index ([[writeIvfPqIndex]]):
+    * probes quantize against the loaded codebooks and scan the coded
+    * corpus only — bit-identical to [[ivfAdcTopK]] over the same
+    * corpus and probes (PqSpec pins round-trip equality). */
+  def searchIvfPqIndex(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      topK: Int): DataFrame = {
+    val spark = probes.sparkSession
+    val coarseCb = spark.read.parquet(s"$dir/coarse_codebook")
+    val cbR = spark.read.parquet(s"$dir/pq_codebooks")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("pid"), col("cell").cast("bigint").as("cell"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j.toLong).as("g"),
+            col(s"code_$j").as("cluster"))): _*)).as("e"))
+      .select(col("e.g").as("g"), col("pid"), col("e.cluster").as("cluster"),
+        col("cell"))
+    adcSearch(KMeansFx.fxPoints(probes, idCol, vecCol),
+      coarseCb, cbR, codes, nprobe, m, subDim, topK, idCol)
   }
 
   /** IVFADC-R (Jégou et al. TPAMI 2011 §VI): run [[ivfAdcTopK]] for a

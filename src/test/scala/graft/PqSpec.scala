@@ -275,6 +275,29 @@ class PqSpec extends AnyFunSuite {
       "fixture degenerate: rerank is the identity on the full list")
   }
 
+  test("IVF-PQ index round-trip: search from the persisted parquet " +
+    "index is bit-identical to train-and-search over the same corpus") {
+    val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Pq.writeIvfPqIndex(emb, "vec_id", "embedding",
+      kc = 8, m = 4, subDim = 16, k = 16, iters = 2, dir)
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val fromIdx = rows(Pq.searchIvfPqIndex(probes, "vec_id", "embedding",
+      dir, nprobe = 2, m = 4, subDim = 16, topK = 10))
+    val fresh = rows(Pq.ivfAdcTopK(emb, "vec_id", "embedding",
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, topK = 10))
+    assert(fromIdx.nonEmpty && fromIdx == fresh,
+      s"index search drifted from fresh search " +
+        s"(${fromIdx.take(3)} vs ${fresh.take(3)})")
+    // the on-disk inverted list: codes must be partitioned by cell
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "codes not partitioned by cell")
+  }
+
   test("PQ on the sf0.001 corpus: one row per vector, codes within " +
     "[0, k), error no worse than single-codebook quantization") {
     val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")
