@@ -1220,11 +1220,87 @@ object DedupSim {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunk dedup ([[graft.dedup.Cdc]] — LBFS SOSP'01 /
+    * FastCDC ATC'16): each document splits at rolling-hash boundaries
+    * (K=8 Rabin-Karp window, cut when h ≡ 0 mod 64, expected chunk
+    * ≈ 64 chars), then chunks dedup by content across the corpus —
+    * the storage/near-dup primitive that survives insertions, because
+    * boundaries follow content, not offsets.
+    *
+    * Shape at scale: chunking is one compiled map-side pass behind the
+    * repartition; global duplicate marking is a COUNT window over ONE
+    * exchange on the chunk fingerprint (the q_text_novelty no-join-back
+    * shape), then one exchange back to doc_id for the rollup. Never an
+    * all-pairs or a join against a chunk dictionary.
+    *
+    * Oracle: the stateless cut predicate is a pure per-position test,
+    * so DuckDB enumerates k-gram positions, replays the residue sum
+    * with mod-2^64-reduced power coefficients (the q_dedup_substring
+    * HUGEINT discipline; 64 divides 2^64, so the cut test needs no
+    * final reduction), rebuilds chunks with LAG over the cut set, and
+    * re-counts occurrences per md5. */
+  val cdcDedup: Q = Q(
+    "q_dedup_cdc",
+    // B = 1000003; coefficients are B^7..B^1 mod 2^64 (pre-reduced:
+    // HUGEINT would overflow at true-precision B^7)
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |pos AS (SELECT unnest(range(1,
+      |    (SELECT MAX(length(text)) FROM documents) + 1)) AS i),
+      |cut AS (SELECT doc_id, i + 7 AS e FROM d, pos
+      |  WHERE i <= n - 8 AND
+      |   (  ascii(substr(text, i,     1)) * CAST(12924618581234127435 AS HUGEINT)
+      |    + ascii(substr(text, i + 1, 1)) * CAST(10923514805226455897 AS HUGEINT)
+      |    + ascii(substr(text, i + 2, 1)) * CAST(14453212906556403763 AS HUGEINT)
+      |    + ascii(substr(text, i + 3, 1)) * CAST(14003818205314896721 AS HUGEINT)
+      |    + ascii(substr(text, i + 4, 1)) * CAST(1000009000027000027 AS HUGEINT)
+      |    + ascii(substr(text, i + 5, 1)) * CAST(1000006000009 AS HUGEINT)
+      |    + ascii(substr(text, i + 6, 1)) * CAST(1000003 AS HUGEINT)
+      |    + ascii(substr(text, i + 7, 1))) % 64 = 0),
+      |b AS (SELECT doc_id, e,
+      |        COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS p
+      |      FROM cut),
+      |mid AS (SELECT b.doc_id, substr(d.text, b.p + 1, b.e - b.p) AS chunk
+      |        FROM b JOIN d ON b.doc_id = d.doc_id),
+      |tail AS (SELECT d.doc_id, substr(d.text, COALESCE(mx.mx, 0) + 1) AS chunk
+      |         FROM d LEFT JOIN (SELECT doc_id, MAX(e) AS mx FROM cut
+      |                           GROUP BY doc_id) mx
+      |           ON d.doc_id = mx.doc_id),
+      |ch AS (SELECT doc_id, chunk FROM mid
+      |       UNION ALL SELECT doc_id, chunk FROM tail),
+      |occ AS (SELECT doc_id, chunk,
+      |          COUNT(*) OVER (PARTITION BY md5(chunk)) AS n_occ FROM ch)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_chunks,
+      |  CAST(SUM(length(chunk)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(CASE WHEN n_occ >= 2 THEN length(chunk) ELSE 0 END) AS BIGINT)
+      |    AS dup_chars
+      |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // single-file input: repartition FIRST so the compiled chunker
+    // runs on all cores (the q_dedup_minhash lesson)
+    val chunks = Tables.load(s, d, "documents")
+      .repartition(32)
+      .select(col("doc_id"),
+        explode(graft.dedup.Cdc.chunkUdf(col("text"))).as("chunk"))
+    val occ = chunks.withColumn("n_occ",
+      count(lit(1)).over(Window.partitionBy(md5(col("chunk")))))
+    occ.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(length(col("chunk")).cast(LongType)).as("n_chars"),
+        sum(when(col("n_occ") >= 2, length(col("chunk")).cast(LongType))
+          .otherwise(0L)).as("dup_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     ngramJaccard, minhashLsh, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
     semanticDedup, embedQuantize, embedPq, annPq, annIvfPq, annIvfPqRerank,
     dedupIncremental, dedupKeepBest,
-    splitLeakage, substringDedup, substringExcise)
+    splitLeakage, substringDedup, substringExcise, cdcDedup)
 }
