@@ -888,10 +888,58 @@ object TextQueries {
     }
   }
 
+  /** Blocklist term filter via one Aho-Corasick pass
+    * ([[graft.text.AhoCorasick]] — CACM 1975): every occurrence of
+    * every blocklist phrase counted in O(|text|) regardless of the
+    * list size. The list mixes nested patterns ("scan" inside
+    * "scan scan") and phrases, so the suffix/output links are
+    * exercised in-query, not just in the spec.
+    *
+    * Shape at scale: the automaton builds once on the driver from the
+    * (small) blocklist and ships in the closure — a pure map-side scan
+    * behind the repartition, no shuffle, no join against a term table,
+    * cost independent of pattern count. The oracle replays the exact
+    * all-occurrences semantics by position enumeration (a greedy
+    * replace()-count would undercount self-overlapping phrases). */
+  val blocklistFilter: Q = Q(
+    "q_blocklist_filter",
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |p AS (SELECT * FROM (VALUES ('scan'), ('scan scan'), ('slow'),
+      |        ('table key'), ('fast merge'), ('big table')) AS t(pat)),
+      |pos AS (SELECT unnest(range(1,
+      |    (SELECT MAX(length(text)) FROM documents) + 1)) AS i),
+      |m AS (SELECT d.doc_id, p.pat FROM d, p, pos
+      |      WHERE i + length(pat) - 1 <= n
+      |        AND substr(text, i, length(pat)) = pat),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+      |               CAST(COUNT(DISTINCT pat) AS BIGINT) AS n_patterns
+      |        FROM m GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(agg.n_hits, 0) AS n_hits,
+      |  COALESCE(agg.n_patterns, 0) AS n_patterns,
+      |  CASE WHEN COALESCE(agg.n_hits, 0) >= 4 THEN 'drop' ELSE 'keep' END
+      |    AS verdict
+      |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val ac = graft.text.AhoCorasick.build(Seq(
+      "scan", "scan scan", "slow", "table key", "fast merge", "big table"))
+    val countsUdf = udf((t: String) => ac.countAll(t))
+    Tables.load(s, d, "documents")
+      .repartition(32)
+      .select(col("doc_id"), countsUdf(col("text")).as("c"))
+      // 6-element arrays: the interpreted HOFs are off the hot path
+      .select(col("doc_id"),
+        aggregate(col("c"), lit(0L), (a, x) => a + x).as("n_hits"),
+        size(filter(col("c"), _ > 0)).cast(LongType).as("n_patterns"))
+      .withColumn("verdict",
+        when(col("n_hits") >= 4, "drop").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
     dsirWeight, qualityGate,
-    lmScore, textNovelty, textRepeatExcise, qualityClassifier)
+    lmScore, textNovelty, textRepeatExcise, qualityClassifier,
+    blocklistFilter)
 }
