@@ -419,6 +419,69 @@ object Analytics {
         .orderBy("month")
   }
 
+  /** Single-source BFS over the co-purchase graph: min hop distance
+    * (<= 4) from the lowest-id part with a strong co-purchase edge —
+    * the frontier-expansion graph kernel (reachability, "related
+    * products within k hops", blast-radius queries).
+    *
+    * Shape at scale: the classic Pregel/GraphX iteration — edges
+    * build ONCE (one shuffle to distinct + one pair self-join) and
+    * persist; each of the 4 bounded rounds is one equi-join of the
+    * (small) frontier against the edge cache plus an anti-join
+    * against the visited set. Rounds are bounded by the hop cap, so
+    * the lazy plan stays shallow; for unbounded-diameter traversal
+    * the pointer-doubling shape in [[graft.ops.ConnectedComponents]]
+    * is the O(log n)-round alternative.
+    *
+    * Oracle: DuckDB WITH RECURSIVE replays frontier expansion —
+    * UNION-dedup on (node, dist) pairs bounds the recursion, MIN(dist)
+    * per node is exactly the engine's first-visit level. */
+  val graphBfs: Q = Q(
+    "q_graph_bfs",
+    """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |         AND a.l_partkey <> b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |seed AS (SELECT MIN(src) AS s FROM e0),
+      |bfs AS (
+      |  SELECT s AS node, 0 AS dist FROM seed
+      |  UNION
+      |  SELECT e.dst, b.dist + 1 FROM bfs b
+      |  JOIN e0 e ON b.node = e.src WHERE b.dist < 4
+      |)
+      |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+      |FROM bfs GROUP BY node ORDER BY dist, node""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .hint("merge")
+    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("dst"))
+      .hint("merge")
+    val edges = a
+      .join(b, col("l_orderkey") === col("okey_b") && col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("src", "dst")
+      .persist() // load-bearing: 4 frontier joins reuse one edge build
+    val seed = edges.agg(min(col("src"))).as[Long].head()
+    var dist = s.createDataFrame(Seq(Tuple2(seed, 0L)))
+      .toDF("node", "dist")
+    var frontier = dist
+    for (h <- 1 to 4) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+      dist = dist.union(next)
+      frontier = next
+    }
+    dist.orderBy("dist", "node")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
-    copurchase, triangles, dauMau, kmvDistinct)
+    copurchase, triangles, dauMau, kmvDistinct, graphBfs)
 }
