@@ -419,6 +419,93 @@ object Analytics {
         .orderBy("month")
   }
 
+  /** KMV set-operation estimates (Beyer et al., SIGMOD 2007 §4): from
+    * the bottom-64 sketches of two part sets (ships in 1996 vs 1997),
+    * estimate |A ∪ B| from the combined sketch's k-th minimum and
+    * |A ∩ B| from the match fraction inside the combined sketch —
+    * WITHOUT revisiting the raw sets. The point the per-month KMV
+    * query (q_sketch_kmv) can't make: sketches compose under set
+    * algebra, so segment overlap / audience-intersection questions
+    * run on k-row summaries, not 100 TB rescans.
+    *
+    * Estimator stays in exact integers: union est is the established
+    * (k-1)*2^48 // prefix48(h_k); intersection est is
+    * matched_of_k * union_est // k (Jaccard numerator exposed as
+    * matched_of_k). Exact counts ride along in-plan (no driver
+    * actions) via broadcast one-row aggregates for the error story. */
+  val kmvSetOps: Q = Q(
+    "q_sketch_kmv_ops",
+    """WITH a AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+      |           FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1996),
+      |b AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+      |      FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997),
+      |ska AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      |                       FROM a) WHERE rn <= 64),
+      |skb AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      |                       FROM b) WHERE rn <= 64),
+      |u AS (SELECT DISTINCT h FROM (SELECT h FROM ska
+      |                              UNION ALL SELECT h FROM skb)),
+      |kk AS (SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+      |                      FROM u) WHERE rn <= 64),
+      |stats AS (SELECT COUNT(*) AS k_eff, MAX(h) AS hk,
+      |    SUM(CASE WHEN h IN (SELECT h FROM ska)
+      |              AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS n_both
+      |  FROM kk),
+      |est AS (SELECT k_eff, n_both,
+      |    CASE WHEN k_eff < 64 THEN k_eff
+      |         ELSE 17732923532771328 //
+      |           GREATEST(CAST(concat('0x', substr(hk, 1, 12)) AS BIGINT), 1)
+      |    END AS union_est
+      |  FROM stats),
+      |ex AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+      |      AS exact_union,
+      |    (SELECT COUNT(*) FROM (SELECT h FROM a INTERSECT SELECT h FROM b))
+      |      AS exact_inter)
+      |SELECT CAST(k_eff AS BIGINT) AS k_eff,
+      |  CAST(union_est AS BIGINT) AS union_est,
+      |  CAST(n_both AS BIGINT) AS matched_of_k,
+      |  CAST((n_both * union_est) // k_eff AS BIGINT) AS inter_est,
+      |  CAST(ex.exact_union AS BIGINT) AS exact_union,
+      |  CAST(ex.exact_inter AS BIGINT) AS exact_inter
+      |FROM est, ex ORDER BY k_eff""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.StringType
+    val li = Tables.load(s, d, "lineitem")
+    def setOf(yr: Int) = li
+      .filter(year(to_date(col("l_shipdate"))) === yr)
+      .select(md5(col("l_partkey").cast(StringType)).as("h"))
+      .distinct()
+    val a = setOf(1996)
+    val b = setOf(1997)
+    // global bottom-64: TakeOrderedAndProject — per-partition top-k,
+    // then a 64-row merge on the driver side of the exchange
+    val ska = a.orderBy("h").limit(64)
+    val skb = b.orderBy("h").limit(64)
+    val kk = ska.union(skb).distinct().orderBy("h").limit(64)
+    val marked = kk
+      .join(ska.withColumn("in_a", lit(1)), Seq("h"), "left")
+      .join(skb.withColumn("in_b", lit(1)), Seq("h"), "left")
+    val stats = marked.agg(
+      count(lit(1)).as("k_eff"),
+      max(col("h")).as("hk"),
+      sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"))
+    val exact = a.union(b).distinct().agg(count(lit(1)).as("exact_union"))
+      .crossJoin(broadcast(
+        a.intersect(b).agg(count(lit(1)).as("exact_inter"))))
+    stats
+      .withColumn("union_est",
+        when(col("k_eff") < 64, col("k_eff"))
+          .otherwise(expr("17732923532771328 div " +
+            "greatest(cast(conv(substr(hk, 1, 12), 16, 10) as bigint), 1)")))
+      .crossJoin(broadcast(exact))
+      .select(col("k_eff"), col("union_est"),
+        col("n_both").as("matched_of_k"),
+        expr("(n_both * union_est) div k_eff").as("inter_est"),
+        col("exact_union"), col("exact_inter"))
+      .orderBy("k_eff")
+  }
+
   /** Single-source BFS over the co-purchase graph: min hop distance
     * (<= 4) from the lowest-id part with a strong co-purchase edge —
     * the frontier-expansion graph kernel (reachability, "related
@@ -483,5 +570,5 @@ object Analytics {
   }
 
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
-    copurchase, triangles, dauMau, kmvDistinct, graphBfs)
+    copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps)
 }
