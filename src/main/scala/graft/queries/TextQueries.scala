@@ -935,11 +935,55 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Proximity (slop) phrase search over a positional inverted index:
+    * docs where "table" is followed by "hash" within 2 token
+    * positions. The plan is the real distributed phrase-query shape —
+    * tokenize once into (doc, pos, term) postings, fetch the two
+    * term posting lists by filter, intersect them with a doc-key
+    * equi-join carrying the position-window predicate. At 100 TB the
+    * postings table is the materialized inverted index partitioned by
+    * term; each phrase query touches only its terms' postings, never
+    * the raw text (contrast q_blocklist_filter's automaton, which is
+    * the right shape when the PATTERN set is fixed and the text is
+    * streamed).
+    */
+  val phraseProximity: Q = Q(
+    "q_phrase_proximity",
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |tok AS (SELECT doc_id, i AS pos, toks[i] AS w
+      |        FROM t, (SELECT unnest(range(1,
+      |         (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i) p
+      |        WHERE i <= len(toks)),
+      |m AS (SELECT a.doc_id, a.pos AS pa FROM tok a JOIN tok b
+      |      ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos + 1 AND a.pos + 2
+      |        AND b.w = 'hash'
+      |      WHERE a.w = 'table')
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |  CAST(MIN(pa) AS BIGINT) AS first_pos
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = Tables.load(s, d, "documents")
+      .repartition(32)
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("w"))
+    val a = tok.filter(col("w") === "table")
+      .select(col("doc_id"), col("pos").as("pa"))
+    val b = tok.filter(col("w") === "hash")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+    a.join(b, col("doc_id") === col("doc_b") &&
+        col("pb").between(col("pa") + 1, col("pa") + 2))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"), min(col("pa")).as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
     dsirWeight, qualityGate,
     lmScore, textNovelty, textRepeatExcise, qualityClassifier,
-    blocklistFilter)
+    blocklistFilter, phraseProximity)
 }

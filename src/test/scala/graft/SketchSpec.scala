@@ -73,4 +73,20 @@ class SketchSpec extends AnyFunSuite {
       assert(est == direct(m), s"month $m: merged est $est != direct ${direct(m)}")
     }
   }
+
+  test("KMV set-op estimates land within the k=64 error band of the " +
+    "exact union/intersection carried in the same row") {
+    val r = graft.queries.Analytics.kmvSetOps
+      .run(spark, SharedSpark.sf001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (unionEst, interEst) = (row.getLong(1), row.getLong(3))
+    val (exactU, exactI) = (row.getLong(4), row.getLong(5))
+    assert(exactI > 0, "test sets must overlap or the estimator is vacuous")
+    // KMV std error ~ 1/sqrt(k) = 12.5%; allow 4 sigma for the small SF
+    assert(math.abs(unionEst - exactU) <= 0.5 * exactU,
+      s"union est $unionEst vs exact $exactU")
+    assert(math.abs(interEst - exactI) <= 0.5 * exactI,
+      s"inter est $interEst vs exact $exactI")
+  }
 }
