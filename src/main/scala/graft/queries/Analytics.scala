@@ -569,6 +569,155 @@ object Analytics {
     dist.orderBy("dist", "node")
   }
 
+  /** CEP-style contiguous event-pattern matching (the batch analog of
+    * Flink CEP / SQL MATCH_RECOGNIZE): each user's event history
+    * becomes an ordered 1-char-code string, and the pattern
+    * view→click→purchase is matched as a contiguous substring —
+    * non-overlapping occurrence count via the replace-length identity
+    * and the first match position via strpos/instr (identical 1-based
+    * / 0-absent semantics in both engines). String matching instead
+    * of regex keeps the semantics engine-portable (Java regex vs RE2
+    * disagree at the margins).
+    *
+    * Shape at 100TB: one shuffle on the user key builds the per-user
+    * sequence (same exchange as q_seq_events); the match itself is a
+    * narrow per-row string scan — no joins, no second exchange. A
+    * per-user history cap would bound the row width (q_seq_events
+    * demonstrates the cap pattern); matching is O(len) per user
+    * either way. */
+  val seqPattern: Q = Q(
+    "q_seq_pattern",
+    """WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    substr(event_type, 1, 1) AS code FROM events),
+      |s AS (SELECT user_id, COUNT(*) AS n_events,
+      |        string_agg(code, '' ORDER BY ms, event_id) AS seq
+      |      FROM r GROUP BY user_id)
+      |SELECT user_id, n_events, seq,
+      |  (length(seq) - length(replace(seq, 'vcp', ''))) // 3 AS n_funnel,
+      |  CAST(strpos(seq, 'vcp') AS BIGINT) AS first_funnel
+      |FROM s ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_id"), ms(col("ts")).as("ms"),
+        substring(col("event_type"), 1, 1).as("code"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("ms"), col("event_id"), col("code")))),
+            e => e("code")),
+          "").as("seq"))
+      .select(col("user_id"), col("n_events"), col("seq"),
+        expr("(length(seq) - length(replace(seq, 'vcp', ''))) div 3")
+          .as("n_funnel"),
+        instr(col("seq"), "vcp").cast("long").as("first_funnel"))
+      .orderBy("user_id")
+  }
+
+  /** Per-group exact OLS trend: the slope of monthly revenue over time
+    * for each customer nation, kept as the exact rational
+    * (slope_num / slope_den) from the closed form
+    * n·Σxy − Σx·Σy over n·Σx² − (Σx)², plus a fixed-point reading
+    * slope_e3 = sign·(|num|·1000 div den). All sums are BIGINTs over
+    * whole-dollar revenue (floored exact decimals) and small rebased
+    * month ids, so every engine computes the identical integers; the
+    * division happens once, on non-negative operands, where truncating
+    * and flooring division agree.
+    *
+    * Shape at 100TB: one partial-aggregated shuffle to (nation, month)
+    * cells, then a per-nation aggregate of 5 integer moments —
+    * regression state is mergeable partials, never raw rows. The
+    * customer dim broadcasts. */
+  val regressionGroup: Q = Q(
+    "q_regression_group",
+    """WITH m AS (SELECT c.c_nationkey AS nationkey,
+      |    epoch_ms(o.o_orderdate) // 86400000 // 30 - 300 AS x,
+      |    SUM(CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(18,2))) AS BIGINT)) AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |g AS (SELECT nationkey, COUNT(*) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+      |      FROM m GROUP BY 1)
+      |SELECT nationkey, n,
+      |  n*sxy - sx*sy AS slope_num, n*sxx - sx*sx AS slope_den,
+      |  CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END
+      |    * (abs(n*sxy - sx*sy) * 1000 // (n*sxx - sx*sx)) AS slope_e3
+      |FROM g WHERE n*sxx - sx*sx > 0 ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+    val cells = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nationkey"),
+        (graft.functions.Exact.bucket(
+          graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L),
+          30L) - 300L).as("x"))
+      .agg(sum(floor(dec(col("o_totalprice"))).cast("long")).as("y"))
+    cells.groupBy("nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("nationkey"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .filter(col("slope_den") > 0)
+      .select(col("nationkey"), col("n"), col("slope_num"), col("slope_den"),
+        (when(col("slope_num") < 0, -1L).otherwise(1L) *
+          expr("abs(slope_num) * 1000 div slope_den")).as("slope_e3"))
+      .orderBy("nationkey")
+  }
+
+  /** Exact Pearson correlation per supplier between line quantity and
+    * extended price: r² in parts-per-million as one exact integer —
+    * corr2_e6 = num²·10⁶ div (d1·d2) with num = n·Σxy − ΣxΣy,
+    * d1/d2 the variance numerators — plus the sign of r. The squares
+    * exceed 64 bits, so the final expression runs in DECIMAL(38,0) on
+    * Spark and HUGEINT in DuckDB (both exact at this width); sqrt-free
+    * because √(d1·d2) of a >2⁵³ integer is not IEEE-replayable.
+    *
+    * Shape at 100TB: five mergeable integer moments per group — the
+    * same partial-agg shuffle as any sum, no second pass, no raw-row
+    * retention. */
+  val corrExact: Q = Q(
+    "q_corr_exact",
+    """WITH r AS (SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (SELECT l_suppkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+      |        SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      |      FROM r GROUP BY 1)
+      |SELECT l_suppkey, n,
+      |  CASE WHEN n*sxy - sx*sy < 0 THEN -1
+      |       WHEN n*sxy - sx*sy > 0 THEN 1 ELSE 0 END AS r_sign,
+      |  CAST(CAST(n*sxy - sx*sy AS HUGEINT) * CAST(n*sxy - sx*sy AS HUGEINT)
+      |       * 1000000
+      |       // (CAST(n*sxx - sx*sx AS HUGEINT) * CAST(n*syy - sy*sy AS HUGEINT))
+      |       AS BIGINT) AS corr2_e6
+      |FROM g WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+      |ORDER BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "lineitem")
+      .select(col("l_suppkey"), col("l_quantity").cast("long").as("x"),
+        floor(dec(col("l_extendedprice"))).cast("long").as("y"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_suppkey"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("d1"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("d2"))
+      .filter(col("d1") > 0 && col("d2") > 0)
+      .select(col("l_suppkey"), col("n"),
+        when(col("num") < 0, -1L).when(col("num") > 0, 1L).otherwise(0L)
+          .as("r_sign"),
+        expr("""CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+               |     * 1000000
+               |     div (CAST(d1 AS DECIMAL(38,0)) * CAST(d2 AS DECIMAL(38,0)))
+               |     AS BIGINT)""".stripMargin).as("corr2_e6"))
+      .orderBy("l_suppkey")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
-    copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps)
+    copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
+    seqPattern, regressionGroup, corrExact)
 }
