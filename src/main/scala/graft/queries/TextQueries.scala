@@ -979,11 +979,97 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Sparse tf-idf cosine retrieval over an inverted index — the
+    * document-at-a-time lexical-search counterpart of the dense ANN
+    * family: probe docs score the corpus through shared postings only,
+    * never through full vectors. Weights are exact integers
+    * (w = tf · (100000 // df), a truncated-reciprocal idf), and the
+    * ranking key is cos² in exact parts-per-billion:
+    * sim2_e9 = num² · 10⁹ div (‖a‖²·‖b‖²), computed in DECIMAL(38,0)
+    * / HUGEINT because num² exceeds 64 bits — and Cauchy-Schwarz
+    * bounds num² ≤ ‖a‖²·‖b‖², so num²·10⁹ ≤ na·nb·10⁹ stays inside
+    * 38 digits for ANY data whose norms fit a BIGINT. sqrt-free on
+    * purpose — cos² ranks identically to cos for the non-negative
+    * weights here, and it stays IEEE-independent. No df-cap stopword
+    * prune: this corpus's vocabulary is 31 terms with df ≈ 80% of N,
+    * so any useful cap empties the index — the idf weight carries the
+    * whole rare-term signal ('dup' at df≈5%N dominates every match
+    * it appears in). On a natural-vocabulary corpus the production
+    * prune (drop df > εN posting lists before the join) bolts onto
+    * the `post` stage unchanged.
+    *
+    * Shape at 100TB: the posting list shuffles once on term (the
+    * inverted-index build); probes' postings broadcast against it
+    * (queries are tiny by construction), candidate pairs partial-sum
+    * map-side, and only candidates that share ≥1 surviving term ever
+    * materialize — the corpus is never pairwise-joined. The df cap
+    * bounds the worst posting list, exactly the role stopword pruning
+    * plays in production lexical engines. */
+  val sparseCosine: Q = Q(
+    "q_sparse_cosine",
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |post AS (SELECT t.doc_id, t.term, t.tf * (100000 // d.df) AS w
+      |         FROM tf t JOIN df d ON t.term = d.term),
+      |nrm AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM post GROUP BY doc_id),
+      |qp AS (SELECT doc_id AS probe_id, term, w AS wq FROM post
+      |       WHERE doc_id % 19 = 0),
+      |num AS (SELECT q.probe_id, p.doc_id, CAST(SUM(q.wq * p.w) AS BIGINT) AS num
+      |        FROM qp q JOIN post p ON q.term = p.term
+      |        WHERE p.doc_id <> q.probe_id GROUP BY 1, 2),
+      |sim AS (SELECT n.probe_id, n.doc_id,
+      |          CAST(CAST(n.num AS HUGEINT) * CAST(n.num AS HUGEINT) * 1000000000
+      |               // (CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT))
+      |               AS BIGINT) AS sim2_e9
+      |        FROM num n JOIN nrm a ON a.doc_id = n.probe_id
+      |                   JOIN nrm b ON b.doc_id = n.doc_id),
+      |rk AS (SELECT probe_id, doc_id, sim2_e9,
+      |         ROW_NUMBER() OVER (PARTITION BY probe_id
+      |                            ORDER BY sim2_e9 DESC, doc_id) AS rank
+      |       FROM sim)
+      |SELECT probe_id, rank, doc_id, sim2_e9 FROM rk WHERE rank <= 10
+      |ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    val tf = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val post = tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("100000 div df")).as("w"))
+    val nrm = post.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val qp = post.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("wq"))
+    val num = post.join(broadcast(qp), Seq("term"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy("probe_id", "doc_id")
+      .agg(sum(col("wq") * col("w")).as("num"))
+    val sim = num
+      .join(broadcast(nrm.select(col("doc_id").as("probe_id"),
+        col("n2").as("na"))), Seq("probe_id"))
+      .join(nrm.select(col("doc_id"), col("n2").as("nb")), Seq("doc_id"))
+      .select(col("probe_id"), col("doc_id"),
+        expr("""CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+               |     * 1000000000
+               |     div (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)))
+               |     AS BIGINT)""".stripMargin).as("sim2_e9"))
+    graft.ops.TopK.perGroup(sim,
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("sim2_e9").desc, col("doc_id").asc),
+      k = 10, rankCol = "rank")
+      .select("probe_id", "rank", "doc_id", "sim2_e9")
+      .orderBy("probe_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
     dsirWeight, qualityGate,
     lmScore, textNovelty, textRepeatExcise, qualityClassifier,
-    blocklistFilter, phraseProximity)
+    blocklistFilter, phraseProximity, sparseCosine)
 }
