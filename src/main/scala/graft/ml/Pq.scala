@@ -443,6 +443,77 @@ object Pq {
       .orderBy("probe_id", "rank")
   }
 
+  /** Recall@k of the IVF-ADC index against exact fx-L2 brute force —
+    * the index-quality eval every ANN deployment runs before trusting
+    * an approximate index (FAISS's recall benchmarks as a query).
+    * Both rankings use the identical (distance, vec_id) tie-break, so
+    * the hit count is a deterministic integer per probe.
+    *
+    * Shape at 100TB: the IVF side is [[ivfAdcTopK]]'s code-only scan;
+    * the exact side is one narrow corpus scan against the broadcast
+    * probe set — run on a probe SAMPLE (here idCol % probeMod), which
+    * is exactly how production recall evals bound the ground-truth
+    * cost. Output: (probe_id, n_hits, recall_pct), exact integers. */
+  def ivfRecall(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kc: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int,
+      probeMod: Long,
+      topK: Int): DataFrame = {
+    val ivf = ivfAdcTopK(emb, idCol, vecCol, kc, nprobe, m, subDim, k,
+      iters, probeMod, topK)
+      .select(col("probe_id"), col(idCol))
+    val pts = KMeansFx.fxPoints(emb, idCol, vecCol)
+    val probes = KMeansFx.fxPoints(
+        emb.filter(col(idCol) % probeMod === 0), idCol, vecCol)
+      .select(col("pid").as("probe_id"), col("v").as("pv"))
+    val exact = graft.ops.TopK.perGroup(
+      pts.join(broadcast(probes), col("pid") =!= col("probe_id"))
+        .select(col("probe_id"), col("pid").as(idCol),
+          KMeansFx.fxSqDist(col("v"), col("pv")).as("d")),
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("d").asc, col(idCol).asc),
+      k = topK, rankCol = "__er")
+      .select(col("probe_id"), col(idCol), lit(1L).as("hit"))
+    ivf.join(exact, Seq("probe_id", idCol), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("probe_id"), col("n_hits"),
+        expr(s"n_hits * 100 div $topK").as("recall_pct"))
+      .orderBy("probe_id")
+  }
+
+  /** The DuckDB replay of [[ivfRecall]]: the full [[ivfAdcOracleSql]]
+    * chain for the approximate side, an exact brute-force ranking over
+    * the same `pts_c` fx points for the ground truth, and a per-probe
+    * intersection count. */
+  def ivfRecallOracleSql(
+      kc: Int, nprobe: Int, m: Int, subDim: Int, k: Int, iters: Int,
+      probeMod: Long, topK: Int): String =
+    s"""WITH ${ivfAdcCtes(kc, nprobe, m, subDim, k, iters, probeMod)},
+       |ivfk AS (SELECT probe_id, vec_id FROM ranked WHERE rank <= $topK),
+       |exd AS (SELECT q.vec_id AS probe_id, p.vec_id,
+       |    SUM((p.v - q.v) * (p.v - q.v)) AS d
+       |  FROM pts_c p JOIN pts_c q
+       |    ON q.i = p.i AND q.vec_id % $probeMod = 0
+       |   AND p.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |exr AS (SELECT probe_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d, vec_id) AS rnk
+       |  FROM exd),
+       |exk AS (SELECT probe_id, vec_id FROM exr WHERE rnk <= $topK)
+       |SELECT i.probe_id, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(e.vec_id) AS BIGINT) * 100 // $topK AS recall_pct
+       |FROM ivfk i LEFT JOIN exk e
+       |  ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The DuckDB replay of [[ivfAdcTopK]]: the coarse Lloyd chain, an
     * integer residual CTE, per-subspace chains over rebased residual
     * slices ([[KMeansFx.oracleCtesFromSrc]]), per-(probe, cell) LUTs,

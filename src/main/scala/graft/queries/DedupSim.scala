@@ -708,6 +708,25 @@ object DedupSim {
       probeMod = 100, rerankR = 30, topK = 10)
   }
 
+  /** Recall@10 of the IVF-ADC index vs exact fx-L2 brute force
+    * ([[graft.ml.Pq.ivfRecall]]) — the eval that decides whether an
+    * approximate index is trustworthy, expressed as a query: per
+    * probe, how many of the exact top-10 the nprobe=2/8-cell PQ
+    * search recovered. The oracle replays BOTH rankings (the whole
+    * IVF-ADC chain plus the exact brute-force ranking over the same
+    * fx points) and intersects them — recall itself is hash-matched,
+    * not spot-checked. */
+  val annRecall: Q = Q(
+    "q_ann_recall",
+    graft.ml.Pq.ivfRecallOracleSql(
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, topK = 10)) { (s, d) =>
+    graft.ml.Pq.ivfRecall(
+      Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+      kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
+      probeMod = 100, topK = 10)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     * 2303.09540): cluster the embedding space with fixed-point k-means
     * ([[graft.ml.KMeansFx]]), then compare pairs ONLY within a cluster
@@ -1301,6 +1320,7 @@ object DedupSim {
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
     semanticDedup, embedQuantize, embedPq, annPq, annIvfPq, annIvfPqRerank,
+    annRecall,
     dedupIncremental, dedupKeepBest,
     splitLeakage, substringDedup, substringExcise, cdcDedup)
 }
