@@ -717,7 +717,60 @@ object Analytics {
       .orderBy("l_suppkey")
   }
 
+  /** Deterministic A/B experiment readout: users hash into arms by the
+    * md5 gate (the reproducible assignment every experimentation
+    * system needs — re-running the analysis re-derives the same
+    * arms), conversion is "ever purchased", and the output is the
+    * exact per-arm counts, the rate difference as an exact rational
+    * (lift_num/lift_den), and the two-proportion z statistic. The z
+    * is the one float: both engines evaluate the IDENTICAL expression
+    * tree over the same four BIGINTs, and +,−,×,÷,√ are all IEEE
+    * correctly-rounded, so even the float hash-matches (the
+    * q_anomaly_zscore precedent).
+    *
+    * Shape at 100TB: one aggregate to per-user conversion flags, one
+    * 2-row aggregate to arm totals — the experiment readout touches
+    * the event stream once, and the z math runs on 4 scalars. */
+  val abLift: Q = Q(
+    "q_ab_lift",
+    """WITH u AS (SELECT user_id,
+      |    CASE WHEN md5(CAST(user_id AS VARCHAR)) < '80' THEN 'a' ELSE 'b' END AS arm,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT
+      |    COUNT(CASE WHEN arm = 'a' THEN 1 END) AS n_a,
+      |    CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+      |    COUNT(CASE WHEN arm = 'b' THEN 1 END) AS n_b,
+      |    CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS c_b
+      |  FROM u)
+      |SELECT n_a, c_a, n_b, c_b,
+      |  c_a * n_b - c_b * n_a AS lift_num, n_a * n_b AS lift_den,
+      |  (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+      |    / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+      |           * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+      |           * (1.0 / n_a + 1.0 / n_b)) AS z
+      |FROM s""".stripMargin) { (s, d) =>
+    val u = Tables.load(s, d, "events")
+      .groupBy(col("user_id"),
+        when(md5(col("user_id").cast("string").cast("binary")) < "80", "a")
+          .otherwise("b").as("arm"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+    u.agg(
+      count(when(col("arm") === "a", 1)).as("n_a"),
+      sum(when(col("arm") === "a", col("conv")).otherwise(0L)).as("c_a"),
+      count(when(col("arm") === "b", 1)).as("n_b"),
+      sum(when(col("arm") === "b", col("conv")).otherwise(0L)).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("lift_num"),
+        (col("n_a") * col("n_b")).as("lift_den"),
+        expr("""(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               |  / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               |         * (1.0D - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+               |         * (1.0D / n_a + 1.0D / n_b))""".stripMargin).as("z"))
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
-    seqPattern, regressionGroup, corrExact)
+    seqPattern, regressionGroup, corrExact, abLift)
 }
