@@ -770,7 +770,88 @@ object Analytics {
                |         * (1.0D / n_a + 1.0D / n_b))""".stripMargin).as("z"))
   }
 
+  /** A fully ENGINE-PORTABLE HyperLogLog (Flajolet et al. 2007) in
+    * exact integer arithmetic — the sketch family q_agg_approx_distinct
+    * had to leave outside the hash gate (Spark's HLL++ register binary
+    * is engine-internal) rebuilt from public parts so the whole
+    * estimator hash-matches: register = first md5 byte (m=256), rank =
+    * 49 − bitlength of the next 48 hash bits (`length(bin(w))`, minimal
+    * form in both engines), and the harmonic sum Σ2^(−M_j) is carried
+    * as the exact integer Σ2^(49−M_j) over a common 2^49 denominator —
+    * power-of-two shifts, never floats. The estimate is then one exact
+    * division of the precomputed integer constant α₂₅₆·m²·2⁴⁹·10⁶⁻¹.
+    * Registers build per MONTH and MERGE by max to per-year estimates —
+    * the mergeability that makes HLL the production cardinality sketch
+    * (re-aggregation without rescans); zero-register counts ride along
+    * (the linear-counting regime flag), and the exact distinct count
+    * joins in as the error witness.
+    *
+    * Shape at 100TB: the corpus aggregates once to (month, register)
+    * maxima — 256·months rows total, regardless of input size; every
+    * coarser grain folds maxima. The register spine is a generated
+    * 256-row frame, broadcast. */
+  val hllFx: Q = Q(
+    "q_sketch_hll_fx",
+    """WITH dh AS (SELECT DISTINCT CAST(date_part('year', l_shipdate) AS BIGINT) AS yr,
+      |    CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS mon,
+      |    md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+      |rr AS (SELECT yr, mon,
+      |    CAST(concat('0x', substr(h, 1, 2)) AS BIGINT) AS reg,
+      |    CASE WHEN CAST(concat('0x', substr(h, 3, 12)) AS BIGINT) = 0 THEN 49
+      |         ELSE 49 - length(bin(CAST(concat('0x', substr(h, 3, 12)) AS BIGINT)))
+      |    END AS r
+      |  FROM dh),
+      |mreg AS (SELECT yr, mon, reg, MAX(r) AS mr FROM rr GROUP BY 1, 2, 3),
+      |yreg AS (SELECT yr, reg, MAX(mr) AS mr FROM mreg GROUP BY 1, 2),
+      |spine AS (SELECT y.yr, p.reg FROM (SELECT DISTINCT yr FROM dh) y,
+      |          (SELECT unnest(range(0, 256)) AS reg) p),
+      |full0 AS (SELECT s.yr, s.reg, COALESCE(yr2.mr, 0) AS m0
+      |          FROM spine s LEFT JOIN yreg yr2
+      |            ON yr2.yr = s.yr AND yr2.reg = s.reg),
+      |hsum AS (SELECT yr,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (49 - m0)) AS BIGINT) AS ss,
+      |    COUNT(CASE WHEN m0 = 0 THEN 1 END) AS n_zero
+      |  FROM full0 GROUP BY yr),
+      |ex AS (SELECT CAST(date_part('year', l_shipdate) AS BIGINT) AS yr,
+      |       COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem GROUP BY 1)
+      |SELECT h.yr, h.n_zero,
+      |  CAST(26499596412111161535758336 // (CAST(h.ss AS HUGEINT) * 1000000)
+      |       AS BIGINT) AS hll_est,
+      |  e.exact_distinct
+      |FROM hsum h JOIN ex e ON e.yr = h.yr ORDER BY h.yr""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+    val dh = li.select(year(col("l_shipdate")).cast("long").as("yr"),
+      trunc(to_date(col("l_shipdate")), "month").as("mon"),
+      md5(col("l_orderkey").cast("string").cast("binary")).as("h"))
+      .distinct()
+    val rr = dh.select(col("yr"), col("mon"),
+      expr("CAST(conv(substr(h, 1, 2), 16, 10) AS BIGINT)").as("reg"),
+      expr("""CASE WHEN CAST(conv(substr(h, 3, 12), 16, 10) AS BIGINT) = 0 THEN 49L
+             |ELSE 49L - length(bin(CAST(conv(substr(h, 3, 12), 16, 10) AS BIGINT)))
+             |END""".stripMargin).as("r"))
+    val mreg = rr.groupBy("yr", "mon", "reg").agg(max(col("r")).as("mr"))
+    val yreg = mreg.groupBy("yr", "reg").agg(max(col("mr")).as("mr"))
+    val spine = dh.select(col("yr")).distinct()
+      .crossJoin(broadcast(
+        s.range(0, 256).select(col("id").as("reg"))))
+    val full0 = spine.join(yreg, Seq("yr", "reg"), "left")
+      .select(col("yr"), col("reg"), coalesce(col("mr"), lit(0L)).as("m0"))
+    val hsum = full0.groupBy("yr")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m0 AS INT))"))
+        .as("ss"),
+        count(when(col("m0") === 0, 1)).as("n_zero"))
+    val ex = li.groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    hsum.join(ex, "yr")
+      .select(col("yr"), col("n_zero"),
+        expr("""CAST(CAST('26499596412111161535758336' AS DECIMAL(38,0))
+               |     div (CAST(ss AS DECIMAL(38,0)) * 1000000)
+               |     AS BIGINT)""".stripMargin).as("hll_est"),
+        col("exact_distinct"))
+      .orderBy("yr")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
-    seqPattern, regressionGroup, corrExact, abLift)
+    seqPattern, regressionGroup, corrExact, abLift, hllFx)
 }
