@@ -720,7 +720,9 @@ object Analytics {
   /** Deterministic A/B experiment readout: users hash into arms by the
     * md5 gate (the reproducible assignment every experimentation
     * system needs — re-running the analysis re-derives the same
-    * arms), conversion is "ever purchased", and the output is the
+    * arms), conversion is "first
+    * event is a purchase" (a scale-free ~20% base rate — "ever
+    * purchased" saturates to 1.0 on any active user), and the output is the
     * exact per-arm counts, the rate difference as an exact rational
     * (lift_num/lift_den), and the two-proportion z statistic. The z
     * is the one float: both engines evaluate the IDENTICAL expression
@@ -733,10 +735,14 @@ object Analytics {
     * the event stream once, and the z math runs on 4 scalars. */
   val abLift: Q = Q(
     "q_ab_lift",
-    """WITH u AS (SELECT user_id,
+    """WITH r AS (SELECT user_id, event_type,
       |    CASE WHEN md5(CAST(user_id AS VARCHAR)) < '80' THEN 'a' ELSE 'b' END AS arm,
-      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-      |  FROM events GROUP BY 1, 2),
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events),
+      |u AS (SELECT user_id, arm,
+      |    MAX(CASE WHEN rn = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM r GROUP BY 1, 2),
       |s AS (SELECT
       |    COUNT(CASE WHEN arm = 'a' THEN 1 END) AS n_a,
       |    CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS c_a,
@@ -750,12 +756,16 @@ object Analytics {
       |           * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
       |           * (1.0 / n_a + 1.0 / n_b)) AS z
       |FROM s""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
     val u = Tables.load(s, d, "events")
-      .groupBy(col("user_id"),
+      .select(col("user_id"), col("event_type"), ms(col("ts")).as("ms"),
+        col("event_id"),
         when(md5(col("user_id").cast("string").cast("binary")) < "80", "a")
           .otherwise("b").as("arm"))
-      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("conv"))
+      .withColumn("rn", row_number().over(byUser))
+      .groupBy("user_id", "arm")
+      .agg(max(when(col("rn") === 1 && col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("conv"))
     u.agg(
       count(when(col("arm") === "a", 1)).as("n_a"),
       sum(when(col("arm") === "a", col("conv")).otherwise(0L)).as("c_a"),
