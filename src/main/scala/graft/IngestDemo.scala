@@ -159,6 +159,23 @@ object IngestDemo {
     println(s"[demo] stream-kmv: updates=${kmvRows.mkString(",")} " +
       "(sketch_k, est) after 40 then 60 distinct ids")
 
+    // 7b. streaming HLL: per-key 256-register state, the incremental
+    //     twin of q_sketch_hll_fx (register-max mergeability)
+    val hllIn = MemoryStream[(String, Long)]
+    val hq = streaming.Streams.runToMemory(
+      streaming.StatefulHll.hllDistinct(
+        spark, hllIn.toDF().toDF("grp", "id"), "grp", "id").toDF(),
+      "demo_hll", "update")
+    hllIn.addData((1L to 300L).map(i => ("users", i)): _*)
+    hq.processAllAvailable()
+    hllIn.addData((151L to 450L).map(i => ("users", i)): _*)
+    hq.processAllAvailable()
+    hq.stop()
+    val hllRows = spark.table("demo_hll").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    println(s"[demo] stream-hll: updates=${hllRows.mkString(",")} " +
+      "(n_zero, est) after 300 then 450 distinct ids")
+
     // 8. streaming PQ encode: new vectors quantized map-side against a
     //    frozen batch-trained codebook (the FAISS `add` path;
     //    stream codes ≡ batch codes, pinned by StreamingSpec)

@@ -310,6 +310,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_hll: incremental 256-register HLL equals the batch " +
+    "sketch at every micro-batch prefix (register-max mergeability)") {
+    implicit val ctx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Independent reference: same construction, recomputed from raw ids.
+    def hllRef(ids: Seq[Long]): (Long, Long) = {
+      val regs = new Array[Int](256)
+      ids.distinct.foreach { i =>
+        val h = md5hex(i.toString)
+        val reg = Integer.parseInt(h.substring(0, 2), 16)
+        val w = java.lang.Long.parseLong(h.substring(2, 14), 16)
+        val r = if (w == 0L) 49 else 49 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (r > regs(reg)) regs(reg) = r
+      }
+      val ss = regs.map(m => BigInt(1) << (49 - m)).sum
+      (regs.count(_ == 0).toLong,
+        (BigInt("26499596412111161535758336") / (ss * 1000000)).toLong)
+    }
+    val mem = MemoryStream[(String, Long)]
+    val ds = graft.streaming.StatefulHll.hllDistinct(
+      spark, mem.toDF().toDF("grp", "id"), "grp", "id")
+    val q = Streams.runToMemory(ds.toDF(), "hllstream", "update")
+    try {
+      val b1 = (1L to 400L).toSeq
+      val b2 = (201L to 700L).toSeq // overlap: register max must dedup
+      mem.addData(b1.map(i => ("x", i)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(i => ("x", i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("hllstream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val p1 = hllRef(b1)
+      val pAll = hllRef(b1 ++ b2)
+      assert(rows == Set(("x", p1._1, p1._2), ("x", pAll._1, pAll._2)),
+        s"got $rows, want prefix=$p1 full=$pAll")
+      // The full-stream estimate should sit near the true 700.
+      assert(math.abs(pAll._2 - 700) <= 700 * 26 / 100,
+        s"estimate ${pAll._2} drifts past 4 sigma of 700")
+    } finally q.stop()
+  }
+
   test("s_stream_pq_encode: vectors encoded on a stream against a " +
     "frozen batch-trained codebook are bit-identical to batch encode " +
     "(the FAISS add path — stateless, no shuffle per trigger)") {
