@@ -861,7 +861,79 @@ object Analytics {
       .orderBy("yr")
   }
 
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintile scores, the classic lifecycle-marketing discretization —
+    * done the scalable way: one aggregate computes per-customer
+    * (recency vs a fixed reference day, order count, exact cents
+    * spend), ONE global aggregate row holds all 12 quintile
+    * boundaries (three array-typed exact percentiles — map-side
+    * partials, never a global-sort ntile), and each customer's scores
+    * are branch-free sums of boundary comparisons against the
+    * broadcast row. Segment = r·100 + f·10 + m. Recency scores
+    * ascending in days-since-last-order (1 = most recent buyers), so
+    * the canonical "555" reads high-F high-M but 5 = stalest R; the
+    * orientation is a labeling choice the comparisons make explicit.
+    *
+    * Shape at 100TB: two shuffles total (per-customer aggregate,
+    * 1-row boundary aggregate); scoring is a map over the customer
+    * frame with the boundary row broadcast. */
+  val rfmSegment: Q = {
+    val refDay = 11688L // 2002-01-01, just past the order-date range
+    def sqlScore(m: String): String = "1 + " + (1 to 4)
+      .map(i => s"CASE WHEN $m >= ${m}_b$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val sqlBs = Seq("rec", "freq", "money").map { m =>
+      (1 to 4).map(i => s"quantile_cont($m, 0.${i * 2}) AS ${m}_b$i")
+        .mkString(", ")
+    }.mkString(", ")
+    Q(
+      "q_rfm_segment",
+      s"""WITH c AS (SELECT o_custkey,
+         |    $refDay - MAX(epoch_ms(o_orderdate) // 86400000) AS rec,
+         |    COUNT(*) AS freq,
+         |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         |      AS money
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT $sqlBs FROM c)
+         |SELECT o_custkey, rec, freq, money,
+         |  CAST(${sqlScore("rec")} AS BIGINT) AS r_score,
+         |  CAST(${sqlScore("freq")} AS BIGINT) AS f_score,
+         |  CAST(${sqlScore("money")} AS BIGINT) AS m_score,
+         |  CAST((${sqlScore("rec")}) * 100 + (${sqlScore("freq")}) * 10
+         |       + (${sqlScore("money")}) AS BIGINT) AS segment
+         |FROM c, b ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.load(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg((lit(refDay) - max(graft.functions.Exact.bucket(
+          ms(col("o_orderdate")), 86400000L))).as("rec"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("money"))
+      val b = c.agg(
+        percentile(col("rec"), array((1 to 4).map(i => lit(i / 5.0)): _*))
+          .as("rbs"),
+        percentile(col("freq"), array((1 to 4).map(i => lit(i / 5.0)): _*))
+          .as("fbs"),
+        percentile(col("money"), array((1 to 4).map(i => lit(i / 5.0)): _*))
+          .as("mbs"))
+        .select(
+          (1 to 4).map(i => col("rbs").getItem(i - 1).as(s"rec_b$i")) ++
+            (1 to 4).map(i => col("fbs").getItem(i - 1).as(s"freq_b$i")) ++
+            (1 to 4).map(i => col("mbs").getItem(i - 1).as(s"money_b$i")): _*)
+      def score(m: String) = (1 to 4)
+        .map(i => when(col(m) >= col(s"${m}_b$i"), 1).otherwise(0))
+        .foldLeft(lit(1))(_ + _)
+      c.crossJoin(broadcast(b))
+        .select(col("o_custkey"), col("rec"), col("freq"), col("money"),
+          score("rec").cast("long").as("r_score"),
+          score("freq").cast("long").as("f_score"),
+          score("money").cast("long").as("m_score"),
+          (score("rec") * 100 + score("freq") * 10 + score("money"))
+            .cast("long").as("segment"))
+        .orderBy("o_custkey")
+    }
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
-    seqPattern, regressionGroup, corrExact, abLift, hllFx)
+    seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment)
 }

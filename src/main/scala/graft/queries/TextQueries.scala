@@ -1065,11 +1065,57 @@ object TextQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Whitespace/control-character text normalization — the cleanup
+    * pass every crawl pipeline runs before tokenization (strip tabs /
+    * CR / LF, collapse space runs, trim). The corpus is clean ASCII,
+    * so noise is INJECTED deterministically first (leading/trailing
+    * pad, a tab and double-space around every ' the ') — the
+    * q_text_pii_redact non-vacuity trick — and the output proves the
+    * normalizer INVERTS the injection exactly: `recovered` must be
+    * true for every doc, and the cleaned text is fingerprinted so the
+    * hash covers the full string, not just the flag. Regex stays
+    * inside the `[\t\n\r]` / ' +' fragment both Java regex and RE2
+    * read identically.
+    *
+    * Shape at 100TB: stateless per-row string work — no shuffle at
+    * all until the output sort; at cluster scale this is a pure
+    * map-only pass. */
+  val textNormalize: Q = Q(
+    "q_text_normalize",
+    """WITH noisy AS (SELECT doc_id,
+      |    text,
+      |    concat('  ', replace(text, ' the ', concat('  the', chr(9), ' ')), chr(9))
+      |      AS raw
+      |  FROM documents),
+      |cleaned AS (SELECT doc_id, text, raw,
+      |    trim(regexp_replace(regexp_replace(raw, '[\t\n\r]', ' ', 'g'),
+      |                        '  +', ' ', 'g'))
+      |      AS clean
+      |  FROM noisy)
+      |SELECT doc_id,
+      |  length(raw) - length(clean) AS n_shrunk,
+      |  clean = text AS recovered,
+      |  md5(clean) AS fp
+      |FROM cleaned ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        expr("concat('  ', replace(text, ' the ', concat('  the', chr(9), ' ')), chr(9))")
+          .as("raw"))
+      .select(col("doc_id"), col("text"), col("raw"),
+        expr("trim(regexp_replace(regexp_replace(raw, '[\\t\\n\\r]', ' '), '  +', ' '))")
+          .as("clean"))
+      .select(col("doc_id"),
+        (length(col("raw")) - length(col("clean"))).as("n_shrunk"),
+        (col("clean") === col("text")).as("recovered"),
+        md5(col("clean").cast("binary")).as("fp"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     textTokens, textTokenCounts, textQuality, textLangId, docFingerprint,
     docWinnow, dedupExact, explodeTokensTyped,
     textRepetition, textPiiRedact, tfidfTerms, bm25TopK, bm25Fx, ngramLm,
     dsirWeight, qualityGate,
     lmScore, textNovelty, textRepeatExcise, qualityClassifier,
-    blocklistFilter, phraseProximity, sparseCosine)
+    blocklistFilter, phraseProximity, sparseCosine, textNormalize)
 }
