@@ -1032,7 +1032,11 @@ object TextQueries {
       |       FROM sim)
       |SELECT probe_id, rank, doc_id, sim2_e9 FROM rk WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    // Parallelize the tokenize: the single-file scan would otherwise run
+    // the explode narrow chain on one core — and this subplan is rebuilt
+    // by every consumer below (main join, norms, both broadcasts).
     val tf = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term")
@@ -1041,17 +1045,54 @@ object TextQueries {
     val post = tf.join(df, "term")
       .select(col("doc_id"), col("term"),
         (col("tf") * expr("100000 div df")).as("w"))
-    val nrm = post.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    val qp = post.filter(col("doc_id") % 19 === 0)
-      .select(col("doc_id").as("probe_id"), col("term"), col("w").as("wq"))
-    val num = post.join(broadcast(qp), Seq("term"))
+      // The postings frame is a few MB here, so AQE would coalesce the
+      // downstream 40M-row probe join + partial agg onto ONE partition
+      // (the single-core trap from CLAUDE.md); pin the parallelism on
+      // the doc key — the same key the norm join needs.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id"))
+      // One cached postings relation: both docvec consumers (the probe
+      // broadcast and the scoring stream side) otherwise rebuild the
+      // tokenize -> tf -> postings chain (measured +2s at sf0.1). 32
+      // partitions — no 1-partition InMemoryRelation trap.
+      .persist()
+
+    // Dense-adjacency scoring: this corpus's vocabulary is 31 terms
+    // with df ~ 80% of N, so EVERY (probe, doc) pair shares terms —
+    // the inverted-index candidate join (kept as the oracle) would
+    // materialize the same Q x N pairs anyway, 31 rows at a time
+    // (measured 5-10s at sf0.1: 40M string-keyed join rows + a 1.3M
+    // group agg). Instead each doc folds to one dense weight vector
+    // over the term dictionary and pairs score through the codegen
+    // graft_fxsqdist kernel via the polarization identity
+    // dot = (na + nb - |a-b|^2) / 2 — exact integers, no string keys,
+    // no exploded rows (1.7s). Pairs with no shared term have num = 0
+    // and are filtered, which is exactly the candidate set the
+    // inverted oracle yields, so the two formulations are row-equal
+    // by construction. At a natural vocabulary the posting-list join
+    // (the oracle's shape) is the scale path; the crossover is corpus
+    // density, and the comment is the contract.
+    val vsize = df.count().toInt // vocab-sized: one tiny job
+    val byTerm = org.apache.spark.sql.expressions.Window.orderBy("term")
+    val dict = df.select(col("term"),
+      (row_number().over(byTerm) - 1).as("idx")) // vocab rows: window OK
+    val docvec = post.join(broadcast(dict), "term")
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
+        .as("mw"),
+        sum(col("w") * col("w")).as("n2"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(vsize - 1)),
+          i => coalesce(element_at(col("mw"), i), lit(0L))).as("v"),
+        col("n2"))
+    val qvec = docvec.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("probe_id"), col("v").as("qv"),
+        col("n2").as("na"))
+    val sim = docvec.crossJoin(broadcast(qvec))
       .filter(col("doc_id") =!= col("probe_id"))
-      .groupBy("probe_id", "doc_id")
-      .agg(sum(col("wq") * col("w")).as("num"))
-    val sim = num
-      .join(broadcast(nrm.select(col("doc_id").as("probe_id"),
-        col("n2").as("na"))), Seq("probe_id"))
-      .join(nrm.select(col("doc_id"), col("n2").as("nb")), Seq("doc_id"))
+      .select(col("probe_id"), col("doc_id"), col("na"), col("n2").as("nb"),
+        expr("(na + n2 - graft_fxsqdist(v, qv)) div 2").as("num"))
+      .filter(col("num") > 0)
       .select(col("probe_id"), col("doc_id"),
         expr("""CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
                |     * 1000000000
