@@ -169,7 +169,25 @@ object PlanDump {
         |hash), then bottom-k per day via WindowGroupLimit — k rows per
         |day survive to the month merge, which never touches the corpus
         |again (the mergeable-sketch shape). The exact_distinct witness
-        |is the only other corpus aggregation.""".stripMargin)
+        |is the only other corpus aggregation.""".stripMargin,
+    "q_sparse_cosine" ->
+      """Sparse tf-idf retrieval, scored densely: docs fold to one
+        |weight vector over the broadcast term dictionary (the postings
+        |relation is cached — four consumers), probes broadcast as
+        |vectors, and every pair scores through the codegen
+        |graft_fxsqdist kernel via dot = (na+nb-|a-b|²)/2 — no string
+        |join keys, no exploded (term, pair) rows. WindowGroupLimit cuts
+        |to top-10 before the probe exchange. The inverted-index
+        |candidate join survives as the ORACLE formulation: row-equal
+        |because zero-dot pairs are filtered, and the scale path once
+        |vocabulary outgrows the dense fold.""".stripMargin,
+    "q_sketch_hll_fx" ->
+      """Portable integer HLL: the corpus collapses to (month, register)
+        |maxima in ONE partial-aggregated shuffle — 256·months rows
+        |regardless of input size — then maxima fold to years and join
+        |the broadcast 256-row register spine. The estimate is exact
+        |integer division; the only other corpus aggregation is the
+        |exact-distinct witness.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
