@@ -138,4 +138,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(scans.size == 2, s"expected 2 lineitem scans, got ${scans.size}")
   }
+
+  test("q_sparse_cosine: pairs score through the codegen fxsqdist " +
+    "kernel over dense vectors — no string-keyed posting join in the " +
+    "scoring path") {
+    val plan = executed("q_sparse_cosine")
+    assert(plan.contains("graft_fxsqdist"), plan.take(1500))
+    // The scoring join is the probe-vector nested-loop broadcast (263
+    // rows) — the 40M-row term-keyed hash join formulation must not
+    // come back.
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q_sketch_hll_fx: the corpus collapses to register maxima in " +
+    "partial-aggregated shuffles — no window, no global sort before " +
+    "the output ORDER BY") {
+    val plan = staticPlan("q_sketch_hll_fx")
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"unexpected WindowExec in HLL plan")
+  }
+
+  test("q_graph_bfs: the edge relation and every frontier are cached " +
+    "(InMemoryRelation) so hops never re-execute earlier hops") {
+    // Execute once so the loop's persists materialize, then check the
+    // final frame's plan reads from the cache.
+    val df = SparkEntry.queries("q_graph_bfs")(spark, SharedSpark.sf001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      plan.take(1500))
+  }
 }
