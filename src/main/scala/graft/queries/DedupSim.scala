@@ -181,6 +181,85 @@ object DedupSim {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator calibration — the sketch-quality eval for the
+    * LSH dedup family, the way [[annRecall]] evals the IVF index: for
+    * every banded candidate pair, the signature-agreement estimate
+    * (agree/8, exact thousandths: agree·125) sits next to the EXACT
+    * shingle Jaccard in parts-per-million, both hash-matched. This is
+    * the table you read before trusting a minhash threshold: E[agree/k]
+    * = J, and the per-pair spread at k=8 is what the numbers show.
+    *
+    * Shape at 100TB: identical to q_dedup_minhash through the banded
+    * candidate join (signatures one compiled pass, candidates only —
+    * never all pairs); the agreement sum is 8 element compares per
+    * candidate, and the exact Jaccard joins the two shingle arrays of
+    * candidate pairs only. */
+  val minhashEstimate: Q = Q(
+    "q_minhash_estimate",
+    s"""WITH $shingleSql,
+       |perm AS (SELECT unnest(range(0, 8)) AS p),
+       |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+       |       FROM sh, perm GROUP BY doc_id, p),
+       |bands AS (SELECT doc_id, p // 2 AS band,
+       |                 string_agg(mh, '|' ORDER BY p) AS bkey
+       |          FROM mh GROUP BY doc_id, band),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |agr AS (SELECT c.doc_a, c.doc_b,
+       |          CAST(SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+       |            AS agree
+       |        FROM cand c JOIN mh x ON x.doc_id = c.doc_a
+       |                    JOIN mh y ON y.doc_id = c.doc_b AND y.p = x.p
+       |        GROUP BY 1, 2),
+       |$jaccardSql
+       |SELECT g.doc_a, g.doc_b, g.agree, g.agree * 125 AS est_e3,
+       |  j.common * 1000000 // (j.n_a + j.n_b - j.common) AS jac_e6
+       |FROM agr g JOIN jac j ON j.doc_a = g.doc_a AND j.doc_b = g.doc_b
+       |ORDER BY g.doc_a, g.doc_b""".stripMargin) { (s, d) =>
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), Text.shingleSetUdf(3)(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val withSig = docs.select(
+      col("doc_id"), Text.md5MinhashSigUdf(8)(col("shs")).as("sig"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|",
+          element_at(col("sig"), 2 * b + 1),
+          element_at(col("sig"), 2 * b + 2)).as("bkey")))
+    val bands = withSig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val agree = (1 to 8)
+      .map(i => when(element_at(col("siga"), i) === element_at(col("sigb"), i),
+        1L).otherwise(0L))
+      .reduce(_ + _)
+    broadcast(cand)
+      .join(withSig.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
+        Seq("doc_a"))
+      .join(withSig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
+        Seq("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        agree.as("agree"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("common"),
+        size(col("sa")).cast(LongType).as("n_a"),
+        size(col("sb")).cast(LongType).as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("agree"),
+        (col("agree") * 125L).as("est_e3"),
+        expr("common * 1000000 div (n_a + n_b - common)").as("jac_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** SimHash near-dup pairs, oracle-matched: the md5-derived signature
     * chain ([[graft.dedup.SimHash.simhash64]]) replays in DuckDB SQL —
     * per-token bit votes from md5 hex digits, sign threshold, then
@@ -1316,7 +1395,7 @@ object DedupSim {
   }
 
   val all: Seq[Q] = Seq(
-    ngramJaccard, minhashLsh, simhashPairs,
+    ngramJaccard, minhashLsh, minhashEstimate, simhashPairs,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
     semanticDedup, embedQuantize, embedPq, annPq, annIvfPq, annIvfPqRerank,
