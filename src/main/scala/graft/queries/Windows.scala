@@ -353,8 +353,107 @@ object Windows {
     }
   }
 
+  /** Last-touch marketing attribution: every purchase is credited to
+    * the user's most recent STRICTLY-PRIOR click, or left unattributed
+    * — the self-as-of join every attribution pipeline runs, expressed
+    * as one running MAX over a packed (ms, event_id) sort key (base
+    * 2024-01-01, ·10⁷ + event_id: room for a year of millis and 10M
+    * events before BIGINT pressure). Packing makes the "latest prior
+    * click" a scalar window max that both engines compute identically;
+    * the strictly-prior frame (UNBOUNDED PRECEDING .. 1 PRECEDING)
+    * excludes same-row self-attribution by construction.
+    *
+    * Shape at 100TB: ONE shuffle on the user key, one sort, one
+    * running max — the event stream never joins itself. */
+  val attributionLastTouch: Q = {
+    val base = 1704067200000L
+    Q(
+      "q_attribution_last_touch",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    (epoch_ms(ts) - $base) * 10000000 + event_id AS k,
+         |    epoch_ms(ts) AS ms
+         |  FROM events),
+         |w AS (SELECT user_id, event_id, event_type, ms,
+         |    MAX(CASE WHEN event_type = 'click' THEN k END)
+         |      OVER (PARTITION BY user_id ORDER BY k
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS ck
+         |  FROM e)
+         |SELECT event_id AS purchase_id, user_id, ms AS purchase_ms,
+         |  ck % 10000000 AS click_id,
+         |  ck // 10000000 + $base AS click_ms,
+         |  ms - (ck // 10000000 + $base) AS gap_ms
+         |FROM w WHERE event_type = 'purchase'
+         |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ((ms(col("ts")) - base) * 10000000L + col("event_id")).as("k"),
+          ms(col("ts")).as("ms"))
+        .withColumn("ck",
+          max(when(col("event_type") === "click", col("k"))).over(byUser))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ms").as("purchase_ms"),
+          (col("ck") % 10000000L).as("click_id"),
+          expr(s"ck div 10000000 + $base").as("click_ms"),
+          (col("ms") - expr(s"ck div 10000000 + $base")).as("gap_ms"))
+        .orderBy("purchase_id")
+    }
+  }
+
+  /** OHLC time-series resampling: per (event_type, hour) the open /
+    * high / low / close of the event value in exact integer cents —
+    * the financial-downsampling primitive. Open and close come from
+    * ONE struct-ordered min/max over the unique (ms, event_id, cents)
+    * triple (lexicographic struct ordering = the time order, cents
+    * riding along), so no window pass and no self-join; the oracle
+    * replays the same selection with rank-1 windows, proving the
+    * struct-min/max formulation picks the identical rows.
+    *
+    * Shape at 100TB: one partial-aggregated shuffle to (type, hour)
+    * cells — O-H-L-C state is 4 mergeable scalars per cell. */
+  val tsOhlc: Q = Q(
+    "q_ts_ohlc",
+    """WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+      |    epoch_ms(ts) AS ms, event_id,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (SELECT event_type, hr, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+      |                       ORDER BY ms, event_id) AS rf,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, hr
+      |                       ORDER BY ms DESC, event_id DESC) AS rl
+      |  FROM e),
+      |agg AS (SELECT event_type, hr, COUNT(*) AS n,
+      |          MAX(cents) AS high, MIN(cents) AS low
+      |        FROM e GROUP BY 1, 2)
+      |SELECT a.event_type, a.hr, a.n,
+      |  f.cents AS open, a.high, a.low, l.cents AS close
+      |FROM agg a
+      |JOIN r f ON f.event_type = a.event_type AND f.hr = a.hr AND f.rf = 1
+      |JOIN r l ON l.event_type = a.event_type AND l.hr = a.hr AND l.rl = 1
+      |ORDER BY a.event_type, a.hr""".stripMargin) { (s, d) =>
+    Tables.load(s, d, "events")
+      .select(col("event_type"),
+        graft.functions.Exact.bucket(ms(col("ts")), 3600000L).as("hr"),
+        ms(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ms"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max(struct(col("ms"), col("event_id"), col("cents")))
+          .getField("cents").as("close"))
+      .select("event_type", "hr", "n", "open", "high", "low", "close")
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(
     rank_, lagLead, rowsFrame, rangeFrame,
     tumblingBatch, sessionize, joinRange, joinAsOf, distRanks, tsGapfill,
-    joinScd2, joinIntervalOverlap)
+    joinScd2, joinIntervalOverlap, attributionLastTouch, tsOhlc)
 }
