@@ -673,10 +673,72 @@ object ScaleOps {
       .orderBy("shard", "pos_in_shard")
   }
 
+  /** 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH (cheaper-or-equal price, larger-or-equal size) with at least
+    * one strict — the "best tradeoff" operator of preference queries.
+    * The ENGINE computes it scalably in two levels: per-price-bucket
+    * windows (parallel — a running max over strictly-cheaper rows via
+    * a RANGE .. 1 PRECEDING frame on integer cents, plus the
+    * ≤-price/greater-size check) and a 25-row bucket-stats broadcast
+    * (any lower bucket's max size dominating crosses buckets, and
+    * every lower-bucket row is strictly cheaper by construction). The
+    * ORACLE is the naive quadratic NOT EXISTS — the hash equality
+    * proves the two-level decomposition drops exactly the dominated
+    * rows. Duplicate (price, size) points dominate each other only
+    * non-strictly, so both survive — tie semantics are part of the
+    * contract.
+    *
+    * Shape at 100TB: one shuffle on the bucket key, per-bucket sorts,
+    * and a bucket-count-sized aggregate broadcast — never a global
+    * sort, never a self-join. */
+  val skylinePareto: Q = Q(
+    "q_skyline_pareto",
+    """WITH p AS (SELECT p_partkey,
+      |    CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents,
+      |    CAST(p_size AS BIGINT) AS size FROM part)
+      |SELECT a.p_partkey, a.cents, a.size
+      |FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |  WHERE b.cents <= a.cents AND b.size >= a.size
+      |    AND (b.cents < a.cents OR b.size > a.size))
+      |ORDER BY a.p_partkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val W = 4000L // cents per bucket: ~25 buckets over the 900..1900 range
+    val p = Tables.load(s, d, "part")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100, 0).cast("long").as("cents"),
+        col("p_size").cast("long").as("size"),
+        graft.functions.Exact.bucket(
+          round(col("p_retailprice") * 100, 0).cast("long"), W).as("bkt"))
+    // intra-bucket dominance: strictly cheaper with >= size, or
+    // <=-price with strictly larger size (self excluded by strictness)
+    val byPrice = Window.partitionBy("bkt").orderBy("cents")
+    val strictlyCheaper = byPrice.rangeBetween(Window.unboundedPreceding, -1)
+    val upToHere = byPrice.rangeBetween(Window.unboundedPreceding, 0)
+    val local = p
+      .withColumn("maxLt", max(col("size")).over(strictlyCheaper))
+      .withColumn("maxLe", max(col("size")).over(upToHere))
+      .withColumn("locDom",
+        (col("maxLt").isNotNull && col("maxLt") >= col("size")) ||
+          col("maxLe") > col("size"))
+    // cross-bucket: every row of a lower bucket is strictly cheaper,
+    // so its max size >= mine dominates me
+    val stats = p.groupBy("bkt").agg(max(col("size")).as("bmax"))
+    val below = stats.as("x").join(stats.as("y"),
+        col("x.bkt") > col("y.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(max(col("y.bmax")).as("prevMax"))
+    local.join(broadcast(below), Seq("bkt"))
+      .filter(!col("locDom") &&
+        (col("prevMax").isNull || col("prevMax") < col("size")))
+      .select("p_partkey", "cents", "size")
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] = Seq(
     skewSaltedAgg, skewSaltedJoin, joinBucketed, sampleStratified, splitByKey,
     packChunks, slideChunks, mergeUpsert, sampleMixture, zorderKey,
     pagerankBipartite, bloomPrune, dqChecks, snapshotDiff, hierarchyRollup,
     samplePriority, contrastiveNegatives, sampleBalanced, sampleTemperature,
-    shardShuffle)
+    shardShuffle, skylinePareto)
 }
