@@ -940,7 +940,93 @@ object Analytics {
     }
   }
 
+  /** Behavioral Markov chain: the event-type transition matrix over
+    * per-user ordered histories — P(next | current) as an exact
+    * rational in parts-per-million (n·10⁶ div row_total), the
+    * first-order model behind next-action prediction and
+    * session-simulation. One shuffle on the user key for the lead
+    * window, one tiny aggregate to the T×T matrix.
+    */
+  val markovTransitions: Q = Q(
+    "q_markov_transitions",
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type,
+      |        LEAD(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ms, event_id) AS to_type
+      |      FROM e),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, t.total,
+      |  c.n * 1000000 // t.total AS p_e6
+      |FROM c JOIN tot t ON t.from_type = c.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val t = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        ms(col("ts")).as("ms"), col("event_id"))
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(byUser).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("from_type").agg(sum(col("n")).as("total"))
+    t.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"), col("total"),
+        expr("n * 1000000 div total").as("p_e6"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Robust anomaly detection via median absolute deviation — the
+    * outlier-resistant twin of q_anomaly_zscore (one wild hour
+    * inflates a mean/sd gate but barely moves the median/MAD one).
+    * Median and MAD come from exact percentile aggregates over integer
+    * counts (interpolated midpoints are exact binary fractions, so
+    * both engines see identical doubles) broadcast back onto the
+    * hourly frame; the robust z and the 3.5 outlier gate replay as
+    * the identical IEEE tree. The 1.4826 consistency constant is the
+    * standard normal calibration.
+    *
+    * Shape at 100TB: the stream aggregates once to (type, hour), the
+    * per-type stats are a tiny two-percentile aggregate, and the gate
+    * is a broadcast-joined map. */
+  val anomalyMad: Q = Q(
+    "q_anomaly_mad",
+    """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+      |             COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM h GROUP BY 1),
+      |dev AS (SELECT h.event_type, h.hr, h.n, m.med,
+      |          ABS(h.n - m.med) AS dv
+      |        FROM h JOIN med m ON m.event_type = h.event_type),
+      |mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT d.event_type, d.hr, d.n, d.med, m.mad,
+      |  (d.n - d.med) / (1.4826 * m.mad) AS rz,
+      |  ABS((d.n - d.med) / (1.4826 * m.mad)) > 3.5 AS is_outlier
+      |FROM dev d JOIN mad m ON m.event_type = d.event_type
+      |WHERE m.mad > 0
+      |ORDER BY d.event_type, d.hr""".stripMargin) { (s, d) =>
+    val h = Tables.load(s, d, "events")
+      .groupBy(col("event_type"),
+        graft.functions.Exact.bucket(ms(col("ts")), 3600000L).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val med = h.groupBy("event_type")
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = h.join(broadcast(med), "event_type")
+      .withColumn("dv", abs(col("n") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("dv"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
+      .select(col("event_type"), col("hr"), col("n"), col("med"), col("mad"),
+        expr("(n - med) / (1.4826 * mad)").as("rz"),
+        expr("ABS((n - med) / (1.4826 * mad)) > 3.5").as("is_outlier"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
-    seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment)
+    seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment,
+    markovTransitions, anomalyMad)
 }
