@@ -1002,10 +1002,11 @@ object Analytics {
       |        FROM h JOIN med m ON m.event_type = h.event_type),
       |mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY 1)
       |SELECT d.event_type, d.hr, d.n, d.med, m.mad,
-      |  (d.n - d.med) / (1.4826 * m.mad) AS rz,
-      |  ABS((d.n - d.med) / (1.4826 * m.mad)) > 3.5 AS is_outlier
+      |  CASE WHEN m.mad > 0
+      |       THEN (d.n - d.med) / (1.4826 * m.mad) END AS rz,
+      |  CASE WHEN m.mad > 0
+      |       THEN ABS((d.n - d.med) / (1.4826 * m.mad)) > 3.5 END AS is_outlier
       |FROM dev d JOIN mad m ON m.event_type = d.event_type
-      |WHERE m.mad > 0
       |ORDER BY d.event_type, d.hr""".stripMargin) { (s, d) =>
     val h = Tables.load(s, d, "events")
       .groupBy(col("event_type"),
@@ -1017,11 +1018,13 @@ object Analytics {
       .withColumn("dv", abs(col("n") - col("med")))
     val mad = dev.groupBy("event_type")
       .agg(percentile(col("dv"), lit(0.5)).as("mad"))
+    // mad = 0 (a flat or ultra-sparse series) yields NULL gates rather
+    // than dropping the rows — the report stays total over (type, hr).
     dev.join(broadcast(mad), "event_type")
-      .filter(col("mad") > 0)
       .select(col("event_type"), col("hr"), col("n"), col("med"), col("mad"),
-        expr("(n - med) / (1.4826 * mad)").as("rz"),
-        expr("ABS((n - med) / (1.4826 * mad)) > 3.5").as("is_outlier"))
+        expr("CASE WHEN mad > 0 THEN (n - med) / (1.4826 * mad) END").as("rz"),
+        expr("CASE WHEN mad > 0 THEN ABS((n - med) / (1.4826 * mad)) > 3.5 END")
+          .as("is_outlier"))
       .orderBy("event_type", "hr")
   }
 
