@@ -1028,8 +1028,69 @@ object Analytics {
       .orderBy("event_type", "hr")
   }
 
+  /** Benford first-digit screening — the forensic-accounting test for
+    * fabricated numeric columns: observed first-digit counts of the
+    * order totals against the Benford expectation log10(1+1/d), with
+    * each chi-square component as an EXACT integer
+    * ((obs·10⁶ − n·p_e6)² div (n·p_e6), ×10⁶ scaling carried in the
+    * numerator) — the per-digit evidence a screening pipeline ranks
+    * by. The Benford probabilities are precomputed integer literals
+    * (floor(log10(1+1/d)·10⁶)): log10 never executes at query time,
+    * so no libm drift. The square exceeds 64 bits at corpus scale →
+    * DECIMAL(38,0)/HUGEINT, the established wide-integer lane.
+    *
+    * Shape at 100TB: one aggregate to 9 digit counts, one broadcast
+    * 9-row constants join — the column is scanned once. */
+  val benfordDigits: Q = {
+    val ps = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val valuesSql = ps.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+    Q(
+      "q_benford_digits",
+      s"""WITH v AS (SELECT CAST(substr(CAST(
+         |      CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1)
+         |      AS BIGINT) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, COUNT(*) AS obs FROM v GROUP BY 1),
+         |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM c),
+         |b(digit, p_e6) AS (VALUES $valuesSql)
+         |SELECT b.digit, COALESCE(c.obs, 0) AS obs,
+         |  n.n * b.p_e6 // 1000000 AS expected,
+         |  CAST(
+         |    (CAST(COALESCE(c.obs, 0) AS HUGEINT) * 1000000 - CAST(n.n AS HUGEINT) * b.p_e6)
+         |    * (CAST(COALESCE(c.obs, 0) AS HUGEINT) * 1000000 - CAST(n.n AS HUGEINT) * b.p_e6)
+         |    // (CAST(n.n AS HUGEINT) * b.p_e6 * 1000000) AS BIGINT) AS chi2_e6
+         |FROM b LEFT JOIN c ON c.digit = b.digit, n
+         |ORDER BY b.digit""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val c = Tables.load(s, d, "orders")
+        .select(expr("""CAST(substr(CAST(
+          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING), 1, 1)
+          AS BIGINT)""").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val b = ps.zipWithIndex.map { case (p, i) => ((i + 1).toLong, p) }
+        .toDF("digit", "p_e6")
+      // total n as an uncorrelated scalar via a 1-row broadcast (the
+      // CLAUDE.md-safe shape: no semi-join below it to invert)
+      val n = c.agg(sum(col("obs")).as("n"))
+      b.join(c, Seq("digit"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("digit"), coalesce(col("obs"), lit(0L)).as("obs"),
+          expr("n * p_e6 div 1000000").as("expected"),
+          expr("""CAST(
+            (CAST(coalesce(obs, 0) AS DECIMAL(38,0)) * 1000000
+              - CAST(n AS DECIMAL(38,0)) * p_e6)
+            * (CAST(coalesce(obs, 0) AS DECIMAL(38,0)) * 1000000
+              - CAST(n AS DECIMAL(38,0)) * p_e6)
+            div (CAST(n AS DECIMAL(38,0)) * p_e6 * 1000000) AS BIGINT)""")
+            .as("chi2_e6"))
+        .orderBy("digit")
+    }
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
     seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment,
-    markovTransitions, anomalyMad)
+    markovTransitions, anomalyMad, benfordDigits)
 }
