@@ -1089,8 +1089,67 @@ object Analytics {
     }
   }
 
+  /** Revenue-concentration (Gini) per customer nation — the
+    * inequality readout behind "top-N% of customers drive M% of
+    * revenue" dashboards. Per-customer whole-dollar revenue ranks
+    * INSIDE its nation (a partitioned window — parallel, never a
+    * global sort), and Gini comes out of the rank identity
+    * (2Σiχᵢ − (n+1)Σx) / (n·Σx) as one exact integer division in
+    * parts-per-million. Ties rank by customer key, so the value is
+    * the deterministic ties-broken Gini — the contract both engines
+    * compute bit-for-bit. The decile-share companion (top-10% revenue
+    * share) rides on the same ranks.
+    *
+    * Shape at 100TB: one aggregate to customer revenue, one
+    * partitioned window, one per-nation aggregate of two integer
+    * moments. Whole dollars keep Σ rank·x inside BIGINT through
+    * sf≈1; wider corpora switch the two sums to DECIMAL(38,0), the
+    * established lane. */
+  val giniConcentration: Q = Q(
+    "q_gini_concentration",
+    """WITH r AS (SELECT c.c_nationkey AS nationkey, o.o_custkey,
+      |    CAST(SUM(CAST(FLOOR(CAST(o.o_totalprice AS DECIMAL(18,2))) AS BIGINT))
+      |         AS BIGINT) AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT nationkey, x,
+      |    ROW_NUMBER() OVER (PARTITION BY nationkey
+      |                       ORDER BY x, o_custkey) AS i,
+      |    COUNT(*) OVER (PARTITION BY nationkey) AS n
+      |  FROM r),
+      |g AS (SELECT nationkey, MAX(n) AS n,
+      |        CAST(SUM(x) AS BIGINT) AS sx,
+      |        CAST(SUM(i * x) AS BIGINT) AS six,
+      |        CAST(SUM(CASE WHEN i > n - n // 10 THEN x ELSE 0 END) AS BIGINT)
+      |          AS top_decile_x
+      |      FROM rk GROUP BY 1)
+      |SELECT nationkey, n, sx AS total_dollars,
+      |  (2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS gini_e6,
+      |  top_decile_x * 1000000 // sx AS top10_share_e6
+      |FROM g ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val byNation = Window.partitionBy("nationkey").orderBy("x", "o_custkey")
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
+    val r = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("nationkey", "o_custkey")
+      .agg(sum(floor(dec(col("o_totalprice"))).cast("long")).as("x"))
+    r.withColumn("i", row_number().over(byNation).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy("nationkey")))
+      .groupBy("nationkey")
+      .agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("x"))
+          .otherwise(0L)).as("top_decile_x"))
+      .select(col("nationkey"), col("n"), col("sx").as("total_dollars"),
+        expr("(2 * six - (n + 1) * sx) * 1000000 div (n * sx)").as("gini_e6"),
+        expr("top_decile_x * 1000000 div sx").as("top10_share_e6"))
+      .orderBy("nationkey")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
     seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment,
-    markovTransitions, anomalyMad, benfordDigits)
+    markovTransitions, anomalyMad, benfordDigits, giniConcentration)
 }
