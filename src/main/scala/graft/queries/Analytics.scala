@@ -1148,8 +1148,59 @@ object Analytics {
       .orderBy("nationkey")
   }
 
+  /** Chi-square test of independence between customer market segment
+    * and order priority — the contingency-table screen behind "does
+    * segment drive priority" questions. Expected cell counts are the
+    * exact rationals row·col/n (emitted in thousandths), and each
+    * cell's chi-square component is one exact integer:
+    * (obs·n − row·col)²·10⁶ div (n·row·col) — the squares pass 64
+    * bits at corpus scale, so the expression runs in
+    * DECIMAL(38,0)/HUGEINT like every wide-integer kernel here.
+    *
+    * Shape at 100TB: one aggregate to the S×P cell counts, two tiny
+    * margin aggregates broadcast back — the fact table is scanned
+    * once. */
+  val chisqIndependence: Q = Q(
+    "q_chisq_independence",
+    """WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+      |    COUNT(*) AS obs
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |rm AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS rn FROM j GROUP BY 1),
+      |cm AS (SELECT prio, CAST(SUM(obs) AS BIGINT) AS cn FROM j GROUP BY 1),
+      |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM j)
+      |SELECT j.seg, j.prio, j.obs,
+      |  rm.rn * cm.cn * 1000 // n.n AS expected_e3,
+      |  CAST((CAST(j.obs AS HUGEINT) * n.n - CAST(rm.rn AS HUGEINT) * cm.cn)
+      |       * (CAST(j.obs AS HUGEINT) * n.n - CAST(rm.rn AS HUGEINT) * cm.cn)
+      |       * 1000000
+      |       // (CAST(n.n AS HUGEINT) * rm.rn * cm.cn) AS BIGINT) AS chi2_e6
+      |FROM j JOIN rm ON rm.seg = j.seg JOIN cm ON cm.prio = j.prio, n
+      |ORDER BY j.seg, j.prio""".stripMargin) { (s, d) =>
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val j = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("obs"))
+    val rm = j.groupBy("seg").agg(sum(col("obs")).as("rn"))
+    val cm = j.groupBy("prio").agg(sum(col("obs")).as("cn"))
+    val n = j.agg(sum(col("obs")).as("n"))
+    j.join(broadcast(rm), "seg").join(broadcast(cm), "prio")
+      .crossJoin(broadcast(n))
+      .select(col("seg"), col("prio"), col("obs"),
+        expr("rn * cn * 1000 div n").as("expected_e3"),
+        expr("""CAST((CAST(obs AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)
+               |     * (CAST(obs AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)
+               |     * 1000000
+               |     div (CAST(n AS DECIMAL(38,0)) * rn * cn) AS BIGINT)""".stripMargin)
+          .as("chi2_e6"))
+      .orderBy("seg", "prio")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
     seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment,
-    markovTransitions, anomalyMad, benfordDigits, giniConcentration)
+    markovTransitions, anomalyMad, benfordDigits, giniConcentration,
+    chisqIndependence)
 }
