@@ -353,6 +353,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_topk: the continuous leaderboard equals the batch " +
+    "top-k at every micro-batch prefix (merge-then-trim monoid)") {
+    implicit val ctx = spark.sqlContext
+    def ref(rows: Seq[(Long, Long)], k: Int): Seq[(Int, Long, Long)] =
+      rows.distinct.sortBy { case (id, v) => (-v, id) }
+        .map { case (id, v) => (v, id) }
+        .sortBy { case (v, id) => (-v, id) }.take(k).zipWithIndex
+        .map { case ((v, id), i) => (i + 1, id, v) }
+    val mem = MemoryStream[(String, Long, Long)]
+    val ds = graft.streaming.StatefulTopK.topK(
+      spark, mem.toDF().toDF("grp", "id", "v"), "grp", "id", "v", k = 3)
+    val q = Streams.runToMemory(ds.toDF(), "topkstream", "update")
+    try {
+      val b1 = Seq((1L, 10L), (2L, 50L), (3L, 30L), (4L, 20L))
+      val b2 = Seq((5L, 40L), (6L, 60L), (7L, 5L)) // displaces 2 of top-3
+      mem.addData(b1.map { case (i, v) => ("x", i, v) }: _*)
+      q.processAllAvailable()
+      val after1 = spark.table("topkstream").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(after1 == ref(b1, 3).toSet, s"prefix: $after1")
+      mem.addData(b2.map { case (i, v) => ("x", i, v) }: _*)
+      q.processAllAvailable()
+      val all = spark.table("topkstream").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      // update mode appends each batch's full leaderboard; the final
+      // state must contain the batch top-3 of everything
+      ref(b1 ++ b2, 3).foreach(t => assert(all.contains(t), s"missing $t"))
+    } finally q.stop()
+  }
+
   test("s_stream_pq_encode: vectors encoded on a stream against a " +
     "frozen batch-trained codebook are bit-identical to batch encode " +
     "(the FAISS add path — stateless, no shuffle per trigger)") {
