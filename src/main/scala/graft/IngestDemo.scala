@@ -176,6 +176,24 @@ object IngestDemo {
     println(s"[demo] stream-hll: updates=${hllRows.mkString(",")} " +
       "(n_zero, est) after 300 then 450 distinct ids")
 
+    // 7c. streaming top-k leaderboard: per-key best-k state, the
+    //     continuous form of ops.TopK (merge-then-trim monoid)
+    val tkIn = MemoryStream[(String, Long, Long)]
+    val tq = streaming.Streams.runToMemory(
+      streaming.StatefulTopK.topK(
+        spark, tkIn.toDF().toDF("grp", "id", "v"), "grp", "id", "v", k = 3)
+        .toDF(),
+      "demo_topk", "update")
+    tkIn.addData(("spend", 1L, 10L), ("spend", 2L, 50L), ("spend", 3L, 30L))
+    tq.processAllAvailable()
+    tkIn.addData(("spend", 4L, 60L), ("spend", 5L, 40L))
+    tq.processAllAvailable()
+    tq.stop()
+    val tkRows = spark.table("demo_topk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    println(s"[demo] stream-topk: ${tkRows.length} leaderboard updates, " +
+      s"final top=${tkRows.takeRight(3).mkString(",")}")
+
     // 8. streaming PQ encode: new vectors quantized map-side against a
     //    frozen batch-trained codebook (the FAISS `add` path;
     //    stream codes ≡ batch codes, pinned by StreamingSpec)

@@ -139,4 +139,36 @@ class Wave8bSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= nOrders)
     }
   }
+
+  test("q_gini_concentration: gini and top-decile share sit in [0, 1e6] " +
+    "and the top decile holds at least its uniform share") {
+    val rows = graft.queries.Analytics.giniConcentration
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, gini, top10) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(gini >= 0 && gini < 1000000, s"gini=$gini")
+      assert(top10 >= 0 && top10 <= 1000000)
+      // the top ceil(n/10) customers cannot hold LESS than a uniform share
+      val topCount = n - n / 10 * 10 match { case _ => n / 10 }
+      assert(top10 * n >= topCount * 1000000 - n,
+        s"top decile below uniform share: $top10 of n=$n")
+    }
+  }
+
+  test("q_chisq_independence: margins and totals are consistent") {
+    val rows = graft.queries.Analytics.chisqIndependence
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.load(spark, SharedSpark.sf001, "orders").count()
+    assert(rows.map(_.getLong(2)).sum == n)
+    rows.foreach(r => assert(r.getLong(4) >= 0))
+    // expected_e3 sums back to ~n per segment row (truncation only)
+    rows.groupBy(_.getString(0)).foreach { case (seg, rs) =>
+      val expSum = rs.map(_.getLong(3)).sum
+      val obsRow = rs.map(_.getLong(2)).sum
+      assert(math.abs(expSum - obsRow * 1000) <= rs.length * 1000,
+        s"$seg expected sum $expSum vs ${obsRow * 1000}")
+    }
+  }
 }
