@@ -1198,9 +1198,99 @@ object Analytics {
       .orderBy("seg", "prio")
   }
 
+  /** Mann-Whitney U — the nonparametric two-sample test (does
+    * BUILDING differ from MACHINERY in account balance, per nation?)
+    * carried entirely in EXACT integers: tied ranks use midranks, and
+    * doubling them (2·midrank = 2·count(<) + count(=) + 1, two
+    * RANGE-frame window counts) keeps everything integral, so
+    * u2 = 2·U = Σ(2·midrank over A) − n_a(n_a+1) hash-matches without
+    * any float. The identity u2_a + u2_b = 2·n_a·n_b is emitted as
+    * its own column — the self-check a reader applies first.
+    *
+    * Shape at 100TB: ranks come from per-nation windows (parallel —
+    * the pooled sample partitions by the group key), then one
+    * aggregate of integer sums. */
+  val mannWhitney: Q = Q(
+    "q_mann_whitney",
+    """WITH c AS (SELECT c_nationkey AS nationkey, c_mktsegment AS seg,
+      |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |r AS (SELECT nationkey, seg, cents,
+      |    2 * COUNT(*) OVER (PARTITION BY nationkey ORDER BY cents
+      |                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      + COUNT(*) OVER (PARTITION BY nationkey ORDER BY cents
+      |                       RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+      |      + 1 AS r2
+      |  FROM c),
+      |g AS (SELECT nationkey,
+      |        COUNT(CASE WHEN seg = 'BUILDING' THEN 1 END) AS n_a,
+      |        COUNT(CASE WHEN seg = 'MACHINERY' THEN 1 END) AS n_b,
+      |        CAST(SUM(CASE WHEN seg = 'BUILDING' THEN r2 ELSE 0 END) AS BIGINT)
+      |          AS ra2
+      |      FROM r GROUP BY 1)
+      |SELECT nationkey, n_a, n_b,
+      |  ra2 - n_a * (n_a + 1) AS u2_a,
+      |  2 * n_a * n_b - (ra2 - n_a * (n_a + 1)) AS u2_b
+      |FROM g WHERE n_a > 0 AND n_b > 0 ORDER BY nationkey""".stripMargin) {
+    (s, d) =>
+      val byNation = Window.partitionBy("nationkey").orderBy("cents")
+      val strictlyLess = byNation.rangeBetween(Window.unboundedPreceding, -1)
+      val peers = byNation.rangeBetween(0, 0)
+      val r = Tables.load(s, d, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(col("c_nationkey").as("nationkey"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+        .withColumn("r2",
+          lit(2L) * count(lit(1)).over(strictlyLess)
+            + count(lit(1)).over(peers) + 1L)
+      r.groupBy("nationkey")
+        .agg(count(when(col("seg") === "BUILDING", 1)).as("n_a"),
+          count(when(col("seg") === "MACHINERY", 1)).as("n_b"),
+          sum(when(col("seg") === "BUILDING", col("r2")).otherwise(0L))
+            .as("ra2"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("nationkey"), col("n_a"), col("n_b"),
+          (col("ra2") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+          (lit(2L) * col("n_a") * col("n_b")
+            - (col("ra2") - col("n_a") * (col("n_a") + 1))).as("u2_b"))
+        .orderBy("nationkey")
+  }
+
+  /** Hour-of-week seasonality profile: each (event_type, hour-of-week)
+    * cell's load as an exact multiplicative index against the type's
+    * uniform expectation — idx_e6 = n_cell·168·10⁶ div n_type — the
+    * seasonal fingerprint load forecasting starts from. One aggregate
+    * plus a tiny per-type margin broadcast.
+    */
+  val seasonality: Q = Q(
+    "q_seasonality_how",
+    """WITH e AS (SELECT event_type,
+      |    (epoch_ms(ts) // 3600000 + 72) % 168 AS how
+      |  FROM events),
+      |c AS (SELECT event_type, how, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1)
+      |SELECT c.event_type, c.how, c.n,
+      |  c.n * 168 * 1000000 // t.total AS idx_e6
+      |FROM c JOIN t ON t.event_type = c.event_type
+      |ORDER BY c.event_type, c.how""".stripMargin) { (s, d) =>
+    // epoch hour 0 is Thursday 00:00; +72 rebases hour-of-week to Monday
+    val c = Tables.load(s, d, "events")
+      .select(col("event_type"),
+        ((graft.functions.Exact.bucket(ms(col("ts")), 3600000L) + 72L) % 168L)
+          .as("how"))
+      .groupBy("event_type", "how")
+      .agg(count(lit(1)).as("n"))
+    val t = c.groupBy("event_type").agg(sum(col("n")).as("total"))
+    c.join(broadcast(t), "event_type")
+      .select(col("event_type"), col("how"), col("n"),
+        expr("n * 168 * 1000000 div total").as("idx_e6"))
+      .orderBy("event_type", "how")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
     seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment,
     markovTransitions, anomalyMad, benfordDigits, giniConcentration,
-    chisqIndependence)
+    chisqIndependence, mannWhitney, seasonality)
 }
