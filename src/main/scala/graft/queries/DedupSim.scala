@@ -260,6 +260,112 @@ object DedupSim {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion of the LEXICAL
+    * ranking (exact-integer tf-idf cos², [[TextQueries.sparseSims]])
+    * and the DENSE ranking (embedding cosine, the q_ann_topk
+    * construction) for the shared % 100 probe set, treating document i
+    * and vector i as the text/embedding halves of one item. Each RRF
+    * term is the exact integer 10⁹ // (60 + rank) (the Cormack et al.
+    * k=60 constant), so the fused score is a sum of exact integers
+    * and hash-matches — no float fusion. This is the modern retrieval
+    * stack (BM25/sparse + ANN/dense → RRF) as one query.
+    *
+    * Shape at 100TB: both input rankings are already top-20-per-probe
+    * group limits (tiny frames); the fusion is a full outer join on
+    * (probe, id) and one more group limit. */
+  val hybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |post AS (SELECT t.doc_id, t.term, t.tf * (100000 // d.df) AS w
+       |         FROM tf t JOIN df d ON t.term = d.term),
+       |nrm AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM post GROUP BY doc_id),
+       |qp AS (SELECT doc_id AS probe_id, term, w AS wq FROM post
+       |       WHERE doc_id % 100 = 0),
+       |snum AS (SELECT q.probe_id, p.doc_id, CAST(SUM(q.wq * p.w) AS BIGINT) AS num
+       |         FROM qp q JOIN post p ON q.term = p.term
+       |         WHERE p.doc_id <> q.probe_id GROUP BY 1, 2),
+       |ssim AS (SELECT n.probe_id, n.doc_id,
+       |           CAST(CAST(n.num AS HUGEINT) * CAST(n.num AS HUGEINT) * 1000000000
+       |                // (CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT))
+       |                AS BIGINT) AS sim2_e9
+       |         FROM snum n JOIN nrm a ON a.doc_id = n.probe_id
+       |                     JOIN nrm b ON b.doc_id = n.doc_id),
+       |srk AS (SELECT probe_id, doc_id,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                             ORDER BY sim2_e9 DESC, doc_id) AS rs
+       |        FROM ssim),
+       |s20 AS (SELECT probe_id, doc_id, rs FROM srk WHERE rs <= 20),
+       |$compSql,
+       |dots AS (SELECT b.vec_id AS probe_id, a.vec_id,
+       |                CAST(SUM(CAST(FLOOR(a.v * c.v * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS dot
+       |         FROM comp a
+       |         JOIN (SELECT vec_id FROM e WHERE vec_id % 100 = 0) b
+       |           ON a.vec_id <> b.vec_id
+       |         JOIN comp c ON c.vec_id = b.vec_id AND c.i = a.i
+       |         GROUP BY 1, 2),
+       |drk AS (SELECT d.probe_id, d.vec_id,
+       |          ROW_NUMBER() OVER (PARTITION BY d.probe_id
+       |                             ORDER BY d.dot / (na.nrm * np.nrm) DESC, d.vec_id)
+       |            AS rd
+       |        FROM dots d JOIN norms na ON d.vec_id = na.vec_id
+       |                    JOIN norms np ON d.probe_id = np.vec_id),
+       |d20 AS (SELECT probe_id, vec_id, rd FROM drk WHERE rd <= 20),
+       |fused AS (SELECT COALESCE(s.probe_id, d.probe_id) AS probe_id,
+       |            COALESCE(s.doc_id, d.vec_id) AS id,
+       |            COALESCE(1000000000 // (60 + s.rs), 0)
+       |              + COALESCE(1000000000 // (60 + d.rd), 0) AS rrf_e9,
+       |            s.rs AS r_sparse, d.rd AS r_dense
+       |          FROM s20 s FULL OUTER JOIN d20 d
+       |            ON d.probe_id = s.probe_id AND d.vec_id = s.doc_id),
+       |frk AS (SELECT probe_id, id, rrf_e9, r_sparse, r_dense,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                             ORDER BY rrf_e9 DESC, id) AS rank
+       |        FROM fused)
+       |SELECT probe_id, rank, id, rrf_e9, r_sparse, r_dense
+       |FROM frk WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin) {
+    (s, d) =>
+      import graft.ml.Embeddings.fxDot
+      val s20 = graft.ops.TopK.perGroup(
+        TextQueries.sparseSims(s, d, probeMod = 100L),
+        partitionBy = Seq(col("probe_id")),
+        orderBy = Seq(col("sim2_e9").desc, col("doc_id").asc),
+        k = 20, rankCol = "rs")
+        .select(col("probe_id"), col("doc_id"), col("rs"))
+      val withNorm = Tables.load(s, d, "embeddings").withColumn("nrm",
+        sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
+      val probes = withNorm.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("ep"),
+          col("nrm").as("nrm_p"))
+      val scored = withNorm
+        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("dot", fxDot(col("embedding"), col("ep")).cast(DoubleType) / FxDiv)
+        .withColumn("cosine", col("dot") / (col("nrm") * col("nrm_p")))
+      val d20 = graft.ops.TopK.perGroup(scored,
+        partitionBy = Seq(col("probe_id")),
+        orderBy = Seq(col("cosine").desc, col("vec_id").asc),
+        k = 20, rankCol = "rd")
+        .select(col("probe_id"), col("vec_id"), col("rd"))
+      val fused = s20.join(d20,
+          s20("probe_id") === d20("probe_id") && s20("doc_id") === d20("vec_id"),
+          "full_outer")
+        .select(
+          coalesce(s20("probe_id"), d20("probe_id")).as("probe_id"),
+          coalesce(col("doc_id"), col("vec_id")).as("id"),
+          (coalesce(expr("1000000000 div (60 + rs)"), lit(0L))
+            + coalesce(expr("1000000000 div (60 + rd)"), lit(0L))).as("rrf_e9"),
+          col("rs").as("r_sparse"), col("rd").as("r_dense"))
+      graft.ops.TopK.perGroup(fused,
+        partitionBy = Seq(col("probe_id")),
+        orderBy = Seq(col("rrf_e9").desc, col("id").asc),
+        k = 10, rankCol = "rank")
+        .select("probe_id", "rank", "id", "rrf_e9", "r_sparse", "r_dense")
+        .orderBy("probe_id", "rank")
+  }
+
   /** SimHash near-dup pairs, oracle-matched: the md5-derived signature
     * chain ([[graft.dedup.SimHash.simhash64]]) replays in DuckDB SQL —
     * per-token bit votes from md5 hex digits, sign threshold, then
@@ -309,7 +415,7 @@ object DedupSim {
 
   // ---- embedding similarity --------------------------------------------
 
-  private val compSql =
+  private def compSql: String =
     """e AS (SELECT vec_id, label, embedding FROM embeddings),
       |pos AS (SELECT unnest(range(1, 65)) AS i),
       |comp AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v FROM e, pos),
@@ -1395,7 +1501,7 @@ object DedupSim {
   }
 
   val all: Seq[Q] = Seq(
-    ngramJaccard, minhashLsh, minhashEstimate, simhashPairs,
+    ngramJaccard, minhashLsh, minhashEstimate, simhashPairs, hybridRrf,
     embedCosineDup, annTopK, annLsh, annIvf, approxDistinct,
     dedupComponents, decontamOverlap, dupPassages, fuzzyNameJoin, kmeansFx,
     semanticDedup, embedQuantize, embedPq, annPq, annIvfPq, annIvfPqRerank,

@@ -1032,6 +1032,21 @@ object TextQueries {
       |       FROM sim)
       |SELECT probe_id, rank, doc_id, sim2_e9 FROM rk WHERE rank <= 10
       |ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    graft.ops.TopK.perGroup(sparseSims(s, d, probeMod = 19L),
+      partitionBy = Seq(col("probe_id")),
+      orderBy = Seq(col("sim2_e9").desc, col("doc_id").asc),
+      k = 10, rankCol = "rank")
+      .select("probe_id", "rank", "doc_id", "sim2_e9")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The (probe_id, doc_id, sim2_e9) similarity frame behind
+    * [[sparseCosine]], parameterized on the probe gate so hybrid
+    * fusion ([[DedupSim.hybridRrf]]) can score the q_ann_topk probe
+    * set through the identical exact-integer pipeline. */
+  private[queries] def sparseSims(
+      s: org.apache.spark.sql.SparkSession, d: String, probeMod: Long)
+      : org.apache.spark.sql.DataFrame = {
     // Parallelize the tokenize: the single-file scan would otherwise run
     // the explode narrow chain on one core — and this subplan is rebuilt
     // by every consumer below (main join, norms, both broadcasts).
@@ -1085,7 +1100,7 @@ object TextQueries {
         transform(sequence(lit(0), lit(vsize - 1)),
           i => coalesce(element_at(col("mw"), i), lit(0L))).as("v"),
         col("n2"))
-    val qvec = docvec.filter(col("doc_id") % 19 === 0)
+    val qvec = docvec.filter(col("doc_id") % probeMod === 0)
       .select(col("doc_id").as("probe_id"), col("v").as("qv"),
         col("n2").as("na"))
     val sim = docvec.crossJoin(broadcast(qvec))
@@ -1098,12 +1113,7 @@ object TextQueries {
                |     * 1000000000
                |     div (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)))
                |     AS BIGINT)""".stripMargin).as("sim2_e9"))
-    graft.ops.TopK.perGroup(sim,
-      partitionBy = Seq(col("probe_id")),
-      orderBy = Seq(col("sim2_e9").desc, col("doc_id").asc),
-      k = 10, rankCol = "rank")
-      .select("probe_id", "rank", "doc_id", "sim2_e9")
-      .orderBy("probe_id", "rank")
+    sim
   }
 
   /** Whitespace/control-character text normalization — the cleanup
