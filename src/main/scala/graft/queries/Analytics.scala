@@ -1288,9 +1288,62 @@ object Analytics {
       .orderBy("event_type", "how")
   }
 
+  /** Association-rule strength for the co-purchase pairs: support
+    * (order count), confidence P(b|a) and lift P(ab)/(P(a)P(b)) as
+    * exact ppm rationals over basket counts — the market-basket
+    * readout on top of q_copurchase_pairs' candidate edges (support
+    * ≥ 3 prunes the pair space BEFORE any probability math). Lift
+    * > 10⁶ marks genuinely associated pairs; the exact integers make
+    * the threshold replayable.
+    *
+    * Shape at 100TB: the pair frame is the already-pruned support
+    * join; item counts are one tiny aggregate broadcast twice (one
+    * shared BroadcastExchange — the canonicalization lore). */
+  val copurchaseLift: Q = Q(
+    "q_copurchase_lift",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+      |item AS (SELECT l_partkey, COUNT(*) AS n_i FROM li GROUP BY 1),
+      |pair AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |                COUNT(*) AS n_ab
+      |         FROM li a JOIN li b
+      |           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |         GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p.part_a, p.part_b, p.n_ab,
+      |  p.n_ab * 1000000 // ia.n_i AS conf_ab_e6,
+      |  p.n_ab * 1000000 // ib.n_i AS conf_ba_e6,
+      |  p.n_ab * n.n_orders * 1000000 // (ia.n_i * ib.n_i) AS lift_e6
+      |FROM pair p JOIN item ia ON ia.l_partkey = p.part_a
+      |            JOIN item ib ON ib.l_partkey = p.part_b, n
+      |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val n = li.select(countDistinct(col("l_orderkey")).as("n_orders"))
+    val item = li.groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
+    val pair = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .hint("merge")
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
+        .hint("merge"),
+        col("l_orderkey") === col("ok2") && col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pair
+      .join(broadcast(item.select(col("l_partkey").as("part_a"),
+        col("n_i").as("na"))), Seq("part_a"))
+      .join(broadcast(item.select(col("l_partkey").as("part_b"),
+        col("n_i").as("nb"))), Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        expr("n_ab * 1000000 div na").as("conf_ab_e6"),
+        expr("n_ab * 1000000 div nb").as("conf_ba_e6"),
+        expr("n_ab * n_orders * 1000000 div (na * nb)").as("lift_e6"))
+      .orderBy("part_a", "part_b")
+  }
+
   val all: Seq[Q] = Seq(funnel, cohort, reaggregate, seqEvents, anomalyZscore,
     copurchase, triangles, dauMau, kmvDistinct, graphBfs, kmvSetOps,
     seqPattern, regressionGroup, corrExact, abLift, hllFx, rfmSegment,
     markovTransitions, anomalyMad, benfordDigits, giniConcentration,
-    chisqIndependence, mannWhitney, seasonality)
+    chisqIndependence, mannWhitney, seasonality, copurchaseLift)
 }
