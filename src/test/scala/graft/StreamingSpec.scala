@@ -383,6 +383,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_ohlc: the maintained candle equals the batch OHLC at " +
+    "every prefix, including out-of-order (late) arrivals") {
+    implicit val ctx = spark.sqlContext
+    def ref(rows: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val sorted = rows.sortBy(_._1)
+      (rows.length.toLong, sorted.head._2, rows.map(_._2).max,
+        rows.map(_._2).min, sorted.last._2)
+    }
+    val mem = MemoryStream[(String, Long, Long)]
+    val ds = graft.streaming.StatefulOhlc.candles(
+      spark, mem.toDF().toDF("key", "k", "v"), "key", "k", "v")
+    val q = Streams.runToMemory(ds.toDF(), "ohlcstream", "update")
+    try {
+      val b1 = Seq((5L, 100L), (7L, 90L), (9L, 130L))
+      val b2 = Seq((2L, 110L), (11L, 80L)) // k=2 arrives LATE: open moves
+      mem.addData(b1.map { case (k, v) => ("c", k, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (k, v) => ("c", k, v) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("ohlcstream").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toSet
+      assert(rows == Set(ref(b1), ref(b1 ++ b2)),
+        s"got $rows want ${Set(ref(b1), ref(b1 ++ b2))}")
+      // the late k=2 row must have REWRITTEN the open to 110
+      assert(ref(b1 ++ b2)._2 == 110L)
+    } finally q.stop()
+  }
+
   test("s_stream_pq_encode: vectors encoded on a stream against a " +
     "frozen batch-trained codebook are bit-identical to batch encode " +
     "(the FAISS add path — stateless, no shuffle per trigger)") {
