@@ -171,4 +171,68 @@ class Wave8bSpec extends AnyFunSuite {
         s"$seg expected sum $expSum vs ${obsRow * 1000}")
     }
   }
+
+  test("q_mann_whitney: u2_a + u2_b = 2·n_a·n_b, and u2 matches a " +
+    "midrank recompute per nation") {
+    val rows = graft.queries.Analytics.mannWhitney
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val raw = Tables.load(spark, SharedSpark.sf001, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val (nk, na, nb, u2a, u2b) = (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(u2a + u2b == 2 * na * nb, s"nation $nk identity")
+      val pool = raw(nk)
+      val ra2 = pool.filter(_._2 == "BUILDING").map { case (_, _, x) =>
+        2L * pool.count(_._3 < x) + pool.count(_._3 == x) + 1L
+      }.sum
+      assert(u2a == ra2 - na * (na + 1), s"nation $nk u2_a recompute")
+    }
+  }
+
+  test("q_seasonality_how: cells sum to their type totals and the " +
+    "mean index is ~1e6 (truncation only)") {
+    val rows = graft.queries.Analytics.seasonality
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      // sum over cells of n·168e6 div total ≈ 168e6 less truncation
+      val isum = rs.map(_.getLong(3)).sum
+      assert(isum <= 168000000L && isum > 168000000L - rs.length * 168,
+        s"$t index sum $isum")
+      assert(total > 0)
+    }
+  }
+
+  test("q_hybrid_rrf: fused scores decompose into the documented " +
+    "reciprocal terms of the member ranks") {
+    val rows = graft.queries.DedupSim.hybridRrf
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rrf = r.getLong(3)
+      val sTerm = if (r.isNullAt(4)) 0L else 1000000000L / (60L + r.getAs[Number](4).longValue)
+      val dTerm = if (r.isNullAt(5)) 0L else 1000000000L / (60L + r.getAs[Number](5).longValue)
+      assert(rrf == sTerm + dTerm, s"rrf $rrf != $sTerm + $dTerm")
+      assert(!(r.isNullAt(4) && r.isNullAt(5)))
+    }
+  }
+
+  test("q_copurchase_lift: confidence and lift decompose into the raw " +
+    "basket counts") {
+    val rows = graft.queries.Analytics.copurchaseLift
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 1000000 && r.getLong(4) <= 1000000)
+      assert(r.getLong(2) >= 3)
+      assert(r.getLong(5) > 0)
+    }
+  }
 }
