@@ -194,6 +194,22 @@ object IngestDemo {
     println(s"[demo] stream-topk: ${tkRows.length} leaderboard updates, " +
       s"final top=${tkRows.takeRight(3).mkString(",")}")
 
+    // 7d. streaming OHLC candles: out-of-order-safe monoid state
+    val ohIn = MemoryStream[(String, Long, Long)]
+    val oq = streaming.Streams.runToMemory(
+      streaming.StatefulOhlc.candles(
+        spark, ohIn.toDF().toDF("key", "k", "v"), "key", "k", "v").toDF(),
+      "demo_ohlc", "update")
+    ohIn.addData(("btc:h0", 5L, 100L), ("btc:h0", 9L, 130L))
+    oq.processAllAvailable()
+    ohIn.addData(("btc:h0", 2L, 110L)) // late row rewrites the open
+    oq.processAllAvailable()
+    oq.stop()
+    val ohRows = spark.table("demo_ohlc").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    println(s"[demo] stream-ohlc: ${ohRows.mkString(",")} " +
+      "(n,open,high,low,close) — late k=2 moved open 100 -> 110")
+
     // 8. streaming PQ encode: new vectors quantized map-side against a
     //    frozen batch-trained codebook (the FAISS `add` path;
     //    stream codes ≡ batch codes, pinned by StreamingSpec)
