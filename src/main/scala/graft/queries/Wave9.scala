@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.Exact._
+
+/** Wave 9 — exact-integer time-series smoothing, sequential change
+  * detection, and leakage-safe feature encoding.
+  *
+  * Everything here keeps the cross-engine determinism contract: dyadic
+  * weights (shifts, not pow), floor divisions of exact integers, and
+  * quartile interpolation (weights in {0, .25, .5, .75} are exact binary
+  * fractions, so both engines see identical doubles).
+  */
+object Wave9 {
+
+  /** Dyadic-decay moving average of daily order revenue: weight 2^(15-lag)
+    * over the trailing 16 days — an EMA whose weights are exact powers of
+    * two, so the whole smoother is one integer division per day (pow/exp
+    * never replay cross-engine; shifts always do). `wsum` exposes the
+    * realized window mass (gaps in the calendar shrink it), making the
+    * normalization auditable.
+    *
+    * Shape at 100TB: the raw table aggregates once to a per-day series
+    * (days don't scale with data volume), and the trailing window is a
+    * broadcast band self-join of that tiny series — the fact scan never
+    * joins anything.
+    */
+  val tsEma: Q = Q(
+    "q_ts_ema",
+    """WITH dtot AS (
+      |  SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+      |         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT a.day,
+      |         b.cents * (CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INTEGER))
+      |           AS wx,
+      |         (CAST(1 AS BIGINT) << CAST(15 - (a.day - b.day) AS INTEGER)) AS w
+      |  FROM dtot a JOIN dtot b ON b.day BETWEEN a.day - 15 AND a.day)
+      |SELECT day, CAST(SUM(w) AS BIGINT) AS wsum,
+      |  CAST(SUM(wx) // SUM(w) AS BIGINT) AS ema_cents
+      |FROM w GROUP BY day ORDER BY day""".stripMargin) { (s, d) =>
+    val dtot = Tables.load(s, d, "orders")
+      .groupBy(graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L)
+        .as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    dtot.as("a")
+      .join(broadcast(dtot.as("b")),
+        col("b.day") >= col("a.day") - 15 && col("b.day") <= col("a.day"))
+      .select(col("a.day").as("day"), col("b.cents").as("cents"),
+        (col("a.day") - col("b.day")).cast("int").as("lag"))
+      .withColumn("w", expr("shiftleft(1L, 15 - lag)"))
+      .groupBy("day")
+      .agg(sum(col("w")).as("wsum"), sum(col("cents") * col("w")).as("wxsum"))
+      .select(col("day"), col("wsum"),
+        expr("wxsum div wsum").as("ema_cents"))
+      .orderBy("day")
+  }
+
+  /** One-sided CUSUM change detection over the hourly event-rate series,
+    * in pure integers: deviations are mean-centered WITHOUT division
+    * (c = x·n − Σx, i.e. n·(x − mean)), and the sequential recursion
+    * S_i = max(0, S_{i-1} + c_i) is computed closed-form as
+    * P_i − min(0, min_{j≤i} P_j) over running prefix sums — two window
+    * passes instead of an inherently serial scan. The alarm fires when
+    * the accumulated drift exceeds 4 mean-hours (scaled: cusum > 4·Σx).
+    *
+    * Shape at 100TB: the stream aggregates once to (type, hour); the
+    * per-type totals are a tiny broadcast; the windows partition by type.
+    */
+  val anomalyCusum: Q = Q(
+    "q_anomaly_cusum",
+    """WITH h AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+      |             COUNT(*) AS x
+      |           FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS tot, COUNT(*) AS n
+      |      FROM h GROUP BY 1),
+      |p AS (SELECT h.event_type, h.hr, h.x, s.tot,
+      |        CAST(SUM(h.x * s.n - s.tot)
+      |             OVER (PARTITION BY h.event_type ORDER BY h.hr) AS BIGINT)
+      |          AS pre
+      |      FROM h JOIN s ON s.event_type = h.event_type)
+      |SELECT event_type, hr, x, pre,
+      |  pre - LEAST(0, MIN(pre) OVER (PARTITION BY event_type ORDER BY hr))
+      |    AS cusum,
+      |  (pre - LEAST(0, MIN(pre) OVER (PARTITION BY event_type ORDER BY hr)))
+      |    > 4 * tot AS is_alarm
+      |FROM p ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    val byType = Window.partitionBy("event_type").orderBy("hr")
+    val h = Tables.load(s, d, "events")
+      .groupBy(col("event_type"),
+        graft.functions.Exact.bucket(ms(col("ts")), 3600000L).as("hr"))
+      .agg(count(lit(1)).as("x"))
+    val stats = h.groupBy("event_type")
+      .agg(sum(col("x")).as("tot"), count(lit(1)).as("n"))
+    h.join(broadcast(stats), "event_type")
+      .withColumn("pre",
+        sum(col("x") * col("n") - col("tot")).over(byType))
+      .withColumn("cusum",
+        col("pre") - least(lit(0L), min(col("pre")).over(byType)))
+      .select(col("event_type"), col("hr"), col("x"), col("pre"),
+        col("cusum"), (col("cusum") > lit(4L) * col("tot")).as("is_alarm"))
+      .orderBy("event_type", "hr")
+  }
+
+  /** Leave-one-out target encoding of customer market segment against
+    * order value — the categorical-feature encoder that avoids label
+    * leakage (each row's own target is excluded from its segment mean)
+    * plus the m=100 smoothed variant pulled toward the global prior.
+    * Both encodings are SINGLE exact integer divisions: the smoothed
+    * mean multiplies through by the global count instead of nesting a
+    * truncating division inside another.
+    *
+    * Shape at 100TB: per-segment and global sums are two tiny broadcast
+    * aggregates; the encoding itself is map-side arithmetic on the fact
+    * scan. The smoothed numerator crosses 64 bits at warehouse scale →
+    * DECIMAL(38,0)/HUGEINT, the established wide-integer lane.
+    */
+  val targetEncode: Q = Q(
+    "q_feature_target_encode",
+    """WITH o AS (SELECT o.o_orderkey, c.c_mktsegment AS seg,
+      |             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |s AS (SELECT seg, CAST(SUM(cents) AS BIGINT) AS ssum, COUNT(*) AS sn
+      |      FROM o GROUP BY 1),
+      |g AS (SELECT CAST(SUM(cents) AS BIGINT) AS gsum, COUNT(*) AS gn FROM o)
+      |SELECT o.o_orderkey, o.seg, o.cents,
+      |  (s.ssum - o.cents) // (s.sn - 1) AS loo_cents,
+      |  CAST((CAST(g.gn AS HUGEINT) * (s.ssum - o.cents)
+      |        + 100 * CAST(g.gsum AS HUGEINT))
+      |       // (CAST(g.gn AS HUGEINT) * (s.sn - 1 + 100)) AS BIGINT)
+      |    AS loo_smooth_cents
+      |FROM o JOIN s ON s.seg = o.seg, g
+      |ORDER BY o.o_orderkey""".stripMargin) { (s, d) =>
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val o = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("seg"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val segStats = o.groupBy("seg")
+      .agg(sum(col("cents")).as("ssum"), count(lit(1)).as("sn"))
+    val global = o.agg(sum(col("cents")).as("gsum"), count(lit(1)).as("gn"))
+    o.join(broadcast(segStats), "seg")
+      .crossJoin(broadcast(global))
+      .select(col("o_orderkey"), col("seg"), col("cents"),
+        expr("(ssum - cents) div (sn - 1)").as("loo_cents"),
+        expr("""CAST((CAST(gn AS DECIMAL(38,0)) * (ssum - cents)
+               |      + 100 * CAST(gsum AS DECIMAL(38,0)))
+               |     div (CAST(gn AS DECIMAL(38,0)) * (sn - 1 + 100)) AS BIGINT)"""
+          .stripMargin).as("loo_smooth_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Tukey-fence winsorization of per-customer revenue within each
+    * market segment: quartiles from exact-percentile aggregates
+    * (quarter-fraction interpolation weights are exact in binary, the
+    * q_anomaly_mad precedent), fences at 1.5·IQR, values clipped into
+    * [lo, hi] with the outlier flag kept — the robust feature-clipping
+    * step that runs before any scale-sensitive model. Non-vacuous on
+    * this corpus: customer revenue is skewed enough that the fences
+    * actually trip.
+    *
+    * Shape at 100TB: one aggregate to customer revenue, a tiny
+    * per-segment quartile aggregate broadcast back, clipping map-side.
+    */
+  val winsorize: Q = Q(
+    "q_feature_winsorize",
+    """WITH r AS (SELECT c.c_custkey, c.c_mktsegment AS seg,
+      |             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+      |                  AS BIGINT) AS cents
+      |           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      |           GROUP BY 1, 2),
+      |q AS (SELECT seg, quantile_cont(cents, 0.25) AS q1,
+      |             quantile_cont(cents, 0.75) AS q3
+      |      FROM r GROUP BY 1)
+      |SELECT r.c_custkey, r.seg, r.cents,
+      |  q.q1 - 1.5 * (q.q3 - q.q1) AS lo,
+      |  q.q3 + 1.5 * (q.q3 - q.q1) AS hi,
+      |  LEAST(GREATEST(CAST(r.cents AS DOUBLE), q.q1 - 1.5 * (q.q3 - q.q1)),
+      |        q.q3 + 1.5 * (q.q3 - q.q1)) AS clipped,
+      |  (CAST(r.cents AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+      |   OR CAST(r.cents AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+      |FROM r JOIN q ON q.seg = r.seg
+      |ORDER BY r.c_custkey""".stripMargin) { (s, d) =>
+    val r = Tables.load(s, d, "customer")
+      .join(Tables.load(s, d, "orders"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val q = r.groupBy("seg")
+      .agg(percentile(col("cents"), lit(0.25)).as("q1"),
+        percentile(col("cents"), lit(0.75)).as("q3"))
+    r.join(broadcast(q), "seg")
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      .select(col("c_custkey"), col("seg"), col("cents"),
+        col("lo"), col("hi"),
+        least(greatest(col("cents").cast("double"), col("lo")), col("hi"))
+          .as("clipped"),
+        (col("cents").cast("double") < col("lo")
+          || col("cents").cast("double") > col("hi")).as("is_outlier"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize)
+}
