@@ -206,5 +206,130 @@ object Wave9 {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize)
+  /** Heaps-law vocabulary-growth curve over bigram types, sampled at
+    * 16-doc bucket grain: per bucket, the corpus-order cumulative bigram
+    * count next to the cumulative count of NEVER-SEEN-BEFORE bigram
+    * types (first occurrence = min doc_id per type — no sequential scan
+    * over the corpus). The saturation shape of this curve is the
+    * diversity diagnostic a pretraining-corpus audit reads first: a
+    * flatlining curve means new data is not adding new language.
+    *
+    * Shape at 100TB: one shingle pass (compiled UDF behind the
+    * repartition), one shuffle to first-occurrence per type, one
+    * per-bucket aggregate; the cumulative window runs over the tiny
+    * bucket series only, never over docs.
+    */
+  val vocabGrowth: Q = Q(
+    "q_vocab_growth",
+    """WITH tk AS (SELECT doc_id,
+      |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |      FROM documents),
+      |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      |       FROM tk, (SELECT unnest(range(1,
+      |         (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
+      |       WHERE i <= len(toks) - 1),
+      |pb AS (SELECT doc_id // 16 AS bucket, COUNT(*) AS n_bigrams,
+      |              COUNT(DISTINCT doc_id) AS n_docs FROM bg GROUP BY 1),
+      |fs AS (SELECT bg.bg, MIN(doc_id) AS first_doc FROM bg GROUP BY 1),
+      |nb AS (SELECT first_doc // 16 AS bucket, COUNT(*) AS n_new
+      |       FROM fs GROUP BY 1)
+      |SELECT p.bucket, p.n_docs, p.n_bigrams, COALESCE(n.n_new, 0) AS n_new,
+      |  CAST(SUM(p.n_bigrams) OVER (ORDER BY p.bucket) AS BIGINT) AS cum_bigrams,
+      |  CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY p.bucket) AS BIGINT)
+      |    AS cum_types
+      |FROM pb p LEFT JOIN nb n ON n.bucket = p.bucket
+      |ORDER BY p.bucket""".stripMargin) { (s, d) =>
+    val cumW = Window.orderBy("bucket")
+    val bg = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"),
+        explode(graft.text.Text.shingleListUdf(2)(col("text"))).as("bg"))
+    val pb = bg.groupBy(expr("doc_id div 16").as("bucket"))
+      .agg(count(lit(1)).as("n_bigrams"), countDistinct(col("doc_id")).as("n_docs"))
+    val nb = bg.groupBy("bg").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(expr("first_doc div 16").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    pb.join(nb, Seq("bucket"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .select(col("bucket"), col("n_docs"), col("n_bigrams"), col("n_new"),
+        sum(col("n_bigrams")).over(cumW).as("cum_bigrams"),
+        sum(col("n_new")).over(cumW).as("cum_types"))
+      .orderBy("bucket")
+  }
+
+  /** Portable mergeable QUANTILE sketch — the fourth member of the
+    * engine-portable sketch family (HLL-fx distinct, KMV distinct,
+    * CMS counts): a 64-bucket equi-width histogram over order-value
+    * cents built per MONTH (the mergeable partial: merging = adding
+    * bucket counts), merged to per-year estimates, with the median
+    * read out of the merged histogram by exact-integer interpolation.
+    * Every estimate sits next to the exact median witness and the
+    * a-priori error bound (one bucket width + 1); `within_bound` must
+    * be all-true by construction, making the sketch's contract part of
+    * the hash. Global [mn, mx] comes from one tiny broadcast aggregate
+    * (a two-pass sketch — the price of equi-width portability).
+    *
+    * Shape at 100TB: the fact column aggregates once to ≤ 12·64 rows
+    * per year; merge and readout are window math over that tiny frame.
+    */
+  val sketchQuantileFx: Q = Q(
+    "q_sketch_quantile_fx",
+    """WITH v AS (SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |        EXTRACT(MONTH FROM o_orderdate) AS mo,
+      |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+      |mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM v),
+      |hb AS (SELECT yr, mo, LEAST(63, (cents - mn) * 64 // (mx - mn + 1)) AS b,
+      |              COUNT(*) AS cnt
+      |       FROM v, mm GROUP BY 1, 2, 3),
+      |hy AS (SELECT yr, b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM hb GROUP BY 1, 2),
+      |cum AS (SELECT yr, b, cnt,
+      |          CAST(SUM(cnt) OVER (PARTITION BY yr ORDER BY b) AS BIGINT) AS cum,
+      |          CAST(SUM(cnt) OVER (PARTITION BY yr) AS BIGINT) AS n FROM hy),
+      |med AS (SELECT yr, b, cnt, cum - cnt AS below, n FROM cum
+      |        WHERE cum - cnt < (n + 1) // 2 AND cum >= (n + 1) // 2),
+      |ex AS (SELECT yr, quantile_cont(cents, 0.5) AS exact_med_cents
+      |       FROM v GROUP BY 1)
+      |SELECT m.yr, m.n, m.b AS med_bucket,
+      |  mm.mn + (mm.mx - mm.mn + 1) * m.b // 64
+      |    + ((mm.mx - mm.mn + 1) // 64) * ((m.n + 1) // 2 - m.below - 1) // m.cnt
+      |    AS est_med_cents,
+      |  ex.exact_med_cents,
+      |  (mm.mx - mm.mn + 1) // 64 + 1 AS bound_cents,
+      |  ABS(mm.mn + (mm.mx - mm.mn + 1) * m.b // 64
+      |      + ((mm.mx - mm.mn + 1) // 64) * ((m.n + 1) // 2 - m.below - 1) // m.cnt
+      |      - ex.exact_med_cents) <= (mm.mx - mm.mn + 1) // 64 + 1 AS within_bound
+      |FROM med m JOIN ex ON ex.yr = m.yr, mm
+      |ORDER BY m.yr""".stripMargin) { (s, d) =>
+    val byYr = Window.partitionBy("yr")
+    val v = Tables.load(s, d, "orders")
+      .select(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val mm = v.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val hb = v.crossJoin(broadcast(mm))
+      .groupBy(col("yr"), col("mo"),
+        expr("least(63, (cents - mn) * 64 div (mx - mn + 1))").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val hy = hb.groupBy("yr", "b").agg(sum(col("cnt")).as("cnt"))
+    val med = hy
+      .withColumn("cum", sum(col("cnt")).over(byYr.orderBy("b")))
+      .withColumn("n", sum(col("cnt")).over(byYr))
+      .withColumn("below", col("cum") - col("cnt"))
+      .filter(expr("below < (n + 1) div 2 AND cum >= (n + 1) div 2"))
+    val ex = v.groupBy("yr")
+      .agg(percentile(col("cents"), lit(0.5)).as("exact_med_cents"))
+    med.join(broadcast(ex), "yr").crossJoin(broadcast(mm))
+      .withColumn("est_med_cents",
+        expr("""mn + (mx - mn + 1) * b div 64
+               |  + ((mx - mn + 1) div 64) * ((n + 1) div 2 - below - 1) div cnt"""
+          .stripMargin))
+      .withColumn("bound_cents", expr("(mx - mn + 1) div 64 + 1"))
+      .select(col("yr"), col("n"), col("b").as("med_bucket"),
+        col("est_med_cents"), col("exact_med_cents"), col("bound_cents"),
+        (abs(col("est_med_cents") - col("exact_med_cents"))
+          <= col("bound_cents")).as("within_bound"))
+      .orderBy("yr")
+  }
+
+  val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
+    vocabGrowth, sketchQuantileFx)
 }
