@@ -330,6 +330,86 @@ object Wave9 {
       .orderBy("yr")
   }
 
+  /** URL canonicalization dedup — the first normalization pass of any
+    * web-crawl corpus: cosmetic variants of one page URL (scheme/host
+    * case, `:80` default port, `www.` prefix, `utm_*`/click-id tracking
+    * params, param order, trailing slash, fragment) collapse to one
+    * canonical key, and the groups ARE the URL-level dup clusters.
+    * Deterministically injected raw URLs (doc_id-derived variants, the
+    * q_text_pii_redact injection pattern) make the collapse provable:
+    * up to 9 raw spellings per canonical key. The engine canonicalizes
+    * with a compiled UDF ([[graft.functions.Url]]); the oracle replays
+    * the identical contract with regexp/list SQL.
+    *
+    * Shape at 100TB: canonicalization is map-side behind the
+    * repartition; one shuffle on the canonical key.
+    */
+  val urlCanonicalize: Q = Q(
+    "q_url_canonicalize",
+    """WITH raw AS (SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'hTTp' END)
+      |    || '://'
+      |    || (CASE doc_id % 4 WHEN 0 THEN 'news.example.com'
+      |         WHEN 1 THEN 'NEWS.Example.COM'
+      |         WHEN 2 THEN 'news.example.com:80'
+      |         ELSE 'www.news.example.com' END)
+      |    || '/articles/' || CAST(doc_id % 40 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+      |    || '?'
+      |    || (CASE doc_id % 3
+      |         WHEN 0 THEN 'utm_source=rss&id=' || CAST(doc_id % 20 AS VARCHAR)
+      |         WHEN 1 THEN 'id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_campaign=promo'
+      |         ELSE 'id=' || CAST(doc_id % 20 AS VARCHAR) || '&lang=en' END)
+      |    || (CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR)
+      |        ELSE '' END)
+      |    AS url FROM documents),
+      |parts AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', ''),
+      |      '^www\.', '') AS host,
+      |    regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      |      '/+$', '') AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_'
+      |        AND substr(x, 1, 7) <> 'fbclid=' AND substr(x, 1, 6) <> 'gclid=')),
+      |      '&') AS qs
+      |  FROM raw),
+      |canon AS (SELECT doc_id, url,
+      |    scheme || '://' || host || path
+      |      || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS curl
+      |  FROM parts)
+      |SELECT curl, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc,
+      |       COUNT(DISTINCT url) AS n_raw_variants
+      |FROM canon GROUP BY curl ORDER BY curl""".stripMargin) { (s, d) =>
+    val raw = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id"), concat(
+        expr("CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'hTTp' END"),
+        lit("://"),
+        expr("""CASE doc_id % 4 WHEN 0 THEN 'news.example.com'
+               | WHEN 1 THEN 'NEWS.Example.COM'
+               | WHEN 2 THEN 'news.example.com:80'
+               | ELSE 'www.news.example.com' END""".stripMargin),
+        lit("/articles/"), expr("CAST(doc_id % 40 AS STRING)"),
+        expr("CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END"),
+        lit("?"),
+        expr("""CASE doc_id % 3
+               | WHEN 0 THEN 'utm_source=rss&id=' || CAST(doc_id % 20 AS STRING)
+               | WHEN 1 THEN 'id=' || CAST(doc_id % 20 AS STRING) || '&utm_campaign=promo'
+               | ELSE 'id=' || CAST(doc_id % 20 AS STRING) || '&lang=en' END"""
+          .stripMargin),
+        expr("""CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 7 AS STRING)
+               | ELSE '' END""".stripMargin)).as("url"))
+    raw
+      .withColumn("curl", graft.functions.Url.canonicalizeUdf(col("url")))
+      .groupBy("curl")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        countDistinct(col("url")).as("n_raw_variants"))
+      .orderBy("curl")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
-    vocabGrowth, sketchQuantileFx)
+    vocabGrowth, sketchQuantileFx, urlCanonicalize)
 }
