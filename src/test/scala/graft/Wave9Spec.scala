@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-8 third wave: dyadic EMA, CUSUM change
+  * detection, target encoding, winsorization, vocabulary growth, the
+  * histogram quantile sketch, and URL canonicalization. The DuckDB
+  * hash gate covers cross-engine value equality; these tests recompute
+  * the algebra independently (BigInt / sequential recursions) and pin
+  * the canonicalizer's contract with golden vectors.
+  */
+class Wave9Spec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  test("q_ts_ema equals a BigInt recompute of the dyadic window") {
+    val daily = Tables.load(spark, SharedSpark.sf001, "orders")
+      .groupBy(graft.functions.Exact.bucket(
+        graft.functions.Exact.ms(col("o_orderdate")), 86400000L).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.queries.Wave9.tsEma.run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (day, wsum, ema) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var num = BigInt(0); var den = BigInt(0)
+      (0 to 15).foreach { lag =>
+        daily.get(day - lag).foreach { c =>
+          val w = BigInt(1) << (15 - lag)
+          num += w * c; den += w
+        }
+      }
+      assert(den == BigInt(wsum), s"day=$day")
+      assert(num / den == BigInt(ema), s"day=$day")
+    }
+  }
+
+  test("q_anomaly_cusum equals the sequential max(0, S+c) recursion") {
+    val out = graft.queries.Wave9.anomalyCusum
+      .run(spark, SharedSpark.sf001).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getBoolean(5)), "expected at least one alarm")
+    out.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val n = sorted.length.toLong
+      val tot = sorted.map(_.getLong(2)).sum
+      var s = 0L
+      sorted.foreach { r =>
+        val c = r.getLong(2) * n - tot
+        s = math.max(0L, s + c)
+        assert(s == r.getLong(4), s"type=${r.getString(0)} hr=${r.getLong(1)}")
+        assert(r.getBoolean(5) == (s > 4 * tot))
+      }
+    }
+  }
+
+  test("q_feature_target_encode equals per-row BigInt LOO means") {
+    val rows = graft.queries.Wave9.targetEncode
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val bySeg = rows.groupBy(_.getString(1))
+      .map { case (seg, rs) =>
+        seg -> (BigInt(rs.map(r => BigInt(r.getLong(2))).sum.toString), rs.length)
+      }
+    val gsum = rows.map(r => BigInt(r.getLong(2))).sum
+    val gn = BigInt(rows.length)
+    rows.foreach { r =>
+      val (ssum, sn) = bySeg(r.getString(1))
+      val x = BigInt(r.getLong(2))
+      assert((ssum - x) / BigInt(sn - 1) == BigInt(r.getLong(3)))
+      val sm = (gn * (ssum - x) + 100 * gsum) / (gn * BigInt(sn - 1 + 100))
+      assert(sm == BigInt(r.getLong(4)), s"key=${r.getLong(0)}")
+    }
+  }
+
+  test("q_feature_winsorize: clipped is the fence projection and the " +
+    "flag marks exactly the out-of-fence rows (some exist)") {
+    val rows = graft.queries.Wave9.winsorize
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getBoolean(6)), "expected at least one outlier")
+    rows.foreach { r =>
+      val (cents, lo, hi, clipped, flag) =
+        (r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))
+      assert(lo <= hi)
+      assert(clipped == math.min(math.max(cents, lo), hi))
+      assert(flag == (cents < lo || cents > hi))
+    }
+  }
+
+  test("q_vocab_growth: cumulative columns are running sums and the " +
+    "final type count is the corpus's distinct bigram count") {
+    val rows = graft.queries.Wave9.vocabGrowth
+      .run(spark, SharedSpark.sf001).collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    var toks = 0L; var types = 0L
+    rows.foreach { r =>
+      toks += r.getLong(2); types += r.getLong(3)
+      assert(r.getLong(4) == toks && r.getLong(5) == types)
+    }
+    val distinctBigrams = Tables.load(spark, SharedSpark.sf001, "documents")
+      .select(explode(graft.text.Text.shingleListUdf(2)(col("text"))).as("bg"))
+      .distinct().count()
+    assert(rows.last.getLong(5) == distinctBigrams)
+    assert(rows.head.getLong(3) > 0, "first bucket must introduce types")
+  }
+
+  test("q_sketch_quantile_fx: every estimate is inside its bucket-width " +
+    "bound and per-year counts match the raw table") {
+    val rows = graft.queries.Wave9.sketchQuantileFx
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(6), s"yr=${r.getInt(0)} estimate out of bound")
+      assert(math.abs(r.getLong(3) - r.getDouble(4)) <= r.getLong(5).toDouble)
+    }
+    val counts = Tables.load(spark, SharedSpark.sf001, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(counts(r.getInt(0)) == r.getLong(1)))
+  }
+
+  test("Url.canonicalize golden vectors") {
+    import graft.functions.Url.canonicalize
+    assert(canonicalize("HTTP://WWW.Example.COM:80/A/b/?z=1&utm_source=x&a=2#f")
+      == "http://example.com/A/b?a=2&z=1")
+    assert(canonicalize("http://example.com/") == "http://example.com")
+    assert(canonicalize("https://Host:80/p") == "https://host/p")
+    assert(canonicalize("ftp://Host/P?gclid=1&fbclid=2&x=1") == "ftp://host/P?x=1")
+    assert(canonicalize("http://a.com/x?utm_a=1&utm_b=2") == "http://a.com/x")
+    assert(canonicalize("http://a.com#frag") == "http://a.com")
+    assert(canonicalize("notaurl") == "notaurl")
+    assert(canonicalize("ht2tp://x/y") == "ht2tp://x/y")
+    assert(canonicalize(null) == null)
+    // path case preserved; params sorted bytewise; empty params dropped
+    assert(canonicalize("http://a.com/CaseSensitive?b=2&&a=1")
+      == "http://a.com/CaseSensitive?a=1&b=2")
+  }
+}
