@@ -410,6 +410,152 @@ object Wave9 {
       .orderBy("curl")
   }
 
+  /** K-core decomposition (k=3) of the co-purchase graph by FIXED-ROUND
+    * peeling: both engines run exactly [[KcoreRounds]] rounds of
+    * "drop nodes with fewer than k alive neighbors", so the contract is
+    * round-count-deterministic — convergence cannot drift between
+    * engines, and the `converged` column (round R == round R-1)
+    * witnesses in-hash that the fixpoint was actually reached. The
+    * oracle is a GENERATED unrolled CTE chain (the BPE generated-oracle
+    * pattern) sharing R and k with the engine loop; each round is
+    * MATERIALIZED because a twice-referenced recursive CTE otherwise
+    * inlines into a 2^R-size plan.
+    *
+    * Shape at 100TB: the edge list builds once (merge-hinted pair
+    * self-join, one reused exchange) and persists; each round is two
+    * semi-joins of the shrinking alive set against the edge cache plus
+    * one count — the BFS per-round persist discipline (superseded
+    * rounds released eagerly) keeps lineage shallow.
+    */
+  val KcoreRounds = 8
+  val KcoreK = 3
+  val graphKcore: Q = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT eu.u AS node FROM eu
+         |  JOIN a${i - 1} x ON x.node = eu.u JOIN a${i - 1} y ON y.node = eu.v
+         |  GROUP BY eu.u HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q_graph_kcore",
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |eu AS MATERIALIZED (SELECT u, v FROM e
+         |  UNION ALL SELECT v AS u, u AS v FROM e),
+         |a0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM eu),
+         |$rounds,
+         |fin AS (SELECT eu.u AS node, COUNT(*) AS core_deg FROM eu
+         |  JOIN a$KcoreRounds x ON x.node = eu.u
+         |  JOIN a$KcoreRounds y ON y.node = eu.v
+         |  GROUP BY eu.u),
+         |cv AS (SELECT (SELECT COUNT(*) FROM a$KcoreRounds)
+         |            = (SELECT COUNT(*) FROM a${KcoreRounds - 1}) AS converged)
+         |SELECT f.node, f.core_deg, cv.converged FROM fin f, cv
+         |ORDER BY f.node""".stripMargin) { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .hint("merge")
+      val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
+        .hint("merge")
+      val e = a
+        .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("u", "v")
+      val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .persist() // load-bearing: 2R+2 semi-joins reuse one edge build
+      // Each round references `alive` TWICE (once per endpoint), so a
+      // bare persist leaves a logical plan that DOUBLES per round —
+      // 2^R growth wedged the analyzer at R=8 with a 2GB plan string.
+      // localCheckpoint truncates the lineage to a LogicalRDD each
+      // round; the frames are node-set-sized, so the cut is free (the
+      // PageRank localCheckpoint caveat is about splitting a big reused
+      // exchange, which this is not).
+      var alive = eu.select(col("u").as("node")).distinct()
+        .localCheckpoint(true)
+      val counts = new Array[Long](KcoreRounds + 1)
+      counts(0) = alive.count()
+      for (i <- 1 to KcoreRounds) {
+        val next = eu
+          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK)
+          .select(col("u").as("node"))
+          .localCheckpoint(true)
+        counts(i) = next.count()
+        alive = next
+      }
+      val converged = counts(KcoreRounds) == counts(KcoreRounds - 1)
+      eu.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("core_deg"))
+        .withColumn("converged", lit(converged))
+        .orderBy("node")
+    }
+  }
+
+  /** Theil-Sen robust trend per nation — the median of all pairwise
+    * monthly-revenue slopes, the estimator that shrugs off the outlier
+    * months OLS ([[q_regression_group]]) chases. Slopes are SINGLE IEEE
+    * divisions of exact integers (division is correctly rounded, so
+    * both engines produce bit-identical doubles — the sqrt lore's other
+    * safe operation), the median is the mean of the rank-selected
+    * middle one-or-two slopes (no interpolation formula to disagree
+    * on), and ties order totally via (slope, mo1, mo2).
+    *
+    * Shape at 100TB: the fact table aggregates once to (nation, month);
+    * the pair join is quadratic only in MONTHS per nation (merge-hinted
+    * self-join of a tiny frame); ranks partition by nation.
+    */
+  val theilsenTrend: Q = Q(
+    "q_theilsen_trend",
+    """WITH m AS (SELECT c.c_nationkey AS nk,
+      |        EXTRACT(YEAR FROM o.o_orderdate) * 12
+      |          + EXTRACT(MONTH FROM o.o_orderdate) AS mo,
+      |        CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |          AS cents
+      |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |      GROUP BY 1, 2),
+      |p AS (SELECT a.nk, CAST(b.cents - a.cents AS DOUBLE) / (b.mo - a.mo)
+      |        AS slope, a.mo AS mo1, b.mo AS mo2
+      |      FROM m a JOIN m b ON a.nk = b.nk AND a.mo < b.mo),
+      |r AS (SELECT nk, slope,
+      |        ROW_NUMBER() OVER (PARTITION BY nk ORDER BY slope, mo1, mo2) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nk) AS n FROM p)
+      |SELECT nk AS nationkey, CAST(MAX(n) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(slope) / COUNT(*) AS DOUBLE) AS theil_slope
+      |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY nk ORDER BY nationkey""".stripMargin) { (s, d) =>
+    val byNk = Window.partitionBy("nk")
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nk"))
+    val m = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mo"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val p = m.as("a").hint("merge")
+      .join(m.as("b").hint("merge"),
+        col("a.nk") === col("b.nk") && col("a.mo") < col("b.mo"))
+      .select(col("a.nk").as("nk"),
+        ((col("b.cents") - col("a.cents")).cast("double")
+          / (col("b.mo") - col("a.mo"))).as("slope"),
+        col("a.mo").as("mo1"), col("b.mo").as("mo2"))
+    p.withColumn("rn",
+        row_number().over(byNk.orderBy("slope", "mo1", "mo2")))
+      .withColumn("n", count(lit(1)).over(byNk))
+      .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+      .groupBy(col("nk").as("nationkey"))
+      .agg(max(col("n")).as("n_pairs"),
+        (sum(col("slope")) / count(lit(1))).cast("double").as("theil_slope"))
+      .orderBy("nationkey")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
-    vocabGrowth, sketchQuantileFx, urlCanonicalize)
+    vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend)
 }
