@@ -427,7 +427,10 @@ object Wave9 {
     * one count — the BFS per-round persist discipline (superseded
     * rounds released eagerly) keeps lineage shallow.
     */
-  val KcoreRounds = 8
+  // R=12: the sf0.01 corpus's 3-core fixpoint lands at round 11 (935
+  // nodes), sf0.001 at ~3 (200) and sf0.1 at 3 (empty core) — all
+  // witnessed converged with a spare round. Peeling is O(rounds·E).
+  val KcoreRounds = 12
   val KcoreK = 3
   val graphKcore: Q = {
     val rounds = (1 to KcoreRounds).map { i =>
