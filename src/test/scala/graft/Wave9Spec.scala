@@ -121,6 +121,68 @@ class Wave9Spec extends AnyFunSuite {
     rows.foreach(r => assert(counts(r.getInt(0)) == r.getLong(1)))
   }
 
+  test("q_graph_kcore: converged output IS the true 3-core fixpoint " +
+    "(in-test peel to convergence) and every core degree is >= 3") {
+    val rows = graft.queries.Wave9.graphKcore
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "sf0.001 must converge")
+    assert(rows.forall(_.getLong(1) >= graft.queries.Wave9.KcoreK))
+    // independent in-memory peel of the same support>=2 edge set, run
+    // to the TRUE fixpoint (not a round cap)
+    val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = scala.collection.mutable.Map[(Long, Long), Int]()
+    li.groupBy(_._1).values.foreach { xs =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) {
+        val p = (ps(i), ps(j))
+        pairCount(p) = pairCount.getOrElse(p, 0) + 1
+      }
+    }
+    val edges: Set[(Long, Long)] = pairCount.iterator
+      .collect { case (p, c) if c >= 2 => p }
+      .flatMap(p => Iterator(p, p.swap)).toSet
+    var alive = edges.map(_._1)
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.filter(e => alive(e._1) && alive(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.size }
+      val next = alive.filter(n => deg.getOrElse(n, 0) >= 3)
+      changed = next != alive
+      alive = next
+    }
+    val expected = edges.toSeq.filter(e => alive(e._1) && alive(e._2))
+      .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+  }
+
+  test("q_theilsen_trend equals an in-test median of pairwise slopes") {
+    val rows = graft.queries.Wave9.theilsenTrend
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val monthly = Tables.load(spark, SharedSpark.sf001, "orders")
+      .join(Tables.load(spark, SharedSpark.sf001, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mo"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ms = monthly(r.getInt(0)).map(t => (t._2, t._3)).sortBy(_._1)
+      val slopes = (for {
+        i <- ms.indices; j <- i + 1 until ms.length
+      } yield ((ms(j)._2 - ms(i)._2).toDouble / (ms(j)._1 - ms(i)._1),
+        ms(i)._1, ms(j)._1)).sortBy(t => (t._1, t._2, t._3)).map(_._1)
+      val n = slopes.length
+      assert(r.getLong(1) == n.toLong)
+      val mid = Seq(slopes((n + 1) / 2 - 1), slopes((n + 2) / 2 - 1))
+      assert(r.getDouble(2) == mid.sum / mid.length)
+    }
+  }
+
   test("Url.canonicalize golden vectors") {
     import graft.functions.Url.canonicalize
     assert(canonicalize("HTTP://WWW.Example.COM:80/A/b/?z=1&utm_source=x&a=2#f")
