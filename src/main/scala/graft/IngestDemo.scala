@@ -176,6 +176,24 @@ object IngestDemo {
     println(s"[demo] stream-hll: updates=${hllRows.mkString(",")} " +
       "(n_zero, est) after 300 then 450 distinct ids")
 
+    // 7b2. streaming histogram-quantile sketch: per-key 64-bucket
+    //      state over a frozen range, the incremental twin of
+    //      q_sketch_quantile_fx (bucket-add mergeability)
+    val quIn = MemoryStream[(String, Long)]
+    val quQ = streaming.Streams.runToMemory(
+      streaming.StatefulQuantile.medianSketch(
+        spark, quIn.toDF().toDF("grp", "v"), "grp", "v", 0L, 1023L).toDF(),
+      "demo_quant", "update")
+    quIn.addData((1 to 300).map(i => ("latency", (i * 37L) % 1024L)): _*)
+    quQ.processAllAvailable()
+    quIn.addData((1 to 200).map(i => ("latency", (i * 91L) % 1024L)): _*)
+    quQ.processAllAvailable()
+    quQ.stop()
+    val quRows = spark.table("demo_quant").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    println(s"[demo] stream-quantile: updates=${quRows.mkString(",")} " +
+      "(n, est_med) after 300 then 500 values")
+
     // 7c. streaming top-k leaderboard: per-key best-k state, the
     //     continuous form of ops.TopK (merge-then-trim monoid)
     val tkIn = MemoryStream[(String, Long, Long)]

@@ -353,6 +353,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_quantile: incremental 64-bucket histogram median " +
+    "equals the batch sketch at every prefix and stays in the bucket " +
+    "bound of the exact median") {
+    implicit val ctx = spark.sqlContext
+    val (mn, mx) = (0L, 1023L) // frozen range, the batch-trained artifact
+    // Independent reference: same construction, recomputed from values.
+    def ref(vs: Seq[Long]): (Long, Long) = {
+      val counts = new Array[Long](64)
+      vs.foreach { v =>
+        counts(math.max(0L, math.min(63L, (v - mn) * 64 / (mx - mn + 1))).toInt) += 1
+      }
+      val n = vs.length.toLong
+      val target = (n + 1) / 2
+      var cum = 0L; var i = 0
+      while (cum + counts(i) < target) { cum += counts(i); i += 1 }
+      val width = mx - mn + 1
+      (n, mn + width * i / 64 + (width / 64) * (target - cum - 1) / counts(i))
+    }
+    val mem = MemoryStream[(String, Long)]
+    val ds = graft.streaming.StatefulQuantile.medianSketch(
+      spark, mem.toDF().toDF("grp", "v"), "grp", "v", mn, mx)
+    val q = Streams.runToMemory(ds.toDF(), "quantstream", "update")
+    try {
+      val b1 = (1 to 500).map(i => (i * 37L) % 1024L)
+      val b2 = (1 to 400).map(i => (i * 91L) % 1024L)
+      mem.addData(b1.map(v => ("x", v)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(v => ("x", v)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("quantstream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val p1 = ref(b1)
+      val pAll = ref(b1 ++ b2)
+      assert(rows == Set(("x", p1._1, p1._2), ("x", pAll._1, pAll._2)),
+        s"got $rows, want prefix=$p1 full=$pAll")
+      // sketch contract: estimate within one bucket width of the exact
+      // (lower) median
+      val exact = (b1 ++ b2).sorted.apply(((b1.size + b2.size + 1) / 2) - 1)
+      assert(math.abs(pAll._2 - exact) <= (mx - mn + 1) / 64 + 1,
+        s"est ${pAll._2} vs exact $exact")
+    } finally q.stop()
+  }
+
   test("s_stream_topk: the continuous leaderboard equals the batch " +
     "top-k at every micro-batch prefix (merge-then-trim monoid)") {
     implicit val ctx = spark.sqlContext
