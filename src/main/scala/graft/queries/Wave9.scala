@@ -575,6 +575,105 @@ object Wave9 {
       .orderBy("nationkey")
   }
 
+  /** ABC / Pareto inventory classification: parts ranked by revenue,
+    * classified A/B/C at the classic 80% / 95% cumulative-share
+    * breakpoints — the merchandising readout behind "which 20% of the
+    * catalog carries 80% of revenue". Cumulative share is an exact ppm
+    * integer, so the class boundaries replay bit-for-bit; rank ties
+    * break by part key.
+    *
+    * Shape at 100TB: the fact table aggregates once to per-part
+    * revenue; the ranking window runs over the CATALOG-sized aggregate
+    * (items, not line items). For a catalog too large for one
+    * partition, the q_rfm_segment boundary-broadcast shape (percentile
+    * cut points, branch-free classes) is the two-phase variant.
+    */
+  val abcClassify: Q = Q(
+    "q_abc_classify",
+    """WITH r AS (SELECT l_partkey,
+      |        CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |          AS cents
+      |      FROM lineitem GROUP BY 1),
+      |w AS (SELECT l_partkey, cents,
+      |        ROW_NUMBER() OVER (ORDER BY cents DESC, l_partkey) AS rk,
+      |        CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+      |          AS cum,
+      |        CAST(SUM(cents) OVER () AS BIGINT) AS total
+      |      FROM r)
+      |SELECT l_partkey, cents, rk, cum,
+      |  cum * 1000000 // total AS cum_share_e6,
+      |  CASE WHEN cum * 1000000 // total <= 800000 THEN 'A'
+      |       WHEN cum * 1000000 // total <= 950000 THEN 'B'
+      |       ELSE 'C' END AS abc
+      |FROM w ORDER BY rk""".stripMargin) { (s, d) =>
+    val byRev = Window.orderBy(col("cents").desc, col("l_partkey"))
+    val r = Tables.load(s, d, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
+    r.withColumn("rk", row_number().over(byRev))
+      .withColumn("cum", sum(col("cents")).over(byRev))
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+      .withColumn("cum_share_e6", expr("cum * 1000000 div total"))
+      .select(col("l_partkey"), col("cents"), col("rk"), col("cum"),
+        col("cum_share_e6"),
+        when(col("cum_share_e6") <= 800000, "A")
+          .when(col("cum_share_e6") <= 950000, "B")
+          .otherwise("C").as("abc"))
+      .orderBy("rk")
+  }
+
+  /** Key-skew diagnostic report — the audit a 100TB pipeline runs
+    * BEFORE choosing a partitioning ([[graft.ops.Skew]] is the cure;
+    * this is the diagnosis): per-key group sizes of the l_partkey fact
+    * distribution, with p50/p99 as rank-SELECTED order statistics
+    * (discrete percentiles — pure element selection, no interpolation
+    * formula to drift), the max/p50 skew ratio in exact ppm, and the
+    * top-5 heavy keys with their own ratios. One aggregate to group
+    * sizes, windows over the key-count frame only.
+    */
+  val skewReport: Q = Q(
+    "q_skew_report",
+    """WITH g AS (SELECT l_partkey AS key, COUNT(*) AS sz
+      |      FROM lineitem GROUP BY 1),
+      |r AS (SELECT key, sz, ROW_NUMBER() OVER (ORDER BY sz, key) AS rn,
+      |        COUNT(*) OVER () AS n, CAST(SUM(sz) OVER () AS BIGINT) AS total
+      |      FROM g),
+      |p AS (SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN sz END) AS p50_sz,
+      |             MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN sz END) AS p99_sz,
+      |             MAX(sz) AS max_sz, MAX(n) AS n_keys, MAX(total) AS n_rows
+      |      FROM r),
+      |h AS (SELECT key, sz, ROW_NUMBER() OVER (ORDER BY sz DESC, key) AS hrk
+      |      FROM g)
+      |SELECT h.key, h.sz, h.hrk, p.n_keys, p.n_rows, p.max_sz, p.p50_sz,
+      |  p.p99_sz,
+      |  h.sz * 1000000 // p.p50_sz AS key_vs_p50_e6,
+      |  p.max_sz * 1000000 // p.p50_sz AS skew_ratio_e6
+      |FROM h, p WHERE h.hrk <= 5 ORDER BY h.hrk""".stripMargin) { (s, d) =>
+    val bySz = Window.orderBy("sz", "key")
+    val g = Tables.load(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("key"))
+      .agg(count(lit(1)).as("sz"))
+    val p = g
+      .withColumn("rn", row_number().over(bySz))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum(col("sz")).over(Window.partitionBy()))
+      .agg(
+        max(when(expr("rn = (n + 1) div 2"), col("sz"))).as("p50_sz"),
+        max(when(expr("rn = (99 * n + 99) div 100"), col("sz"))).as("p99_sz"),
+        max(col("sz")).as("max_sz"), max(col("n")).as("n_keys"),
+        max(col("total")).as("n_rows"))
+    g.withColumn("hrk", row_number().over(Window.orderBy(col("sz").desc,
+        col("key"))))
+      .filter(col("hrk") <= 5)
+      .crossJoin(broadcast(p))
+      .select(col("key"), col("sz"), col("hrk"), col("n_keys"), col("n_rows"),
+        col("max_sz"), col("p50_sz"), col("p99_sz"),
+        expr("sz * 1000000 div p50_sz").as("key_vs_p50_e6"),
+        expr("max_sz * 1000000 div p50_sz").as("skew_ratio_e6"))
+      .orderBy("hrk")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
-    vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend)
+    vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
+    abcClassify, skewReport)
 }
