@@ -673,7 +673,72 @@ object Wave9 {
       .orderBy("hrk")
   }
 
+  /** Trailing-7-day rolling correlation between the click and purchase
+    * daily series — the windowed form of [[q_corr_exact]]: the five
+    * correlation moments are integer sums over one ROWS frame, r² is
+    * the exact ppm rational num²·10⁶ div (d1·d2) (squares pass 64 bits
+    * at corpus scale → DECIMAL(38,0)/HUGEINT), the sign travels
+    * separately, and zero-variance windows yield NULL gates instead of
+    * dropped rows — the drift monitor between two metrics that ops
+    * dashboards poll.
+    *
+    * Shape at 100TB: the stream aggregates once to the per-day pivot
+    * (days don't scale with volume); all six window sums share ONE
+    * frame over that tiny series.
+    */
+  val rollingCorr: Q = Q(
+    "q_rolling_corr",
+    """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+      |        COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+      |        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS y
+      |      FROM events GROUP BY 1),
+      |w AS (SELECT day, x, y,
+      |        COUNT(*) OVER fr AS n,
+      |        CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+      |        CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+      |        CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+      |        CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+      |        CAST(SUM(y * y) OVER fr AS BIGINT) AS syy
+      |      FROM d
+      |      WINDOW fr AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT day, x, y, n,
+      |  n * sxy - sx * sy AS cov_num,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+      |    CAST((CAST(n * sxy - sx * sy AS HUGEINT) * (n * sxy - sx * sy)
+      |          * 1000000)
+      |         // (CAST(n * sxx - sx * sx AS HUGEINT) * (n * syy - sy * sy))
+      |         AS BIGINT)
+      |  END AS r2_e6,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+      |    CAST(SIGN(n * sxy - sx * sy) AS BIGINT) END AS r_sign
+      |FROM w ORDER BY day""".stripMargin) { (s, d) =>
+    val fr = Window.orderBy("day").rowsBetween(-6, 0)
+    val daily = Tables.load(s, d, "events")
+      .groupBy(graft.functions.Exact.bucket(ms(col("ts")), 86400000L).as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "purchase", 1)).as("y"))
+    daily
+      .withColumn("n", count(lit(1)).over(fr))
+      .withColumn("sx", sum(col("x")).over(fr))
+      .withColumn("sy", sum(col("y")).over(fr))
+      .withColumn("sxy", sum(col("x") * col("y")).over(fr))
+      .withColumn("sxx", sum(col("x") * col("x")).over(fr))
+      .withColumn("syy", sum(col("y") * col("y")).over(fr))
+      .select(col("day"), col("x"), col("y"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        expr("""CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+               | THEN CAST((CAST(n * sxy - sx * sy AS DECIMAL(38,0))
+               |   * (n * sxy - sx * sy) * 1000000)
+               |  div (CAST(n * sxx - sx * sx AS DECIMAL(38,0))
+               |   * (n * syy - sy * sy)) AS BIGINT) END""".stripMargin)
+          .as("r2_e6"),
+        expr("""CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+               | THEN CAST(SIGN(n * sxy - sx * sy) AS BIGINT) END"""
+          .stripMargin).as("r_sign"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
     vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
-    abcClassify, skewReport)
+    abcClassify, skewReport, rollingCorr)
 }

@@ -183,6 +183,72 @@ class Wave9Spec extends AnyFunSuite {
     }
   }
 
+  test("q_abc_classify: shares are monotone, the last row closes at " +
+    "100%, and classes partition the share axis") {
+    val rows = graft.queries.Wave9.abcClassify
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    var prevShare = -1L
+    rows.foreach { r =>
+      val share = r.getLong(4)
+      assert(share >= prevShare); prevShare = share
+      val abc = r.getString(5)
+      assert(abc == (if (share <= 800000) "A"
+                     else if (share <= 950000) "B" else "C"))
+    }
+    assert(rows.last.getLong(4) == 1000000L)
+    assert(Set("A", "B", "C").subsetOf(rows.map(_.getString(5)).toSet))
+  }
+
+  test("q_skew_report matches an in-test recompute of the group-size " +
+    "order statistics") {
+    val rows = graft.queries.Wave9.skewReport
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == 5)
+    val sizes = Tables.load(spark, SharedSpark.sf001, "lineitem")
+      .groupBy("l_partkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val asc = sizes.sortBy(t => (t._2, t._1)).map(_._2)
+    val n = asc.length
+    val p50 = asc((n + 1) / 2 - 1)
+    val p99 = asc((99 * n + 99) / 100 - 1)
+    val heavy = sizes.sortBy(t => (-t._2, t._1)).take(5)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert((r.getLong(0), r.getLong(1)) == heavy(i))
+      assert(r.getLong(3) == n.toLong)
+      assert(r.getLong(5) == asc.max)
+      assert(r.getLong(6) == p50 && r.getLong(7) == p99)
+      assert(r.getLong(9) == asc.max * 1000000L / p50)
+    }
+  }
+
+  test("q_rolling_corr equals a BigInt recompute of the windowed " +
+    "moments, with NULL gates exactly on zero-variance windows") {
+    val rows = graft.queries.Wave9.rollingCorr
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    val series = rows.map(r => (r.getLong(1), r.getLong(2)))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = series.slice(math.max(0, i - 6), i + 1)
+      val n = BigInt(win.length)
+      val sx = win.map(t => BigInt(t._1)).sum
+      val sy = win.map(t => BigInt(t._2)).sum
+      val sxy = win.map(t => BigInt(t._1) * t._2).sum
+      val sxx = win.map(t => BigInt(t._1) * t._1).sum
+      val syy = win.map(t => BigInt(t._2) * t._2).sum
+      val num = n * sxy - sx * sy
+      val d1 = n * sxx - sx * sx
+      val d2 = n * syy - sy * sy
+      assert(BigInt(r.getLong(4)) == num)
+      if (d1 > 0 && d2 > 0) {
+        assert(BigInt(r.getLong(5)) == num * num * 1000000 / (d1 * d2))
+        assert(r.getLong(6) == num.signum.toLong)
+      } else {
+        assert(r.isNullAt(5) && r.isNullAt(6))
+      }
+    }
+  }
+
   test("Url.canonicalize golden vectors") {
     import graft.functions.Url.canonicalize
     assert(canonicalize("HTTP://WWW.Example.COM:80/A/b/?z=1&utm_source=x&a=2#f")
