@@ -194,6 +194,23 @@ object IngestDemo {
     println(s"[demo] stream-quantile: updates=${quRows.mkString(",")} " +
       "(n, est_med) after 300 then 500 values")
 
+    // 7b3. streaming funnel stages: out-of-order-safe signup->click->
+    //      purchase tracking, the incremental twin of q_funnel_stages
+    val fnIn = MemoryStream[(Long, String, Long)]
+    val fnQ = streaming.Streams.runToMemory(
+      streaming.StatefulFunnel.stages(
+        spark, fnIn.toDF().toDF("uid", "t", "m"), "uid", "t", "m").toDF(),
+      "demo_funnel", "update")
+    fnIn.addData((7L, "click", 10L), (7L, "purchase", 20L))
+    fnQ.processAllAvailable()
+    fnIn.addData((7L, "signup", 5L)) // late signup completes the funnel
+    fnQ.processAllAvailable()
+    fnQ.stop()
+    val fnRows = spark.table("demo_funnel").collect()
+      .map(r => (r.getLong(1), r.getLong(5)))
+    println(s"[demo] stream-funnel: updates=${fnRows.mkString(",")} " +
+      "(n_events, stage) — late signup lifted stage 0 -> 3")
+
     // 7c. streaming top-k leaderboard: per-key best-k state, the
     //     continuous form of ops.TopK (merge-then-trim monoid)
     val tkIn = MemoryStream[(String, Long, Long)]

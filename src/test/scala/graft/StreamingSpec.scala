@@ -396,6 +396,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_funnel: stage tracking equals the batch window " +
+    "formula at every prefix, including a late signup that rewrites " +
+    "the click selection") {
+    implicit val ctx = spark.sqlContext
+    // Batch semantics: first signup; first click >= signup; first
+    // purchase >= click (exactly q_funnel_stages' window chain).
+    def ref(evts: Seq[(String, Long)]): (Long, Option[Long], Option[Long], Option[Long], Long) = {
+      val by = evts.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+      val s = by.getOrElse("signup", Seq.empty).headOption
+      val c = s.flatMap(sm => by.getOrElse("click", Seq.empty).find(_ >= sm))
+      val p = c.flatMap(cm => by.getOrElse("purchase", Seq.empty).find(_ >= cm))
+      val stage = if (s.isEmpty) 0L else if (p.isDefined) 3L
+        else if (c.isDefined) 2L else 1L
+      (evts.size.toLong, s, c, p, stage)
+    }
+    val mem = MemoryStream[(Long, String, Long)]
+    val ds = graft.streaming.StatefulFunnel.stages(
+      spark, mem.toDF().toDF("uid", "t", "m"), "uid", "t", "m")
+    val q = Streams.runToMemory(ds.toDF(), "funnelstream", "update")
+    try {
+      // b1: click at 10 precedes the (late) signup at 5 — until the
+      // signup arrives, the user is stage 0 with clicks banked
+      val b1 = Seq(("click", 10L), ("purchase", 20L), ("click", 30L))
+      val b2 = Seq(("signup", 5L)) // late: should select click=10, purchase=20
+      mem.addData(b1.map { case (t, m) => (7L, t, m) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (t, m) => (7L, t, m) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("funnelstream").collect()
+        .map(r => (r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getLong(5))).toSet
+      assert(rows == Set(ref(b1), ref(b1 ++ b2)),
+        s"got $rows want ${Set(ref(b1), ref(b1 ++ b2))}")
+      assert(ref(b1 ++ b2) == (4L, Some(5L), Some(10L), Some(20L), 3L))
+    } finally q.stop()
+  }
+
   test("s_stream_topk: the continuous leaderboard equals the batch " +
     "top-k at every micro-batch prefix (merge-then-trim monoid)") {
     implicit val ctx = spark.sqlContext
