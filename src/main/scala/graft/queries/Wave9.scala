@@ -738,7 +738,145 @@ object Wave9 {
       .orderBy("day")
   }
 
+  /** The END-TO-END curation pipeline as ONE declarative plan — the
+    * Dolma/C4-style chain every pretraining corpus runs, composed from
+    * this library's own stages with a single per-doc verdict:
+    * eval-holdout → quality gate (≥30 tokens + a stopword) → exact
+    * dedup (md5 canonical fingerprint, keep-first; non-vacuous via a
+    * simulated at-least-once re-crawl that re-keys doc_id%83==5 copies,
+    * the Blocks.withDuplicates posture) → near-dup (distinct 3-gram
+    * shingles, df≤50 cap, Jaccard ≥ 0.2 in exact ppm, drop the
+    * higher id) → 13-gram decontamination against the eval docs →
+    * kept. Stage precedence is part of the contract and of the hash;
+    * `keeper` names the surviving twin for exact dups.
+    *
+    * Shape at 100TB: one pass builds tokens/fingerprints (map-side
+    * behind the repartition), one shuffle per stage key (fingerprint,
+    * shingle, 13-gram), the pair join is the df-capped ReusedExchange
+    * self-join of q_dedup_ngram_jaccard, and the eval 13-gram side is
+    * a broadcast. Every stage is the scale shape its standalone query
+    * already pinned.
+    */
+  val curationPipeline: Q = Q(
+    "q_curation_pipeline",
+    """WITH base AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 83 = 5),
+      |d AS (SELECT doc_id, text,
+      |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |      FROM base),
+      |q AS (SELECT doc_id, text, toks,
+      |        (len(toks) >= 30 AND
+      |         len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) > 0)
+      |          AS q_ok
+      |      FROM d),
+      |fp AS (SELECT doc_id, md5(lower(text)) AS fp FROM q
+      |       WHERE q_ok AND doc_id % 97 <> 3),
+      |keep1 AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY 1),
+      |ex AS (SELECT f.doc_id, k.keeper FROM fp f JOIN keep1 k ON k.fp = f.fp),
+      |s2 AS (SELECT doc_id FROM ex WHERE doc_id = keeper),
+      |sh AS (SELECT DISTINCT d.doc_id,
+      |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      |       FROM d, (SELECT unnest(range(1,
+      |         (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM d))) AS i) p
+      |       WHERE i <= len(toks) - 2),
+      |shc AS (SELECT doc_id, shingle FROM (
+      |          SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df
+      |          FROM sh WHERE doc_id IN (SELECT doc_id FROM s2)) WHERE df <= 50),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |          FROM shc a JOIN shc b
+      |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |near AS (SELECT DISTINCT p.doc_b AS doc_id
+      |         FROM pairs p JOIN sz sa ON p.doc_a = sa.doc_id
+      |                      JOIN sz sb ON p.doc_b = sb.doc_id
+      |         WHERE p.common * 1000000 // (sa.n + sb.n - p.common) >= 200000),
+      |s3 AS (SELECT doc_id FROM s2
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+      |g13 AS (SELECT DISTINCT d.doc_id,
+      |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |          || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+      |          || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8] || ' '
+      |          || toks[i+9] || ' ' || toks[i+10] || ' ' || toks[i+11] || ' '
+      |          || toks[i+12] AS g
+      |        FROM d, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM d))) AS i) p
+      |        WHERE i <= len(toks) - 12),
+      |evg AS (SELECT DISTINCT g FROM g13 WHERE doc_id % 97 = 3),
+      |contam AS (SELECT DISTINCT g13.doc_id FROM g13 JOIN evg ON g13.g = evg.g
+      |           WHERE g13.doc_id IN (SELECT doc_id FROM s3))
+      |SELECT q.doc_id,
+      |  CASE WHEN q.doc_id % 97 = 3 THEN 'eval'
+      |       WHEN NOT q.q_ok THEN 'low_quality'
+      |       WHEN ed.keeper IS NOT NULL THEN 'exact_dup'
+      |       WHEN q.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+      |       WHEN q.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+      |       ELSE 'kept' END AS verdict,
+      |  ed.keeper
+      |FROM q LEFT JOIN (SELECT doc_id, keeper FROM ex WHERE doc_id <> keeper) ed
+      |  ON ed.doc_id = q.doc_id
+      |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    import graft.text.Text
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+    val base = docs
+      .unionAll(docs.filter(col("doc_id") % 83 === 5)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .repartition(np)
+    val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
+    val q = base.select(col("doc_id"), col("text"),
+      expr("filter(split(lower(text), ' '), x -> x <> '')").as("toks"))
+      .withColumn("q_ok",
+        size(col("toks")) >= 30 && arrays_overlap(col("toks"), stop))
+    val fp = q.filter(col("q_ok") && col("doc_id") % 97 =!= 3)
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+    val keep1 = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    val ex = fp.join(keep1, "fp").select("doc_id", "keeper")
+    val s2 = ex.filter(col("doc_id") === col("keeper")).select("doc_id")
+    val sh = base.select(col("doc_id"),
+      explode(Text.shingleSetUdf(3)(col("text"))).as("shingle"))
+    val byShingle = Window.partitionBy("shingle")
+    val shc = sh.join(s2, Seq("doc_id"), "left_semi")
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= 50).drop("df")
+    val sz = base.select(col("doc_id"),
+      size(Text.shingleSetUdf(3)(col("text"))).cast("long").as("n"))
+    val pairs = shc.hint("merge").as("a")
+      .join(shc.hint("merge").as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val near = pairs
+      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))),
+        Seq("doc_a"))
+      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))),
+        Seq("doc_b"))
+      .filter(expr("common * 1000000 div (na + nb - common) >= 200000"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val s3 = s2.join(near, Seq("doc_id"), "left_anti")
+    val g13 = base.select(col("doc_id"),
+      explode(Text.shingleSetUdf(13)(col("text"))).as("g"))
+    val evg = g13.filter(col("doc_id") % 97 === 3).select("g").distinct()
+    val contam = g13.join(s3, Seq("doc_id"), "left_semi")
+      .join(broadcast(evg), "g")
+      .select("doc_id").distinct()
+    q.join(ex.filter(col("doc_id") =!= col("keeper")), Seq("doc_id"), "left")
+      .join(near.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 === 3, "eval")
+          .when(!col("q_ok"), "low_quality")
+          .when(col("keeper").isNotNull, "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .when(col("is_contam"), "contaminated")
+          .otherwise("kept").as("verdict"),
+        col("keeper"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
     vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
-    abcClassify, skewReport, rollingCorr)
+    abcClassify, skewReport, rollingCorr, curationPipeline)
 }
