@@ -876,7 +876,94 @@ object Wave9 {
       .orderBy("doc_id")
   }
 
+  /** Poisson(1) inverse-CDF thresholds scaled to 2^32 (cumulative
+    * e^-1·Σ1/k!), shared by the oracle SQL generator and the engine
+    * CASE so the two weight functions cannot drift. Precomputed
+    * offline — no exp/factorial executes at query time. */
+  val PoissonThresholds: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
+    4294923276L)
+
+  /** Deterministic Poisson bootstrap CI for the mean order value — the
+    * DISTRIBUTED bootstrap (Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams", Google 2012): instead of resampling n
+    * rows with replacement (which needs global coordination), every
+    * (replica, row) pair draws an independent Poisson(1) weight, here
+    * from an md5-u32 uniform pushed through the precomputed
+    * inverse-CDF thresholds — fully deterministic, so the whole CI
+    * hash-matches. Replica means are exact integer rationals; the
+    * 5/50/95 percentiles are rank-SELECTED replica means (no
+    * interpolation). B=200 replicas.
+    *
+    * Shape at 100TB: the B-fold fan-out is a broadcast nested-loop
+    * against a 200-row frame (map-side — no shuffle until the
+    * replica-mean aggregate, which is B partial sums); the quantile
+    * readout windows over 200 rows.
+    */
+  val bootstrapCi: Q = {
+    val caseSql = "CASE " + PoissonThresholds.zipWithIndex.map {
+      case (t, i) => s"WHEN u32 < $t THEN $i"
+    }.mkString(" ") + s" ELSE ${PoissonThresholds.length} END"
+    Q(
+      "q_bootstrap_ci",
+      s"""WITH o AS (SELECT o_orderkey,
+         |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |      FROM orders),
+         |rep AS (SELECT unnest(range(0, 200)) AS b),
+         |u AS (SELECT r.b, o.cents,
+         |        CAST(('0x' || substr(md5(CAST(r.b AS VARCHAR) || ':'
+         |          || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+         |      FROM o, rep r),
+         |w AS (SELECT b, cents, $caseSql AS wt FROM u),
+         |m AS (SELECT b, CAST(SUM(wt * cents) AS BIGINT) AS num,
+         |        CAST(SUM(wt) AS BIGINT) AS den
+         |      FROM w GROUP BY b HAVING SUM(wt) > 0),
+         |mm AS (SELECT b, num // den AS mean_cents FROM m),
+         |r AS (SELECT b, mean_cents,
+         |        ROW_NUMBER() OVER (ORDER BY mean_cents, b) AS rn,
+         |        COUNT(*) OVER () AS nb FROM mm)
+         |SELECT
+         |  MAX(CASE WHEN rn = (5 * nb + 99) // 100 THEN mean_cents END)
+         |    AS lo_cents,
+         |  MAX(CASE WHEN rn = (nb + 1) // 2 THEN mean_cents END) AS med_cents,
+         |  MAX(CASE WHEN rn = (95 * nb + 99) // 100 THEN mean_cents END)
+         |    AS hi_cents,
+         |  MAX(nb) AS n_replicas
+         |FROM r""".stripMargin) { (s, d) =>
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val rep = s.range(0, 200).toDF("b")
+      val u32 = conv(substring(md5(
+        concat(col("b").cast("string"), lit(":"),
+          col("o_orderkey").cast("string")).cast("binary")), 1, 8),
+        16, 10).cast("long")
+      val wt = PoissonThresholds.zipWithIndex.reverse
+        .foldLeft(lit(PoissonThresholds.length.toLong)) {
+          case (acc, (t, i)) => when(col("u32") < t, i.toLong).otherwise(acc)
+        }
+      val m = o.crossJoin(broadcast(rep))
+        .withColumn("u32", u32)
+        .withColumn("wt", wt)
+        .groupBy("b")
+        .agg(sum(col("wt") * col("cents")).as("num"), sum(col("wt")).as("den"))
+        .filter(col("den") > 0)
+        .select(col("b"), expr("num div den").as("mean_cents"))
+      m.withColumn("rn",
+          row_number().over(Window.orderBy("mean_cents", "b")))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+        .agg(
+          max(when(expr("rn = (5 * nb + 99) div 100"), col("mean_cents")))
+            .as("lo_cents"),
+          max(when(expr("rn = (nb + 1) div 2"), col("mean_cents")))
+            .as("med_cents"),
+          max(when(expr("rn = (95 * nb + 99) div 100"), col("mean_cents")))
+            .as("hi_cents"),
+          max(col("nb")).as("n_replicas"))
+    }
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
     vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
-    abcClassify, skewReport, rollingCorr, curationPipeline)
+    abcClassify, skewReport, rollingCorr, curationPipeline, bootstrapCi)
 }
