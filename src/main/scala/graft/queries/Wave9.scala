@@ -963,7 +963,95 @@ object Wave9 {
     }
   }
 
+  /** JSON schema-drift audit over semi-structured payloads — the
+    * health check a JSONL training-data feed runs per batch: for each
+    * expected key, how many docs are valid JSON at all, carry the key,
+    * and pass its content rule (digits for id/score, a language
+    * whitelist for lang), as counts and exact ppm rates. Payload
+    * variants are INJECTED deterministically (missing keys, rule-
+    * violating values, extra keys, truncated JSON — the
+    * q_text_pii_redact non-vacuity pattern), so every failure mode is
+    * exercised. Content rules rather than JSON types keep the contract
+    * engine-portable: both engines unquote extracted strings, so a
+    * regexp on the extracted text reads identically, while native
+    * JSON-type introspection differs. Validity gates the extractor
+    * (DuckDB's json functions RAISE on malformed input; the CASE guard
+    * is load-bearing).
+    *
+    * Shape at 100TB: stateless map-side parse + one aggregate over
+    * (key) — the payload column is scanned once per key via a 3-row
+    * broadcast rules frame.
+    */
+  val jsonSchemaAudit: Q = Q(
+    "q_json_schema_audit",
+    """WITH p AS (SELECT doc_id,
+      |    CASE doc_id % 7
+      |      WHEN 0 THEN '{"id": ' || doc_id || ', "lang": "en", "score": '
+      |        || doc_id % 100 || '}'
+      |      WHEN 1 THEN '{"id": ' || doc_id || ', "lang": "de"}'
+      |      WHEN 2 THEN '{"id": ' || doc_id || ', "score": "abc'
+      |        || doc_id % 10 || '"}'
+      |      WHEN 3 THEN '{"id": ' || doc_id || ', "lang": "en", "score": '
+      |        || doc_id % 100 || ', "extra": true}'
+      |      WHEN 4 THEN '{"id": "x' || doc_id || '"}'
+      |      WHEN 5 THEN '{"id": ' || doc_id || ', "lang": "fr", "score": '
+      |        || doc_id % 100 || '}'
+      |      ELSE '{"id": ' || doc_id || ', "lang": "fr", "score":'
+      |    END AS payload
+      |  FROM documents),
+      |v AS (SELECT doc_id, payload, json_valid(payload) AS ok FROM p),
+      |k(key, rule) AS (VALUES ('id', '^[0-9]+$'), ('lang', '^(en|de|fr)$'),
+      |                        ('score', '^[0-9]+$')),
+      |x AS (SELECT v.doc_id, v.ok, k.key, k.rule,
+      |        CASE WHEN v.ok THEN json_extract_string(v.payload, '$.' || k.key)
+      |        END AS val
+      |      FROM v, k)
+      |SELECT key,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN ok THEN 1 END) AS n_valid_json,
+      |  COUNT(val) AS n_present,
+      |  COUNT(CASE WHEN regexp_matches(val, rule) THEN 1 END) AS n_rule_ok,
+      |  COUNT(CASE WHEN ok AND val IS NULL THEN 1 END) AS n_missing,
+      |  COUNT(val) * 1000000 // COUNT(*) AS present_ppm,
+      |  COUNT(CASE WHEN regexp_matches(val, rule) THEN 1 END) * 1000000
+      |    // COUNT(*) AS rule_ok_ppm
+      |FROM x GROUP BY key ORDER BY key""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val p = Tables.load(s, d, "documents")
+      .select(col("doc_id"), expr(
+        """CASE doc_id % 7
+          | WHEN 0 THEN '{"id": ' || doc_id || ', "lang": "en", "score": '
+          |   || doc_id % 100 || '}'
+          | WHEN 1 THEN '{"id": ' || doc_id || ', "lang": "de"}'
+          | WHEN 2 THEN '{"id": ' || doc_id || ', "score": "abc'
+          |   || doc_id % 10 || '"}'
+          | WHEN 3 THEN '{"id": ' || doc_id || ', "lang": "en", "score": '
+          |   || doc_id % 100 || ', "extra": true}'
+          | WHEN 4 THEN '{"id": "x' || doc_id || '"}'
+          | WHEN 5 THEN '{"id": ' || doc_id || ', "lang": "fr", "score": '
+          |   || doc_id % 100 || '}'
+          | ELSE '{"id": ' || doc_id || ', "lang": "fr", "score":'
+          |END""".stripMargin).as("payload"))
+    val rules = Seq(("id", "^[0-9]+$"), ("lang", "^(en|de|fr)$"),
+      ("score", "^[0-9]+$")).toDF("key", "rule")
+    p.withColumn("ok", get_json_object(col("payload"), "$").isNotNull)
+      .crossJoin(broadcast(rules))
+      .withColumn("val",
+        when(col("ok"), expr("get_json_object(payload, '$.' || key)")))
+      .withColumn("rule_ok", expr("regexp_like(val, rule)"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("ok"), 1)).as("n_valid_json"),
+        count(col("val")).as("n_present"),
+        count(when(col("rule_ok"), 1)).as("n_rule_ok"),
+        count(when(col("ok") && col("val").isNull, 1)).as("n_missing"))
+      .withColumn("present_ppm", expr("n_present * 1000000 div n_docs"))
+      .withColumn("rule_ok_ppm", expr("n_rule_ok * 1000000 div n_docs"))
+      .orderBy("key")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
     vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
-    abcClassify, skewReport, rollingCorr, curationPipeline, bootstrapCi)
+    abcClassify, skewReport, rollingCorr, curationPipeline, bootstrapCi,
+    jsonSchemaAudit)
 }
