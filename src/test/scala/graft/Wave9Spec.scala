@@ -249,6 +249,75 @@ class Wave9Spec extends AnyFunSuite {
     }
   }
 
+  test("q_curation_pipeline: verdicts are total, exact dups point at a " +
+    "same-text keeper, and injected re-crawl copies collapse") {
+    val rows = graft.queries.Wave9.curationPipeline
+      .run(spark, SharedSpark.sf001).collect()
+    val verdicts = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.load(spark, SharedSpark.sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = docs.size + docs.keys.count(_ % 83 == 5)
+    assert(rows.length == nDocs)
+    assert(Set("kept", "low_quality", "near_dup", "eval")
+      .subsetOf(verdicts.values.toSet))
+    rows.filter(_.getString(1) == "exact_dup").foreach { r =>
+      val keeper = r.getLong(2)
+      assert(keeper < r.getLong(0))
+      // keeper and dup carry the same text (copies are re-keyed +100000)
+      def textOf(id: Long) = docs.getOrElse(id, docs(id - 100000L))
+      assert(textOf(keeper) == textOf(r.getLong(0)))
+    }
+    // every quality-passing, non-eval re-crawl copy whose original also
+    // survived must collapse onto it
+    rows.filter(r => r.getLong(0) >= 100000L).foreach { r =>
+      val orig = r.getLong(0) - 100000L
+      if (r.getString(1) == "exact_dup" && verdicts.get(orig).exists(
+        v => v != "eval" && v != "low_quality"))
+        assert(r.getLong(2) == orig)
+    }
+  }
+
+  test("q_bootstrap_ci: ordered bounds, 200 replicas, CI brackets the " +
+    "exact sample mean") {
+    val r = graft.queries.Wave9.bootstrapCi
+      .run(spark, SharedSpark.sf001).collect().head
+    val (lo, med, hi, nb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nb == 200L)
+    assert(lo <= med && med <= hi && lo < hi)
+    val cents = Tables.load(spark, SharedSpark.sf001, "orders")
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect().map(_.getLong(0))
+    val mean = cents.map(BigInt(_)).sum / cents.length
+    assert(BigInt(lo) <= mean && mean <= BigInt(hi),
+      s"CI [$lo,$hi] misses mean $mean")
+  }
+
+  test("q_json_schema_audit: count identities hold and the malformed " +
+    "fraction matches the injection") {
+    val rows = graft.queries.Wave9.jsonSchemaAudit
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == Seq("id", "lang", "score"))
+    val ids = Tables.load(spark, SharedSpark.sf001, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val nMalformed = ids.count(_ % 7 == 6).toLong
+    rows.foreach { r =>
+      val (n, nValid, nPresent, nRuleOk, nMissing) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n == ids.length.toLong)
+      assert(nValid == n - nMalformed)
+      assert(nPresent == nValid - nMissing)
+      assert(nRuleOk <= nPresent)
+      assert(r.getLong(6) == nPresent * 1000000L / n)
+      assert(r.getLong(7) == nRuleOk * 1000000L / n)
+    }
+    // rule violations are real: id has the "x<d>" class, score the "abc"
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    assert(byKey("id").getLong(4) < byKey("id").getLong(3))
+    assert(byKey("score").getLong(4) < byKey("score").getLong(3))
+  }
+
   test("Url.canonicalize golden vectors") {
     import graft.functions.Url.canonicalize
     assert(canonicalize("HTTP://WWW.Example.COM:80/A/b/?z=1&utm_source=x&a=2#f")
