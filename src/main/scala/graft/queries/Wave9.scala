@@ -1050,8 +1050,60 @@ object Wave9 {
       .orderBy("key")
   }
 
+  /** Per-entity lag/rolling feature engineering — the feature matrix a
+    * demand-forecasting model trains on: per customer order history,
+    * lag-1/lag-2 value, first difference, inter-purchase gap, rolling
+    * 3-order mean (exact integer division), day-of-week, and sequence
+    * index — all from ONE window exchange on the customer key (every
+    * feature shares the same partition + sort, so Catalyst plans one
+    * shuffle + one sort for the lot).
+    */
+  val tsFeatures: Q = Q(
+    "q_ts_features",
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |        epoch_ms(o_orderdate) // 86400000 AS day,
+      |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |      FROM orders),
+      |f AS (SELECT o_custkey, o_orderkey, day, cents,
+      |        LAG(cents, 1) OVER w AS lag1,
+      |        LAG(cents, 2) OVER w AS lag2,
+      |        cents - LAG(cents, 1) OVER w AS diff1,
+      |        day - LAG(day, 1) OVER w AS days_since_prev,
+      |        CAST(SUM(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |             AS BIGINT) AS roll3_sum,
+      |        COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |          AS roll3_n,
+      |        (day + 4) % 7 AS dow,
+      |        ROW_NUMBER() OVER w AS seq
+      |      FROM o
+      |      WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey))
+      |SELECT o_custkey, o_orderkey, seq, day, dow, cents, lag1, lag2, diff1,
+      |  days_since_prev, roll3_sum // roll3_n AS roll3_mean
+      |FROM f ORDER BY o_custkey, seq""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    val fr = w.rowsBetween(-2, 0)
+    Tables.load(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L)
+          .as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("lag1", lag(col("cents"), 1).over(w))
+      .withColumn("lag2", lag(col("cents"), 2).over(w))
+      .withColumn("diff1", col("cents") - col("lag1"))
+      .withColumn("days_since_prev", col("day") - lag(col("day"), 1).over(w))
+      .withColumn("roll3_sum", sum(col("cents")).over(fr))
+      .withColumn("roll3_n", count(lit(1)).over(fr))
+      .withColumn("dow", (col("day") + 4) % 7)
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("seq"), col("day"),
+        col("dow"), col("cents"), col("lag1"), col("lag2"), col("diff1"),
+        col("days_since_prev"),
+        expr("roll3_sum div roll3_n").as("roll3_mean"))
+      .orderBy("o_custkey", "seq")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
     vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
     abcClassify, skewReport, rollingCorr, curationPipeline, bootstrapCi,
-    jsonSchemaAudit)
+    jsonSchemaAudit, tsFeatures)
 }
