@@ -208,6 +208,67 @@ object Streams {
     else None
   }
 
+  /** Streaming SCD type-2 history maintenance: each micro-batch of
+    * change rows is merged into a versioned HISTORY table (the
+    * [[graft.ops.Scd2]] shape — `[valid_from_ms, valid_to_ms)` per
+    * version, newest open-ended), using the same snapshot + atomic
+    * pointer + replay protocol as [[upsertSink]]. The merge touches
+    * ONLY the keys present in the batch: untouched keys' history rows
+    * pass through by anti-join, and the affected keys' existing
+    * versions are re-derived together with the new changes — so a
+    * LATE (out-of-order) change splices into the key's timeline
+    * exactly as a full batch rebuild would, and the maintained table
+    * equals `Scd2.buildHistory(all changes so far)` after every batch
+    * (StreamingSpec pins this). Per-key version counts are bounded by
+    * the change feed, so the rebuild side stays key-local at scale.
+    */
+  def scd2Sink(
+      changes: DataFrame,
+      key: String,
+      tsMs: String,
+      tiebreak: String,
+      tableDir: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2MergeBatch(batch, batchId, key, tsMs, tiebreak, tableDir)
+      }
+
+  /** One micro-batch of the SCD2 merge — public so replay behavior is
+    * testable without driving a stream. Same idempotence contract as
+    * [[mergeBatch]]: the pointer is the replay marker. */
+  def scd2MergeBatch(
+      batch: DataFrame,
+      batchId: Long,
+      key: String,
+      tsMs: String,
+      tiebreak: String,
+      tableDir: String): Unit = {
+    val committed = currentVersion(tableDir)
+    if (committed.exists(_ > batchId)) throw new IllegalStateException(
+      s"scd2MergeBatch: batchId $batchId is behind committed version " +
+        s"v${committed.get} at $tableDir — pair tableDir and " +
+        "checkpointLocation lifecycles, or start a new tableDir")
+    if (committed.contains(batchId)) return // checkpoint replay: already merged
+    val spark = batch.sparkSession
+    val merged = currentSnapshot(spark, tableDir) match {
+      case None => graft.ops.Scd2.buildHistory(batch, key, tsMs, tiebreak)
+      case Some(h) =>
+        val keys = batch.select(key).distinct()
+        val untouched = h.join(broadcast(keys), Seq(key), "left_anti")
+        val affectedOld = h.join(broadcast(keys), Seq(key), "left_semi")
+          .drop("valid_from_ms", "valid_to_ms")
+        val rebuilt = graft.ops.Scd2.buildHistory(
+          affectedOld.unionByName(batch), key, tsMs, tiebreak)
+        untouched.unionByName(rebuilt)
+    }
+    val vdir = s"$tableDir/v$batchId"
+    merged.write.mode("overwrite").parquet(vdir)
+    commitPointer(tableDir, s"v$batchId")
+  }
+
   private def commitPointer(tableDir: String, version: String): Unit = {
     val dir = java.nio.file.Paths.get(tableDir)
     java.nio.file.Files.createDirectories(dir)

@@ -221,6 +221,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot() == committed)
   }
 
+  test("s_stream_scd2: the maintained history equals a full batch " +
+    "rebuild after every micro-batch, including a LATE change that " +
+    "splices into an existing key's timeline; replay is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2s").toString
+    val table = s"$dir/hist"
+    def hist(rows: Seq[(Long, Long, Long, String)]) =
+      graft.ops.Scd2.buildHistory(
+        rows.toDF("k", "ts", "seq", "v"), "k", "ts", "seq")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+          r.getLong(4), r.getLong(5))).toSet
+    def snapshot() = Streams.currentSnapshot(spark, table).get
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val b0 = Seq((1L, 100L, 1L, "a1"), (2L, 100L, 2L, "b1"))
+    val b1 = Seq((1L, 200L, 3L, "a2"), (3L, 150L, 4L, "c1"))
+    // late: k=1 changed at ts=160, BETWEEN the two existing versions —
+    // must close a1 at 160 and the new row at 200
+    val b2 = Seq((1L, 160L, 5L, "a1b"))
+    Streams.scd2MergeBatch(b0.toDF("k", "ts", "seq", "v"), 0L,
+      "k", "ts", "seq", table)
+    assert(snapshot() == hist(b0))
+    Streams.scd2MergeBatch(b1.toDF("k", "ts", "seq", "v"), 1L,
+      "k", "ts", "seq", table)
+    assert(snapshot() == hist(b0 ++ b1))
+    Streams.scd2MergeBatch(b2.toDF("k", "ts", "seq", "v"), 2L,
+      "k", "ts", "seq", table)
+    assert(snapshot() == hist(b0 ++ b1 ++ b2))
+    // the spliced key has exactly three versions chained 100->160->200
+    val k1 = snapshot().filter(_._1 == 1L).toSeq.sortBy(_._5)
+    assert(k1.map(t => (t._5, t._6)) ==
+      Seq((100L, 160L), (160L, 200L), (200L, Long.MaxValue)))
+    // replay of the committed batch is a no-op
+    Streams.scd2MergeBatch(b2.toDF("k", "ts", "seq", "v"), 2L,
+      "k", "ts", "seq", table)
+    assert(Streams.currentVersion(table).contains(2L))
+    assert(snapshot() == hist(b0 ++ b1 ++ b2))
+    // a batchId strictly behind the pointer fails loudly
+    intercept[IllegalStateException] {
+      Streams.scd2MergeBatch(b1.toDF("k", "ts", "seq", "v"), 1L,
+        "k", "ts", "seq", table)
+    }
+  }
+
   test("streaming dedup verdict sink: per-batch exact/near/unique vs a " +
     "static corpus, replay-idempotent per-batch output dirs") {
     implicit val ctx = spark.sqlContext
