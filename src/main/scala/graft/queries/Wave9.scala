@@ -1102,8 +1102,120 @@ object Wave9 {
       .orderBy("o_custkey", "seq")
   }
 
+  /** Skip-gram training-pair generation with negative sampling — the
+    * word2vec corpus builder (Mikolov et al. 1310.4546) as one
+    * deterministic query: (center, context) pairs over a ±2 window,
+    * center instances kept by the frequency-subsampling gate
+    * p = (√(z/t)+1)·t/z at t=10⁻³ (every float op is one
+    * correctly-rounded IEEE step over the same tree, so both engines
+    * agree bit-for-bit; the uniform is the established md5-u32 gate),
+    * and 3 negatives per pair drawn from the unigram^(3/4)
+    * distribution — the ¾ power computed WITHOUT pow as
+    * floor(√c·√√c), two exactly-rounded roots, and the draw as
+    * md5-u32 mod Σw against broadcast cumulative ranges. Subsampling
+    * gates center instances only (window adjacency stays positional —
+    * the deterministic-window contract, documented deviation from
+    * compaction-then-pair).
+    *
+    * Shape at 100TB: tokenize + gate are map-side behind the
+    * repartition; vocab counts, the ¾-power ranges, and the total are
+    * tiny broadcasts; the context join is an equi-join on
+    * (doc, position); no shuffle carries more than the pair stream.
+    */
+  val skipgramPairs: Q = Q(
+    "q_skipgram_pairs",
+    """WITH tk AS (SELECT doc_id,
+      |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      |      FROM documents),
+      |tok AS (SELECT doc_id, i, toks[i] AS w
+      |        FROM tk, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
+      |        WHERE i <= len(toks)),
+      |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cnt),
+      |keepp AS (SELECT w, c,
+      |            (SQRT((CAST(c AS DOUBLE) / total) * 1000) + 1)
+      |              * (0.001 / (CAST(c AS DOUBLE) / total)) AS p_keep
+      |          FROM cnt, tot),
+      |kept AS (SELECT t.doc_id, t.i, t.w FROM tok t JOIN keepp k ON k.w = t.w
+      |         WHERE (CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || ':'
+      |                 || CAST(t.i AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+      |               / 4294967296.0 < k.p_keep),
+      |ctx AS (SELECT k.doc_id, k.i, k.w AS center, o.o AS off, t2.w AS context
+      |        FROM kept k, (SELECT unnest([-2, -1, 1, 2]) AS o) o
+      |        JOIN tok t2 ON t2.doc_id = k.doc_id AND t2.i = k.i + o.o),
+      |negw AS (SELECT w, CAST(FLOOR(SQRT(CAST(c AS DOUBLE))
+      |                * SQRT(SQRT(CAST(c AS DOUBLE)))) AS BIGINT) AS wt
+      |         FROM cnt),
+      |negc AS (SELECT w, wt,
+      |           CAST(SUM(wt) OVER (ORDER BY w) AS BIGINT) AS hi,
+      |           CAST(SUM(wt) OVER (ORDER BY w) - wt AS BIGINT) AS lo
+      |         FROM negw),
+      |negtot AS (SELECT CAST(SUM(wt) AS BIGINT) AS bigw FROM negw),
+      |negs AS (SELECT c.doc_id, c.i, c.off, c.center, c.context, j.j,
+      |           CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || ':'
+      |             || CAST(c.i AS VARCHAR) || ':' || CAST(c.off AS VARCHAR)
+      |             || ':' || CAST(j.j AS VARCHAR)), 1, 8)) AS BIGINT)
+      |             % nt.bigw AS u
+      |         FROM ctx c, (SELECT unnest(range(0, 3)) AS j) j, negtot nt)
+      |SELECT n.doc_id, n.i AS pos, n.off, n.center, n.context,
+      |       n.j AS neg_slot, g.w AS negative
+      |FROM negs n JOIN negc g ON n.u >= g.lo AND n.u < g.hi
+      |ORDER BY n.doc_id, pos, n.off, neg_slot""".stripMargin) { (s, d) =>
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val tok = Tables.load(s, d, "documents")
+      .repartition(np)
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(lower(text), ' '), x -> x <> '')")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"))
+    val keepp = cnt.crossJoin(broadcast(tot))
+      .withColumn("p_keep",
+        (sqrt(col("c").cast("double") / col("total") * lit(1000)) + lit(1))
+          * (lit(0.001) / (col("c").cast("double") / col("total"))))
+      .select("w", "p_keep")
+    def u32(parts: org.apache.spark.sql.Column*) =
+      conv(substring(md5(concat_ws(":", parts: _*).cast("binary")), 1, 8),
+        16, 10).cast("long")
+    val kept = tok.join(broadcast(keepp), "w")
+      .filter((u32(col("doc_id").cast("string"), col("i").cast("string"))
+        + lit(1)) / lit(4294967296.0) < col("p_keep"))
+      .select(col("doc_id"), col("i"), col("w"))
+    val t2 = tok.select(col("doc_id").as("d2"), col("i").as("i2"),
+      col("w").as("context"))
+    val ctx = kept
+      .withColumn("off", explode(array(lit(-2), lit(-1), lit(1), lit(2))))
+      // both (doc, position) legs are equi keys — SMJ/shuffle-hash on
+      // (doc_id, i+off), never a per-doc cross product
+      .join(t2, col("d2") === col("doc_id")
+        && col("i2") === col("i") + col("off"))
+      .select(col("doc_id"), col("i"), col("w").as("center"), col("off"),
+        col("context"))
+    val negw = cnt.select(col("w"),
+      floor(sqrt(col("c").cast("double"))
+        * sqrt(sqrt(col("c").cast("double")))).cast("long").as("wt"))
+    val byW = Window.orderBy("w")
+    val negc = negw
+      .withColumn("hi", sum(col("wt")).over(byW))
+      .withColumn("lo", col("hi") - col("wt"))
+    val negtot = negw.agg(sum(col("wt")).as("bigw"))
+    val negs = ctx
+      .withColumn("j", explode(array(lit(0L), lit(1L), lit(2L))))
+      .crossJoin(broadcast(negtot))
+      .withColumn("u",
+        u32(col("doc_id").cast("string"), col("i").cast("string"),
+          col("off").cast("string"), col("j").cast("string")) % col("bigw"))
+    negs
+      .join(broadcast(negc.select(col("w").as("negative"), col("lo"), col("hi"))),
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("doc_id"), col("i").as("pos"), col("off"), col("center"),
+        col("context"), col("j").as("neg_slot"), col("negative"))
+      .orderBy("doc_id", "pos", "off", "neg_slot")
+  }
+
   val all: Seq[Q] = Seq(tsEma, anomalyCusum, targetEncode, winsorize,
     vocabGrowth, sketchQuantileFx, urlCanonicalize, graphKcore, theilsenTrend,
     abcClassify, skewReport, rollingCorr, curationPipeline, bootstrapCi,
-    jsonSchemaAudit, tsFeatures)
+    jsonSchemaAudit, tsFeatures, skipgramPairs)
 }
