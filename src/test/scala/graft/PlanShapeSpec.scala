@@ -170,4 +170,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
       plan.take(1500))
   }
+
+  test("q_graph_kcore: the final degree count reads the cached edge " +
+    "relation through BROADCAST semi-joins (stats-less checkpoint " +
+    "frames must not re-shuffle the edge cache)") {
+    val df = SparkEntry.queries("q_graph_kcore")(spark, SharedSpark.sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan.take(1500))
+  }
+
+  test("q_skipgram_pairs: the context join is an equi-join on " +
+    "(doc, position) — never a per-doc cross product; the only " +
+    "nested-loop is the intended 31-row negative-range broadcast") {
+    val plan = staticPlan("q_skipgram_pairs")
+    val bnl = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    // exactly the three INTENDED nested loops: two one-row scalar
+    // broadcasts (total, negtot) and the 31-row negative-range join —
+    // a fourth would mean the context join degenerated
+    assert(bnl.size <= 3, s"expected at most 3 broadcast nested loops, " +
+      s"got ${bnl.size}:\n${plan.toString.take(1500)}")
+    assert(!plan.toString.contains("CartesianProduct"),
+      plan.toString.take(1500))
+    assert(plan.toString.contains("SortMergeJoin")
+      || plan.toString.contains("ShuffledHashJoin")
+      || plan.toString.contains("BroadcastHashJoin"),
+      plan.toString.take(1500))
+  }
+
+  test("q_curation_pipeline: the near-dup pair join reuses one shingle " +
+    "exchange (hinted SMJ -> ReusedExchange) and no cartesian product " +
+    "appears anywhere") {
+    val plan = executed("q_curation_pipeline")
+    assert(plan.contains("ReusedExchange"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
 }
