@@ -187,7 +187,36 @@ object PlanDump {
         |regardless of input size — then maxima fold to years and join
         |the broadcast 256-row register spine. The estimate is exact
         |integer division; the only other corpus aggregation is the
-        |exact-distinct witness.""".stripMargin)
+        |exact-distinct witness.""".stripMargin,
+    "q_graph_kcore" ->
+      """Fixed-round k-core peeling: the doubled edge list builds once
+        |(hinted SMJ pair self-join) and persists PRE-PARTITIONED on u,
+        |so every round's degree count reuses the cached partitioning;
+        |alive sets are localCheckpointed each round (a twice-referenced
+        |alive frame otherwise DOUBLES the logical plan per round) and
+        |join back as explicit broadcasts (stats-less LogicalRDD frames
+        |would re-shuffle the edge cache). Early exit on stable counts
+        |is result-identical because peeling is monotone.""".stripMargin,
+    "q_curation_pipeline" ->
+      """End-to-end curation: fingerprints and the quality gate are
+        |map-side behind one repartition; the near-dup stage is the
+        |df-capped hinted-SMJ shingle self-join (one ReusedExchange);
+        |eval 13-grams broadcast for decontamination; the verdict is a
+        |chain of key-local left joins. No cartesian product anywhere —
+        |each stage keeps the scale shape its standalone query
+        |pinned.""".stripMargin,
+    "q_skipgram_pairs" ->
+      """Skip-gram corpus builder: tokenize + subsampling gate are
+        |map-side; vocab counts, the 3/4-power cumulative ranges, and
+        |both scalar totals are tiny broadcasts; the context join runs
+        |on (doc, position) equi keys; the ONLY nested loops are the
+        |two one-row scalar broadcasts and the 31-row negative-range
+        |containment join.""".stripMargin,
+    "q_ts_ema" ->
+      """Dyadic EMA: the fact table aggregates once to a per-day series
+        |(days don't scale with volume) and the trailing window is a
+        |broadcast band self-join of that tiny series — the scan never
+        |joins anything; weights are shifts inside codegen.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
