@@ -888,8 +888,10 @@ object Wave9 {
     * DISTRIBUTED bootstrap (Chamandy et al., "Estimating Uncertainty
     * for Massive Data Streams", Google 2012): instead of resampling n
     * rows with replacement (which needs global coordination), every
-    * (replica, row) pair draws an independent Poisson(1) weight, here
-    * from an md5-u32 uniform pushed through the precomputed
+    * (replica, row) pair draws a Poisson(1) weight: one 48-bit md5
+    * uniform per ROW, mixed per replica by an odd multiplier mod 2^32
+    * (a bijection, so each replica's draw stays uniform; rows stay
+    * independent through the md5) and pushed through the precomputed
     * inverse-CDF thresholds — fully deterministic, so the whole CI
     * hash-matches. Replica means are exact integer rationals; the
     * 5/50/95 percentiles are rank-SELECTED replica means (no
@@ -907,12 +909,13 @@ object Wave9 {
     Q(
       "q_bootstrap_ci",
       s"""WITH o AS (SELECT o_orderkey,
-         |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |        CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         |        CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))
+         |             AS BIGINT) AS h48
          |      FROM orders),
          |rep AS (SELECT unnest(range(0, 200)) AS b),
          |u AS (SELECT r.b, o.cents,
-         |        CAST(('0x' || substr(md5(CAST(r.b AS VARCHAR) || ':'
-         |          || CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS u32
+         |        (o.h48 * (2 * r.b + 1)) % 4294967296 AS u32
          |      FROM o, rep r),
          |w AS (SELECT b, cents, $caseSql AS wt FROM u),
          |m AS (SELECT b, CAST(SUM(wt * cents) AS BIGINT) AS num,
@@ -931,19 +934,26 @@ object Wave9 {
          |  MAX(nb) AS n_replicas
          |FROM r""".stripMargin) { (s, d) =>
       val o = Tables.load(s, d, "orders")
+        // single-file scan: without this the 200x replica fan-out runs
+        // as ONE narrow chain on one core (138s at sf0.1 — the
+        // CLAUDE.md trap)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .select(col("o_orderkey"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          // ONE md5 per ROW (48 bits), then per-replica mixing by an
+          // odd multiplier mod 2^32 — a bijection, so each replica's
+          // uniform stays uniform, and the 200x fan-out is pure long
+          // arithmetic inside codegen instead of 30M md5 string
+          // evaluations (26s of GC churn -> ~2s at sf0.1)
+          conv(substring(md5(col("o_orderkey").cast("string")
+            .cast("binary")), 1, 12), 16, 10).cast("long").as("h48"))
       val rep = s.range(0, 200).toDF("b")
-      val u32 = conv(substring(md5(
-        concat(col("b").cast("string"), lit(":"),
-          col("o_orderkey").cast("string")).cast("binary")), 1, 8),
-        16, 10).cast("long")
       val wt = PoissonThresholds.zipWithIndex.reverse
         .foldLeft(lit(PoissonThresholds.length.toLong)) {
           case (acc, (t, i)) => when(col("u32") < t, i.toLong).otherwise(acc)
         }
       val m = o.crossJoin(broadcast(rep))
-        .withColumn("u32", u32)
+        .withColumn("u32", expr("(h48 * (2 * b + 1)) % 4294967296"))
         .withColumn("wt", wt)
         .groupBy("b")
         .agg(sum(col("wt") * col("cents")).as("num"), sum(col("wt")).as("den"))
