@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.{Q, Tables}
+import graft.functions.Exact.ms
+
+/** Wave 10 — profiling, multi-touch attribution, smoothed LM
+  * estimation, survival analysis, spatial joins, perceptual-hash image
+  * dedup, and community detection.
+  *
+  * Same cross-engine determinism contract as every prior wave: exact
+  * integer/ppm arithmetic (Kneser-Ney's d = 3/4 is an exact binary
+  * fraction, so the discount multiplies through to integers), md5-u32
+  * uniforms for injected randomness, and truncating-division chains
+  * that both engines unroll identically.
+  */
+object Wave10 {
+
+  private val P = 10000000L // packed (ms, event_id) key stride
+
+  /** Per-column data-profiling report over `orders` — the Deequ/
+    * dataprofiler-style table summary (row/null/distinct counts,
+    * min/max, total string length) that any warehouse intake pipeline
+    * runs before trusting a new drop. Numerics profile in exact
+    * integer views (cents / epoch days); strings carry min/max and an
+    * exact total length.
+    *
+    * Shape at 100TB: ONE pass over the fact table computing all
+    * column stats as mergeable aggregates (count/min/max/sum), plus
+    * Spark's partial-aggregated distinct counts per column; the
+    * 6-row unpivot happens on a single aggregated row.
+    */
+  val profileTable: Q = Q(
+    "q_profile_table",
+    """WITH v AS (SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS st,
+      |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    epoch_ms(o_orderdate) // 86400000 AS day, o_orderpriority AS pri
+      |  FROM orders),
+      |a AS (SELECT COUNT(*) AS n,
+      |  COUNT(k) AS nn_k, COUNT(DISTINCT k) AS nd_k,
+      |    MIN(k) AS mn_k, MAX(k) AS mx_k,
+      |  COUNT(ck) AS nn_ck, COUNT(DISTINCT ck) AS nd_ck,
+      |    MIN(ck) AS mn_ck, MAX(ck) AS mx_ck,
+      |  COUNT(cents) AS nn_c, COUNT(DISTINCT cents) AS nd_c,
+      |    MIN(cents) AS mn_c, MAX(cents) AS mx_c,
+      |  COUNT(day) AS nn_d, COUNT(DISTINCT day) AS nd_d,
+      |    MIN(day) AS mn_d, MAX(day) AS mx_d,
+      |  COUNT(st) AS nn_st, COUNT(DISTINCT st) AS nd_st,
+      |    MIN(st) AS mns_st, MAX(st) AS mxs_st,
+      |    CAST(COALESCE(SUM(length(st)), 0) AS BIGINT) AS ls_st,
+      |  COUNT(pri) AS nn_p, COUNT(DISTINCT pri) AS nd_p,
+      |    MIN(pri) AS mns_p, MAX(pri) AS mxs_p,
+      |    CAST(COALESCE(SUM(length(pri)), 0) AS BIGINT) AS ls_p
+      |  FROM v)
+      |SELECT col_name, n_rows, n_null, n_distinct, min_num, max_num,
+      |       min_str, max_str, len_sum
+      |FROM (
+      |  SELECT 'o_orderkey' AS col_name, n AS n_rows, n - nn_k AS n_null,
+      |    nd_k AS n_distinct, mn_k AS min_num, mx_k AS max_num,
+      |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+      |    CAST(NULL AS BIGINT) AS len_sum FROM a
+      |  UNION ALL SELECT 'o_custkey', n, n - nn_ck, nd_ck, mn_ck, mx_ck,
+      |    NULL, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_totalprice_cents', n, n - nn_c, nd_c, mn_c, mx_c,
+      |    NULL, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderdate_day', n, n - nn_d, nd_d, mn_d, mx_d,
+      |    NULL, NULL, NULL FROM a
+      |  UNION ALL SELECT 'o_orderstatus', n, n - nn_st, nd_st, NULL, NULL,
+      |    mns_st, mxs_st, ls_st FROM a
+      |  UNION ALL SELECT 'o_orderpriority', n, n - nn_p, nd_p, NULL, NULL,
+      |    mns_p, mxs_p, ls_p FROM a)
+      |ORDER BY col_name""".stripMargin) { (s, d) =>
+    val v = Tables.load(s, d, "orders").select(
+      col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+      col("o_orderstatus").as("st"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+      graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L).as("day"),
+      col("o_orderpriority").as("pri"))
+    val a = v.agg(
+      count(lit(1)).as("n"),
+      count(col("k")).as("nn_k"), countDistinct(col("k")).as("nd_k"),
+      min(col("k")).as("mn_k"), max(col("k")).as("mx_k"),
+      count(col("ck")).as("nn_ck"), countDistinct(col("ck")).as("nd_ck"),
+      min(col("ck")).as("mn_ck"), max(col("ck")).as("mx_ck"),
+      count(col("cents")).as("nn_c"), countDistinct(col("cents")).as("nd_c"),
+      min(col("cents")).as("mn_c"), max(col("cents")).as("mx_c"),
+      count(col("day")).as("nn_d"), countDistinct(col("day")).as("nd_d"),
+      min(col("day")).as("mn_d"), max(col("day")).as("mx_d"),
+      count(col("st")).as("nn_st"), countDistinct(col("st")).as("nd_st"),
+      min(col("st")).as("mns_st"), max(col("st")).as("mxs_st"),
+      coalesce(sum(length(col("st"))), lit(0L)).cast(LongType).as("ls_st"),
+      count(col("pri")).as("nn_p"), countDistinct(col("pri")).as("nd_p"),
+      min(col("pri")).as("mns_p"), max(col("pri")).as("mxs_p"),
+      coalesce(sum(length(col("pri"))), lit(0L)).cast(LongType).as("ls_p"))
+    a.selectExpr(
+      """stack(6,
+        |'o_orderkey', n, n - nn_k, nd_k, mn_k, mx_k,
+        |  CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+        |'o_custkey', n, n - nn_ck, nd_ck, mn_ck, mx_ck,
+        |  CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+        |'o_totalprice_cents', n, n - nn_c, nd_c, mn_c, mx_c,
+        |  CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+        |'o_orderdate_day', n, n - nn_d, nd_d, mn_d, mx_d,
+        |  CAST(NULL AS STRING), CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+        |'o_orderstatus', n, n - nn_st, nd_st, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), mns_st, mxs_st, ls_st,
+        |'o_orderpriority', n, n - nn_p, nd_p, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), mns_p, mxs_p, ls_p
+        |) AS (col_name, n_rows, n_null, n_distinct, min_num, max_num,
+        |      min_str, max_str, len_sum)""".stripMargin)
+      .orderBy("col_name")
+  }
+
+  /** U-shaped (position-based) multi-touch attribution: every purchase
+    * splits one million ppm of credit across the user's clicks in the
+    * strictly-prior 7-day window — 40% to the first touch, 40% to the
+    * last, 20% shared equally by the middles, with the truncation
+    * remainder assigned to the first touch so the split is EXACT
+    * (c_first + c_last + (n-2)·c_mid = 10⁶ for every n ≥ 3; 10⁶/0 and
+    * 5·10⁵/5·10⁵ for n = 1/2). The window is a RANGE frame on epoch-ms
+    * ([-7d, -1ms]), and first/last touch come from min/max over the
+    * packed (ms·10⁷ + event_id) key — the q_attribution_last_touch
+    * packing, so no self-join and ONE shuffle on the user key.
+    *
+    * Shape at 100TB: identical to last-touch — one exchange, one sort,
+    * three window aggregates; the event stream never joins itself.
+    */
+  val attributionPosition: Q = {
+    val base = 1704067200000L
+    val W = 604800000L // 7 days of millis
+    Q(
+      "q_attribution_position",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    (epoch_ms(ts) - $base) * $P + event_id AS k,
+         |    epoch_ms(ts) AS ms
+         |  FROM events),
+         |w AS (SELECT user_id, event_id, event_type, ms,
+         |    COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+         |      OVER f AS n_touches,
+         |    MIN(CASE WHEN event_type = 'click' THEN k END) OVER f AS fk,
+         |    MAX(CASE WHEN event_type = 'click' THEN k END) OVER f AS lk
+         |  FROM e
+         |  WINDOW f AS (PARTITION BY user_id ORDER BY ms
+         |               RANGE BETWEEN $W PRECEDING AND 1 PRECEDING))
+         |SELECT event_id AS purchase_id, user_id, ms AS purchase_ms,
+         |  n_touches, fk % $P AS first_click_id, lk % $P AS last_click_id,
+         |  CASE WHEN n_touches = 0 THEN 0
+         |       WHEN n_touches = 1 THEN 1000000
+         |       WHEN n_touches = 2 THEN 500000
+         |       ELSE 400000 + (200000 - (200000 // (n_touches - 2))
+         |                               * (n_touches - 2)) END AS c_first_ppm,
+         |  CASE WHEN n_touches <= 2 THEN 0
+         |       ELSE 200000 // (n_touches - 2) END AS c_mid_ppm,
+         |  CASE WHEN n_touches <= 1 THEN 0
+         |       WHEN n_touches = 2 THEN 500000 ELSE 400000 END AS c_last_ppm
+         |FROM w WHERE event_type = 'purchase'
+         |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+      val f = Window.partitionBy("user_id").orderBy("ms")
+        .rangeBetween(-W, -1L)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          ((ms(col("ts")) - base) * P + col("event_id")).as("k"),
+          ms(col("ts")).as("ms"))
+        .withColumn("n_touches",
+          count(when(col("event_type") === "click", 1)).over(f))
+        .withColumn("fk",
+          min(when(col("event_type") === "click", col("k"))).over(f))
+        .withColumn("lk",
+          max(when(col("event_type") === "click", col("k"))).over(f))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ms").as("purchase_ms"), col("n_touches"),
+          (col("fk") % P).as("first_click_id"),
+          (col("lk") % P).as("last_click_id"),
+          when(col("n_touches") === 0, 0L)
+            .when(col("n_touches") === 1, 1000000L)
+            .when(col("n_touches") === 2, 500000L)
+            .otherwise(lit(400000L) + (lit(200000L) -
+              expr("200000 div (n_touches - 2)") * (col("n_touches") - 2)))
+            .as("c_first_ppm"),
+          when(col("n_touches") <= 2, 0L)
+            .otherwise(expr("200000 div (n_touches - 2)")).as("c_mid_ppm"),
+          when(col("n_touches") <= 1, 0L)
+            .when(col("n_touches") === 2, 500000L)
+            .otherwise(400000L).as("c_last_ppm"))
+        .orderBy("purchase_id")
+    }
+  }
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 4.17) in exact parts-per-million. The
+    * discount d = 0.75 is an exact binary fraction, so multiplying the
+    * estimator through by 4·T (T = corpus bigram types) makes every
+    * term an integer:
+    *   P_KN(w2|w1) = [max(4·c12−3, 0)·T + 3·N1+(w1·)·N1+(·w2)]
+    *                 / (4·T·c(w1))
+    * — the numerator's continuation half is the Kneser-Ney insight
+    * (back off to how many CONTEXTS a word completes, not how often it
+    * occurs). Emitted as one exact division in the DECIMAL(38)/HUGEINT
+    * lane.
+    *
+    * Shape at 100TB: one corpus shuffle to bigram counts; c(w1·),
+    * N1+(w1·), N1+(·w2) all fold from the bigram TYPE table (the
+    * corpus is never rescanned), and T is a one-row broadcast.
+    */
+  val lmKneserNey: Q = Q(
+    "q_lm_kneserney",
+    """WITH tk AS (SELECT list_filter(string_split(lower(text), ' '),
+      |              x -> x <> '') AS toks FROM documents),
+      |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+      |        FROM tk, (SELECT unnest(range(1,
+      |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
+      |        WHERE i <= len(toks) - 1),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+      |w1s AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nw1
+      |        FROM c2 GROUP BY 1),
+      |w2s AS (SELECT w2, COUNT(*) AS nw2 FROM c2 GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS t_types FROM c2)
+      |SELECT c2.w1, c2.w2, c2.c12, w1s.c1, w1s.nw1, w2s.nw2, t.t_types,
+      |  CAST((CAST(GREATEST(4 * c2.c12 - 3, 0) AS HUGEINT) * t.t_types
+      |        + 3 * CAST(w1s.nw1 AS HUGEINT) * w2s.nw2) * 1000000
+      |       // (4 * CAST(t.t_types AS HUGEINT) * w1s.c1) AS BIGINT)
+      |    AS pkn_e6
+      |FROM c2 JOIN w1s USING (w1) JOIN w2s USING (w2), t
+      |WHERE c2.c12 >= 5
+      |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    val bg = Tables.load(s, d, "documents")
+      // single-file input: spread the compiled shingle kernel across cores
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(explode(graft.text.Text.shingleListUdf(2)(col("text"))).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c12"))
+    val w1s = c2.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("nw1"))
+    val w2s = c2.groupBy("w2").agg(count(lit(1)).as("nw2"))
+    val t = c2.agg(count(lit(1)).as("t_types"))
+    c2.join(w1s, "w1").join(w2s, "w2").crossJoin(broadcast(t))
+      .filter(col("c12") >= 5)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("nw1"),
+        col("nw2"), col("t_types"),
+        expr("""CAST((CAST(GREATEST(4 * c12 - 3, 0) AS DECIMAL(38,0)) * t_types
+               |      + 3 * CAST(nw1 AS DECIMAL(38,0)) * nw2) * 1000000
+               |     div (4 * CAST(t_types AS DECIMAL(38,0)) * c1) AS BIGINT)"""
+          .stripMargin).as("pkn_e6"))
+      .orderBy("w1", "w2")
+  }
+
+  /** Kaplan-Meier survival analysis (Kaplan & Meier 1958) of customer
+    * churn at quarterly grain: a customer's lifetime runs from first
+    * to last order day; one with no order in the corpus's final 91
+    * days has churned (death), anyone still ordering is right-censored
+    * at their last observed quarter. The KM product-limit estimator
+    *   S_k = Π_{i≤k} (n_i − d_i)/n_i
+    * is computed as a TRUNCATING-DIVISION ppm chain (s_k = s_{k-1}·
+    * (n_k−d_k) div n_k, unrolled over the 8 fixed steps) — no float
+    * product to drift, and every intermediate is ≤ 10⁶·n so the chain
+    * never leaves BIGINT at any corpus size.
+    *
+    * Shape at 100TB: one aggregate to per-customer (first, last), one
+    * broadcast corpus-max-day scalar, one single-row pivot of 16
+    * conditional counts; the 8-step chain and unpivot run on that one
+    * row. Fact data is touched exactly once.
+    */
+  val survivalKm: Q = Q(
+    "q_survival_km", {
+      // n_k / s_k chain as lateral column aliases, identical text both
+      // engines modulo the integer-division spelling
+      def nK(k: Int) = (k to 7).flatMap(j => Seq(s"d$j", s"c$j")).mkString(" + ")
+      def chain(div: String) = (0 to 7).map { k =>
+        val prev = if (k == 0) "1000000" else s"s${k - 1}"
+        s"CASE WHEN n$k > 0 THEN ($prev * (n$k - d$k)) $div n$k ELSE $prev END AS s$k"
+      }.mkString(",\n")
+      val nDefs = (0 to 7).map(k => s"${nK(k)} AS n$k").mkString(",\n")
+      s"""WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) // 86400000 AS day
+         |           FROM orders),
+         |m AS (SELECT MAX(day) AS mx FROM o),
+         |cu AS (SELECT o_custkey, MIN(day) AS f, MAX(day) AS l FROM o GROUP BY 1),
+         |cl AS (SELECT LEAST((l - f) // 91, 7) AS q, (m.mx - l) > 91 AS churn
+         |       FROM cu, m),
+         |pv AS (SELECT
+         |  ${(0 to 7).map(k => s"COUNT(CASE WHEN churn AND q = $k THEN 1 END) AS d$k, COUNT(CASE WHEN NOT churn AND q = $k THEN 1 END) AS c$k").mkString(",\n  ")}
+         |  FROM cl),
+         |x AS (SELECT *,
+         |$nDefs,
+         |${chain("//")}
+         |FROM pv)
+         |SELECT step, n_risk, d_events, c_censored, s_ppm FROM (
+         |${(0 to 7).map(k => s"  SELECT CAST($k AS BIGINT) AS step, CAST(n$k AS BIGINT) AS n_risk, d$k AS d_events, c$k AS c_censored, CAST(s$k AS BIGINT) AS s_ppm FROM x").mkString("\n  UNION ALL\n")})
+         |ORDER BY step""".stripMargin
+    }) { (s, d) =>
+    val o = Tables.load(s, d, "orders").select(col("o_custkey"),
+      graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L).as("day"))
+    val m = o.agg(max(col("day")).as("mx"))
+    val cl = o.groupBy("o_custkey")
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .crossJoin(broadcast(m))
+      .select(least(expr("(l - f) div 91"), lit(7L)).as("q"),
+        (col("mx") - col("l") > 91).as("churn"))
+    val pv = cl.agg(
+      count(when(col("churn") && col("q") === 0, 1)).as("d0"),
+      count(when(!col("churn") && col("q") === 0, 1)).as("c0"),
+      count(when(col("churn") && col("q") === 1, 1)).as("d1"),
+      count(when(!col("churn") && col("q") === 1, 1)).as("c1"),
+      count(when(col("churn") && col("q") === 2, 1)).as("d2"),
+      count(when(!col("churn") && col("q") === 2, 1)).as("c2"),
+      count(when(col("churn") && col("q") === 3, 1)).as("d3"),
+      count(when(!col("churn") && col("q") === 3, 1)).as("c3"),
+      count(when(col("churn") && col("q") === 4, 1)).as("d4"),
+      count(when(!col("churn") && col("q") === 4, 1)).as("c4"),
+      count(when(col("churn") && col("q") === 5, 1)).as("d5"),
+      count(when(!col("churn") && col("q") === 5, 1)).as("c5"),
+      count(when(col("churn") && col("q") === 6, 1)).as("d6"),
+      count(when(!col("churn") && col("q") === 6, 1)).as("c6"),
+      count(when(col("churn") && col("q") === 7, 1)).as("d7"),
+      count(when(!col("churn") && col("q") === 7, 1)).as("c7"))
+    val withN = (0 to 7).foldLeft(pv) { (df, k) =>
+      df.withColumn(s"n$k",
+        (k to 7).flatMap(j => Seq(col(s"d$j"), col(s"c$j"))).reduce(_ + _))
+    }
+    val withS = (0 to 7).foldLeft(withN) { (df, k) =>
+      val prev = if (k == 0) lit(1000000L) else col(s"s${k - 1}")
+      df.withColumn(s"s$k",
+        when(col(s"n$k") > 0,
+          expr(s"(${if (k == 0) "1000000" else s"s${k - 1}"} * (n$k - d$k)) div n$k"))
+          .otherwise(prev))
+    }
+    withS.selectExpr(
+      s"""stack(8, ${(0 to 7).map(k =>
+        s"CAST($k AS BIGINT), n$k, d$k, c$k, s$k").mkString(", ")})
+         | AS (step, n_risk, d_events, c_censored, s_ppm)""".stripMargin)
+      .orderBy("step")
+  }
+
+  val all: Seq[Q] = Seq(profileTable, attributionPosition, lmKneserNey,
+    survivalKm)
+}
