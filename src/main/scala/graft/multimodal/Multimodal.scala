@@ -135,6 +135,42 @@ object Multimodal {
     out
   }
 
+  /** 64-bit difference hash (dHash) of the decoded raster — the public
+    * perceptual-hash recipe (Krawetz, "Kind of Like That", 2013):
+    * nearest-neighbor downscale to a 9x8 grayscale grid, then bit
+    * (gy*8+gx) = [gray(gy,gx) < gray(gy,gx+1)] over each row's 8
+    * horizontal gradients. Grayscale is the exact integer channel sum
+    * (no luma weights — nothing to round), and the downscale uses the
+    * same floor index math as [[resizeNearest]], so the whole hash is
+    * replayable in SQL from the source bytes. Near-duplicate IMAGES
+    * land within a few bits of each other; search is the SimHash
+    * quarter-blocking machinery ([[graft.dedup.SimHash.nearPairs]]). */
+  def dhash64(meta: MediaMeta, pixels: Array[Byte]): Long = {
+    val w = meta.width; val h = meta.height; val c = meta.channels
+    def gray(gy: Int, gx: Int): Int = {
+      val sy = gy * h / 8
+      val sx = gx * w / 9
+      val base = (sy * w + sx) * c
+      var s = 0; var k = 0
+      while (k < c) { s += pixels(base + k) & 0xff; k += 1 }
+      s
+    }
+    var out = 0L
+    var gy = 0
+    while (gy < 8) {
+      var g0 = gray(gy, 0)
+      var gx = 0
+      while (gx < 8) {
+        val g1 = gray(gy, gx + 1)
+        if (g0 < g1) out |= 1L << (gy * 8 + gx)
+        g0 = g1
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
   /** Nearest-neighbor resample of the decoded raster to (outW, outH) —
     * real pixel-space resize, channel-aware. */
   def resizeNearest(meta: MediaMeta, pixels: Array[Byte],

@@ -334,6 +334,237 @@ object Wave10 {
       .orderBy("step")
   }
 
+  /** Grid-cell-blocked spatial distance join: customers matched to
+    * suppliers within Euclidean radius 600 on a synthetic 10000x10000
+    * integer plane (coordinates are md5-u32 uniforms of the keys —
+    * deterministic, so both engines see identical geometry). The
+    * engine is the classic spatial-join shape: bucket both sides into
+    * radius-sized grid cells, replicate ONE side to its 3x3 cell
+    * neighborhood, equi-join on the cell, then verify the exact
+    * integer distance; cell width = radius makes the neighborhood
+    * cover exact (points farther than one cell apart are > R apart on
+    * that axis alone), and each supplier replica lands in a distinct
+    * cell so no pair can match twice. The oracle is the naive theta
+    * join — the hash match proves the blocking loses nothing.
+    *
+    * Shape at 100TB: the equi-join on (gx, gy) is one hash shuffle
+    * with constant 9x replication of the smaller side — never the
+    * quadratic cross join the oracle runs.
+    */
+  val spatialJoin: Q = Q(
+    "q_spatial_join",
+    """WITH c AS (SELECT c_custkey,
+      |    CAST(('0x' || substr(md5('cx:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS cx,
+      |    CAST(('0x' || substr(md5('cy:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS cy
+      |  FROM customer),
+      |s AS (SELECT s_suppkey,
+      |    CAST(('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS sx,
+      |    CAST(('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS sy
+      |  FROM supplier)
+      |SELECT c.c_custkey, s.s_suppkey, c.cx, c.cy, s.sx, s.sy,
+      |  (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy) AS dist2
+      |FROM c, s
+      |WHERE (c.cx - s.sx) * (c.cx - s.sx) + (c.cy - s.sy) * (c.cy - s.sy)
+      |      <= 360000
+      |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, d) =>
+    def coord(prefix: String, key: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 8),
+        16, 10).cast("long") % 10000L
+    val cust = Tables.load(s, d, "customer").select(col("c_custkey"),
+      coord("cx:", col("c_custkey")).as("cx"),
+      coord("cy:", col("c_custkey")).as("cy"))
+      .withColumn("gx", expr("cx div 600"))
+      .withColumn("gy", expr("cy div 600"))
+    val reps = Tables.load(s, d, "supplier").select(col("s_suppkey"),
+      coord("sx:", col("s_suppkey")).as("sx"),
+      coord("sy:", col("s_suppkey")).as("sy"))
+      .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
+      .select(col("s_suppkey"), col("sx"), col("sy"),
+        (expr("sx div 600") + col("dx")).as("gx"),
+        (expr("sy div 600") + col("dy")).as("gy"))
+    cust.join(reps, Seq("gx", "gy"))
+      .withColumn("dist2",
+        (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+          (col("cy") - col("sy")) * (col("cy") - col("sy")))
+      .filter(col("dist2") <= 360000L)
+      .select("c_custkey", "s_suppkey", "cx", "cy", "sx", "sy", "dist2")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  /** Perceptual-hash IMAGE near-duplicate detection over the real
+    * Netpbm decode path: every synthetic P6 payload is decoded
+    * ([[graft.multimodal.Multimodal.decodeNetpbm]]), dHashed from its
+    * pixel raster ([[graft.multimodal.Multimodal.dhash64]] — 9x8
+    * nearest-neighbor grayscale grid, horizontal gradient signs), and
+    * near-dup pairs (hamming <= 3) found with the SimHash 16-bit
+    * quarter blocking, which is EXACT at that threshold (pigeonhole).
+    * The image twin of q_dedup_simhash: text near-dups become pixel
+    * near-dups, and the hash survives the zero-padding tail that
+    * breaks byte-exact comparison.
+    *
+    * FULL ORACLE: the payload builder is deterministic (8-wide P6,
+    * text bytes zero-padded to the row stride), so DuckDB replays the
+    * whole chain — downscale index math, channel-sum grayscale,
+    * gradient bits, quartered signature, all-pairs hamming — from the
+    * source text via ascii(); the engine walks bytes it decoded back
+    * OUT of the PPM container, the oracle walks the bytes that went
+    * IN, and the hash match proves codec round-trip + hash + blocking
+    * in one signal (the q_multimodal_decode precedent).
+    *
+    * Shape at 100TB: decode + hash are one narrow compiled pass behind
+    * a repartition; candidate search is 4 quarter-keyed equi-joins —
+    * never all-pairs (the oracle's quadratic join exists only to prove
+    * the blocking exact).
+    */
+  val imageDhashDedup: Q = {
+    def byteAt(p: String) =
+      s"(CASE WHEN $p < n THEN ascii(substr(t, CAST($p + 1 AS BIGINT), 1)) ELSE 0 END)"
+    def grayAt(px: String) =
+      s"(${byteAt(px)} + ${byteAt(s"$px + 1")} + ${byteAt(s"$px + 2")})"
+    def quarter(j: Int) =
+      s"""SUM(CASE WHEN bit = 1 AND b // 16 = $j
+         |    THEN (1 << (b % 16)) ELSE 0 END) AS q$j""".stripMargin
+    val hamming =
+      """bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+        |   + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))"""
+        .stripMargin
+    Q(
+      "q_image_dhash_dedup",
+      s"""WITH d AS (SELECT doc_id, COALESCE(text, '') AS t,
+         |    COALESCE(length(text), 0) AS n,
+         |    GREATEST(1, (COALESCE(length(text), 0) + 23) // 24) AS h
+         |  FROM documents),
+         |cell AS (SELECT doc_id, gy * 8 + gx AS b, t, n,
+         |    (((gy * h) // 8) * 8 + (gx * 8) // 9) * 3 AS p0,
+         |    (((gy * h) // 8) * 8 + ((gx + 1) * 8) // 9) * 3 AS p1
+         |  FROM d, (SELECT unnest(range(0, 8)) AS gy) yy,
+         |       (SELECT unnest(range(0, 8)) AS gx) xx),
+         |bits AS (SELECT doc_id, b,
+         |    CASE WHEN ${grayAt("p0")} < ${grayAt("p1")} THEN 1 ELSE 0 END AS bit
+         |  FROM cell),
+         |sig AS (SELECT doc_id,
+         |  ${(0 to 3).map(quarter).mkString(",\n  ")}
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST($hamming AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE $hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      import graft.multimodal.Multimodal
+      val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val decoded = Multimodal.decode(s,
+        Multimodal.ppmAssetsFromDocuments(s, d).repartition(np))
+      import s.implicits._
+      val sigs = decoded.map { a =>
+        // synthesized payloads are always decodable; a decode error is a
+        // codec bug and must fail the run (q_multimodal_decode convention)
+        require(a.error == null, s"asset ${a.asset_id}: ${a.error}")
+        (a.asset_id, Multimodal.dhash64(a.meta, a.pixels))
+      }.toDF("doc_id", "simhash")
+      graft.dedup.SimHash.nearPairs(sigs, "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast(LongType).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007) over the co-purchase graph, FIXED-ROUND
+    * like q_graph_kcore so the contract is engine-portable: every node
+    * starts as its own label, and each of the [[LpaRounds]] rounds
+    * reassigns every node the most frequent label among its neighbors
+    * (ties to the smallest label — fully deterministic, no random tie
+    * break). `n_changed` witnesses the final round's movement in-hash
+    * (sync LPA may legally oscillate; the witness reports rather than
+    * asserts convergence). The oracle is a generated MATERIALIZED CTE
+    * chain sharing the round count.
+    *
+    * Shape at 100TB: the edge list builds once (merge-hinted pair
+    * self-join) and persists pre-partitioned on the neighbor key; each
+    * round shuffles only the node-sized label table into an SMJ plus
+    * one (node, label) count — labels are O(V), so unlike the k-core
+    * alive sets they are NOT broadcast. Per-round localCheckpoint
+    * keeps lineage flat (the k-core discipline).
+    */
+  val LpaRounds = 4
+  val graphLabelprop: Q = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""g$i AS (SELECT eu.u AS node, p.lbl AS lbl, COUNT(*) AS n
+         |  FROM eu JOIN l${i - 1} p ON p.node = eu.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY n DESC, lbl ASC) AS rn FROM g$i) t WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    Q(
+      "q_graph_labelprop",
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |eu AS MATERIALIZED (SELECT u, v FROM e
+         |  UNION ALL SELECT v AS u, u AS v FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM eu),
+         |$rounds,
+         |ch AS (SELECT COUNT(*) AS n_changed FROM l$LpaRounds a
+         |  JOIN l${LpaRounds - 1} b ON a.node = b.node AND a.lbl <> b.lbl)
+         |SELECT a.node, a.lbl AS community,
+         |  CAST(COUNT(*) OVER (PARTITION BY a.lbl) AS BIGINT) AS n_members,
+         |  ch.n_changed
+         |FROM l$LpaRounds a, ch ORDER BY node""".stripMargin) { (s, d) =>
+      val li = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .hint("merge")
+      val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
+        .hint("merge")
+      val e = a
+        .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("u", "v")
+      val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(np, col("v"))
+        .persist() // load-bearing: every round joins labels against it
+      var prev = eu.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint(true)
+      var cur = prev
+      val byNode = Window.partitionBy("u")
+        .orderBy(col("n").desc, col("lbl").asc)
+      (1 to LpaRounds).foreach { _ =>
+        val stale = prev
+        prev = cur
+        cur = eu
+          .join(cur.select(col("node").as("v"), col("lbl")), "v")
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(byNode))
+          .filter(col("rn") === 1)
+          .select(col("u").as("node"), col("lbl"))
+          .localCheckpoint(true)
+        if (stale ne prev) stale.unpersist(false)
+      }
+      val changed = cur.as("a")
+        .join(prev.as("b"), col("a.node") === col("b.node"))
+        .filter(col("a.lbl") =!= col("b.lbl"))
+        .agg(count(lit(1)).as("n_changed"))
+      cur
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("lbl")))
+        .crossJoin(broadcast(changed))
+        .select(col("node"), col("lbl").as("community"), col("n_members"),
+          col("n_changed"))
+        .orderBy("node")
+    }
+  }
+
   val all: Seq[Q] = Seq(profileTable, attributionPosition, lmKneserNey,
-    survivalKm)
+    survivalKm, spatialJoin, imageDhashDedup, graphLabelprop)
 }
