@@ -72,7 +72,11 @@ object Wave10 {
       |  UNION ALL SELECT 'o_orderpriority', n, n - nn_p, nd_p, NULL, NULL,
       |    mns_p, mxs_p, ls_p FROM a)
       |ORDER BY col_name""".stripMargin) { (s, d) =>
-    val v = Tables.load(s, d, "orders").select(
+    val v = Tables.load(s, d, "orders")
+      // single-file input + the 7x multi-distinct Expand: spread across
+      // cores before the aggregate (the q_dedup_minhash repartition lore)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(
       col("o_orderkey").as("k"), col("o_custkey").as("ck"),
       col("o_orderstatus").as("st"),
       round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
@@ -533,23 +537,29 @@ object Wave10 {
       val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         .repartition(np, col("v"))
         .persist() // load-bearing: every round joins labels against it
+      // Each round is LAZILY localCheckpointed: the final plan references
+      // round R in the main projection and rounds R and R-1 in the
+      // n_changed witness subquery — without the checkpoint those
+      // branches RE-EXECUTE the whole chain (11 round-evaluations
+      // instead of 4; measured 5.9s -> 2.4s isolated sf0.1). Lazy (not
+      // eager) keeps it one job: the checkpointed RDDs compute once on
+      // first use and are shared by every consumer, and the flat
+      // LogicalRDD keeps per-round planning cost constant. The argmax
+      // is a struct max (max n, then min label via negation): one
+      // aggregate instead of aggregate + window rank.
       var prev = eu.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       var cur = prev
-      val byNode = Window.partitionBy("u")
-        .orderBy(col("n").desc, col("lbl").asc)
       (1 to LpaRounds).foreach { _ =>
-        val stale = prev
         prev = cur
         cur = eu
           .join(cur.select(col("node").as("v"), col("lbl")), "v")
           .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
-          .withColumn("rn", row_number().over(byNode))
-          .filter(col("rn") === 1)
-          .select(col("u").as("node"), col("lbl"))
-          .localCheckpoint(true)
-        if (stale ne prev) stale.unpersist(false)
+          .groupBy(col("u"))
+          .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("u").as("node"), (-col("m.neg")).as("lbl"))
+          .localCheckpoint(false)
       }
       val changed = cur.as("a")
         .join(prev.as("b"), col("a.node") === col("b.node"))
