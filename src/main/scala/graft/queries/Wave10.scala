@@ -575,6 +575,240 @@ object Wave10 {
     }
   }
 
+  /** The fxlog2 square-and-shift recurrence as a DuckDB recursive CTE
+    * (the q_bm25_fx replay), parameterized on the CTE that supplies the
+    * distinct `n` arguments. Emits `base`/`fxl`/`lg`; join `lg` on n. */
+  private def fxlogCte(argsCte: String): String =
+    s"""base AS (SELECT n, length(bin(n)) - 1 AS e FROM $argsCte),
+       |fxl(n, i, x, r) AS (
+       |  SELECT n, 0,
+       |    CASE WHEN e <= 30 THEN n << (30 - e) ELSE n >> (e - 30) END,
+       |    CAST(e AS BIGINT) << 30
+       |  FROM base
+       |  UNION ALL
+       |  SELECT n, i + 1,
+       |    CASE WHEN ((x * x) >> 30) >= (1::BIGINT << 31)
+       |         THEN ((x * x) >> 30) >> 1 ELSE (x * x) >> 30 END,
+       |    CASE WHEN ((x * x) >> 30) >= (1::BIGINT << 31)
+       |         THEN r | (1::BIGINT << (29 - i)) ELSE r END
+       |  FROM fxl WHERE i < 30),
+       |lg AS (SELECT n, r FROM fxl WHERE i = 30)""".stripMargin
+
+  /** Mutual information + marginal entropies between customer market
+    * segment and order priority — the information-theoretic
+    * feature-selection primitive (which categorical features carry
+    * signal about each other), entirely in [[graft.plans.FxLog2]]
+    * fixed-point so the scores hash-match where IEEE log2 cannot:
+    *   cell_mi_fx = n_sp · (fxlog2(N·n_sp) − fxlog2(n_s·n_p))
+    * sums to MI · N · 2³⁰ exactly; H(seg)/H(pri) use the same identity
+    * on the margins. The log runs on ≤|cells|+|margins|+1 DISTINCT
+    * integer arguments — never per fact row.
+    *
+    * Shape at 100TB: one broadcast dim join, one aggregate to the
+    * 15-cell contingency table; everything after is arithmetic on a
+    * broadcast-sized frame.
+    */
+  val entropyMi: Q = Q(
+    "q_entropy_mi",
+    s"""WITH RECURSIVE
+       |o AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+       |      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |cells AS (SELECT seg, pri, COUNT(*) AS n_sp FROM o GROUP BY 1, 2),
+       |ms AS (SELECT seg, CAST(SUM(n_sp) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+       |mp AS (SELECT pri, CAST(SUM(n_sp) AS BIGINT) AS n_p FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_sp) AS BIGINT) AS n FROM cells),
+       |args AS (SELECT DISTINCT c.n_sp * t.n AS n FROM cells c, tot t
+       |  UNION SELECT DISTINCT ms.n_s * mp.n_p FROM cells c
+       |    JOIN ms ON ms.seg = c.seg JOIN mp ON mp.pri = c.pri
+       |  UNION SELECT DISTINCT n_s FROM ms
+       |  UNION SELECT DISTINCT n_p FROM mp
+       |  UNION SELECT n FROM tot),
+       |${fxlogCte("args")},
+       |cm AS (SELECT c.seg, c.pri, c.n_sp, ms.n_s, mp.n_p,
+       |    c.n_sp * (la.r - lb.r) AS cell_mi_fx
+       |  FROM cells c JOIN ms ON ms.seg = c.seg JOIN mp ON mp.pri = c.pri
+       |  CROSS JOIN tot t
+       |  JOIN lg la ON la.n = c.n_sp * t.n
+       |  JOIN lg lb ON lb.n = ms.n_s * mp.n_p),
+       |hs AS (SELECT CAST(SUM(ms.n_s * (ln.r - ls.r)) AS BIGINT) AS h_seg_fx
+       |  FROM ms CROSS JOIN tot t
+       |  JOIN lg ln ON ln.n = t.n JOIN lg ls ON ls.n = ms.n_s),
+       |hp AS (SELECT CAST(SUM(mp.n_p * (ln.r - lp.r)) AS BIGINT) AS h_pri_fx
+       |  FROM mp CROSS JOIN tot t
+       |  JOIN lg ln ON ln.n = t.n JOIN lg lp ON lp.n = mp.n_p),
+       |mi AS (SELECT CAST(SUM(cell_mi_fx) AS BIGINT) AS mi_fx FROM cm)
+       |SELECT cm.seg, cm.pri, cm.n_sp, cm.n_s, cm.n_p,
+       |  CAST(cm.cell_mi_fx AS BIGINT) AS cell_mi_fx,
+       |  mi.mi_fx, hs.h_seg_fx, hp.h_pri_fx
+       |FROM cm, mi, hs, hp
+       |ORDER BY seg, pri""".stripMargin) { (s, d) =>
+    def fxlog(c: org.apache.spark.sql.Column) =
+      call_function("graft_fxlog2", c)
+    val cust = Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val cells = Tables.load(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n_sp"))
+    val ms = cells.groupBy("seg").agg(sum(col("n_sp")).as("n_s"))
+    val mp = cells.groupBy("pri").agg(sum(col("n_sp")).as("n_p"))
+    val tot = cells.agg(sum(col("n_sp")).as("n"))
+    val cm = cells
+      .join(broadcast(ms), "seg").join(broadcast(mp), "pri")
+      .crossJoin(broadcast(tot))
+      .withColumn("cell_mi_fx",
+        col("n_sp") * (fxlog(col("n_sp") * col("n")) -
+          fxlog(col("n_s") * col("n_p"))))
+    val mi = cm.agg(sum(col("cell_mi_fx")).as("mi_fx"))
+    val hs = ms.crossJoin(broadcast(tot))
+      .agg(sum(col("n_s") * (fxlog(col("n")) - fxlog(col("n_s"))))
+        .as("h_seg_fx"))
+    val hp = mp.crossJoin(broadcast(tot))
+      .agg(sum(col("n_p") * (fxlog(col("n")) - fxlog(col("n_p"))))
+        .as("h_pri_fx"))
+    cm.crossJoin(broadcast(mi)).crossJoin(broadcast(hs))
+      .crossJoin(broadcast(hp))
+      .select(col("seg"), col("pri"), col("n_sp"), col("n_s"), col("n_p"),
+        col("cell_mi_fx"), col("mi_fx"), col("h_seg_fx"), col("h_pri_fx"))
+      .orderBy("seg", "pri")
+  }
+
+  /** Common-neighbor / Jaccard link prediction (Liben-Nowell & Kleinberg
+    * 2003) over the co-purchase graph: for every NON-adjacent pair at
+    * distance 2 with >= 2 shared neighbors, the common-neighbor count
+    * and the Jaccard coefficient cn/(deg_u + deg_w − cn) in exact ppm —
+    * the "customers also bought these together-adjacent parts" candidate
+    * generator for recommendations.
+    *
+    * Shape at 100TB: wedges come from ONE equi-self-join of the
+    * symmetric edge list (the triangle-count shape); the candidate set
+    * anti-joins the edge list; the degree table joins once per endpoint
+    * but builds ONE BroadcastExchange (renamed projections canonicalize
+    * identically — the q_triangle_count r6 lesson). No all-pairs stage.
+    */
+  val graphLinkpred: Q = Q(
+    "q_graph_linkpred",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |eu AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT u AS node, COUNT(*) AS deg FROM eu GROUP BY 1),
+      |w AS (SELECT a.u AS u, b.v AS w, COUNT(*) AS cn
+      |      FROM eu a JOIN eu b ON a.v = b.u AND a.u < b.v
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |cand AS (SELECT w.* FROM w
+      |         WHERE NOT EXISTS (SELECT 1 FROM e
+      |                           WHERE e.u = w.u AND e.v = w.w))
+      |SELECT c.u, c.w, c.cn, du.deg AS deg_u, dw.deg AS deg_w,
+      |  c.cn * 1000000 // (du.deg + dw.deg - c.cn) AS jaccard_ppm
+      |FROM cand c JOIN deg du ON du.node = c.u JOIN deg dw ON dw.node = c.w
+      |ORDER BY u, w""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .hint("merge")
+    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
+      .hint("merge")
+    val e = a
+      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("u", "v")
+    val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = eu.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = eu.toDF("u", "mid").hint("merge")
+      .join(eu.toDF("mid", "w").hint("merge"), "mid")
+      .filter(col("u") < col("w"))
+      .groupBy("u", "w").agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+    val cand = wedges.join(e.toDF("u", "w"), Seq("u", "w"), "left_anti")
+    cand
+      .join(broadcast(deg.toDF("u", "deg_u")), "u")
+      .join(broadcast(deg.toDF("w", "deg_w")), "w")
+      .select(col("u"), col("w"), col("cn"), col("deg_u"), col("deg_w"),
+        expr("cn * 1000000 div (deg_u + deg_w - cn)").as("jaccard_ppm"))
+      .orderBy("u", "w")
+  }
+
+  /** Holt's linear-trend double exponential smoothing (Holt 1957) of
+    * monthly order revenue over a fixed 24-month horizon, with DYADIC
+    * smoothing weights α = 1/2, β = 1/4 so both recursions are single
+    * truncating integer divisions (Spark `div` and DuckDB `//` both
+    * truncate toward zero — verified including negatives, which the
+    * trend term hits):
+    *   l_t = (x_t + l_{t−1} + b_{t−1}) div 2
+    *   b_t = (l_t − l_{t−1} + 3·b_{t−1}) div 4
+    * unrolled over the fixed steps as lateral column aliases (the
+    * q_survival_km pattern). `forecast_cents = l + b` is the one-step-
+    * ahead prediction the smoother exists to produce.
+    *
+    * Shape at 100TB: the fact table aggregates once to 24 month rows;
+    * the recursion runs on a single pivoted row.
+    */
+  val holtLinear: Q = {
+    val H = 24
+    // One CTE per step: a 24-deep LATERAL-ALIAS chain would inline
+    // ~3 references per level into a 3^24-node expression tree and hang
+    // the DuckDB planner (the k-core CTE-inlining lesson in alias
+    // form); chained CTEs reference previous COLUMNS, so nesting stays
+    // linear. b_t's same-SELECT reference to the l_t alias inlines a
+    // column-only expression once — bounded.
+    val chain = (1 until H).map { t =>
+      s"""s$t AS (SELECT *,
+         |  (x$t + l${t - 1} + b${t - 1}) // 2 AS l$t,
+         |  ((x$t + l${t - 1} + b${t - 1}) // 2 - l${t - 1} + 3 * b${t - 1}) // 4 AS b$t
+         |  FROM s${t - 1})""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q_holt_linear",
+      s"""WITH o AS (SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+         |    + EXTRACT(MONTH FROM o_orderdate) - 1 AS amo,
+         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |m0 AS (SELECT MIN(amo) AS base FROM o),
+         |mo AS (SELECT t, CAST(SUM(cents) AS BIGINT) AS cents FROM
+         |         (SELECT o.amo - m0.base AS t, o.cents FROM o, m0) s
+         |       WHERE t < $H GROUP BY 1),
+         |pv AS (SELECT
+         |  ${(0 until H).map(t => s"CAST(COALESCE(SUM(CASE WHEN t = $t THEN cents END), 0) AS BIGINT) AS x$t").mkString(",\n  ")}
+         |  FROM mo),
+         |s0 AS (SELECT *, x0 AS l0, CAST(0 AS BIGINT) AS b0 FROM pv),
+         |$chain
+         |SELECT step, x_cents, level_cents, trend_cents,
+         |  level_cents + trend_cents AS forecast_cents FROM (
+         |${(0 until H).map(t => s"  SELECT CAST($t AS BIGINT) AS step, x$t AS x_cents, l$t AS level_cents, b$t AS trend_cents FROM s${H - 1}").mkString("\n  UNION ALL\n")})
+         |ORDER BY step""".stripMargin) { (s, d) =>
+      val o = Tables.load(s, d, "orders").select(
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("amo"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val m0 = o.agg(min(col("amo")).as("base"))
+      val mo = o.crossJoin(broadcast(m0))
+        .select((col("amo") - col("base")).as("t"), col("cents"))
+        .filter(col("t") < H)
+        .groupBy("t").agg(sum(col("cents")).as("cents"))
+      val xs = (0 until H).map(t =>
+        coalesce(sum(when(col("t") === t, col("cents"))), lit(0L))
+          .as(s"x$t"))
+      val pv = mo.agg(xs.head, xs.tail: _*)
+      val init = pv.withColumn("l0", col("x0")).withColumn("b0", lit(0L))
+      val folded = (1 until H).foldLeft(init) { (df, t) =>
+        df.withColumn(s"l$t",
+            expr(s"(x$t + l${t - 1} + b${t - 1}) div 2"))
+          .withColumn(s"b$t",
+            expr(s"(l$t - l${t - 1} + 3 * b${t - 1}) div 4"))
+      }
+      folded.selectExpr(
+        s"""stack($H, ${(0 until H).map(t =>
+          s"CAST($t AS BIGINT), x$t, l$t, b$t").mkString(", ")})
+           | AS (step, x_cents, level_cents, trend_cents)""".stripMargin)
+        .withColumn("forecast_cents", col("level_cents") + col("trend_cents"))
+        .orderBy("step")
+    }
+  }
+
   val all: Seq[Q] = Seq(profileTable, attributionPosition, lmKneserNey,
-    survivalKm, spatialJoin, imageDhashDedup, graphLabelprop)
+    survivalKm, spatialJoin, imageDhashDedup, graphLabelprop, entropyMi,
+    graphLinkpred, holtLinear)
 }

@@ -250,4 +250,103 @@ class Wave10Spec extends AnyFunSuite {
     assert(sizes.exists(_._2 > 1), "expected label propagation to merge nodes")
     assert(lbl.exists { case (u, l) => u != l }, "labels must propagate")
   }
+
+  test("q_entropy_mi equals a recompute from raw contingency counts") {
+    import graft.plans.FxLog2.fxlog2
+    val cust = Tables.load(spark, SharedSpark.sf001, "customer")
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = Tables.load(spark, SharedSpark.sf001, "orders")
+      .select("o_custkey", "o_orderpriority").collect()
+      .map(r => (cust(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nS = cells.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nP = cells.groupBy(_._1._2).map { case (p, m) => p -> m.values.sum }
+    val n = cells.values.sum
+    val rows = graft.queries.Wave10.entropyMi
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == cells.size)
+    val expMi = cells.map { case ((s, p), nsp) =>
+      nsp * (fxlog2(nsp * n) - fxlog2(nS(s) * nP(p)))
+    }.sum
+    val expHs = nS.values.map(ns => ns * (fxlog2(n) - fxlog2(ns))).sum
+    val expHp = nP.values.map(np => np * (fxlog2(n) - fxlog2(np))).sum
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == cells(key) && r.getLong(3) == nS(key._1) &&
+        r.getLong(4) == nP(key._2))
+      assert(r.getLong(5) ==
+        cells(key) * (fxlog2(cells(key) * n) - fxlog2(nS(key._1) * nP(key._2))))
+      assert(r.getLong(6) == expMi && r.getLong(7) == expHs &&
+        r.getLong(8) == expHp)
+    }
+    // MI <= min(H) up to the fx truncation error bound (2^-29 per log,
+    // two logs per term, n rows of weight): information inequality
+    val slack = 4L * n
+    assert(expMi <= math.min(expHs, expHp) + slack)
+  }
+
+  test("q_graph_linkpred equals naive common-neighbor sets") {
+    val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rs =>
+      val ps = rs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = (edges ++ edges.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val expected = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      u = nodes(i); w = nodes(j)
+      if !edges.contains((u, w))
+      cn = (adj(u) & adj(w)).size.toLong
+      if cn >= 2
+    } yield ((u, w), cn)).toMap
+    val rows = graft.queries.Wave10.graphLinkpred
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == expected.size && expected.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(expected(key) == r.getLong(2), s"cn of $key")
+      assert(r.getLong(3) == adj(key._1).size && r.getLong(4) == adj(key._2).size)
+      assert(r.getLong(5) ==
+        r.getLong(2) * 1000000L / (r.getLong(3) + r.getLong(4) - r.getLong(2)))
+    }
+  }
+
+  test("q_holt_linear equals the sequential dyadic recursion") {
+    val o = Tables.load(spark, SharedSpark.sf001, "orders")
+      .select(col("o_orderdate"), round(col("o_totalprice") * 100, 0)
+        .cast("long").as("cents")).collect()
+      .map { r =>
+        val d = r.getTimestamp(0).toLocalDateTime
+        (d.getYear * 12 + d.getMonthValue - 1, r.getLong(1))
+      }
+    val base = o.map(_._1).min
+    val monthly = o.groupBy(_._1).map { case (m, rs) =>
+      (m - base) -> rs.map(_._2).sum
+    }
+    val x = (0 until 24).map(t => monthly.getOrElse(t, 0L))
+    var l = x(0); var b = 0L
+    val expect = (0 until 24).map { t =>
+      if (t > 0) {
+        val lNew = (x(t) + l + b) / 2
+        b = (lNew - l + 3 * b) / 4
+        l = lNew
+      }
+      (t.toLong, x(t), l, b)
+    }
+    val rows = graft.queries.Wave10.holtLinear
+      .run(spark, SharedSpark.sf001).collect().sortBy(_.getLong(0))
+    assert(rows.length == 24)
+    rows.zip(expect).foreach { case (r, (t, xt, lt, bt)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == xt)
+      assert(r.getLong(2) == lt, s"level at $t")
+      assert(r.getLong(3) == bt, s"trend at $t")
+      assert(r.getLong(4) == lt + bt)
+    }
+    assert(expect.exists(_._4 != 0L), "trend must move")
+  }
 }
