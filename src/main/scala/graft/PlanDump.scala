@@ -216,7 +216,33 @@ object PlanDump {
       """Dyadic EMA: the fact table aggregates once to a per-day series
         |(days don't scale with volume) and the trailing window is a
         |broadcast band self-join of that tiny series — the scan never
-        |joins anything; weights are shifts inside codegen.""".stripMargin)
+        |joins anything; weights are shifts inside codegen.""".stripMargin,
+    "q_spatial_join" ->
+      """Grid-blocked spatial join: the supplier side is exploded to its
+        |3x3 cell neighborhood (constant 9x) and joined on the (gx, gy)
+        |cell EQUI-key, exact distance verified after — never the
+        |quadratic theta join the oracle runs. Both coordinate columns
+        |are md5 codegen expressions inside the scan projection.""".stripMargin,
+    "q_image_dhash_dedup" ->
+      """Perceptual-hash image dedup: decode + dHash are ONE narrow
+        |typed pass behind the repartition (no pixel shuffle); pair
+        |search is the quarter-blocked equi-join (explode x4, join on
+        |(q, qval)), with the hamming verify inside the join project —
+        |all-pairs exists only in the oracle.""".stripMargin,
+    "q_graph_linkpred" ->
+      """Link prediction: wedges from one equi-self-join of the
+        |symmetric edge list; the candidate anti-join keys on the
+        |oriented edge pair. The degree table joins once per endpoint:
+        |its groupBy EXCHANGE is built once and reused (ReusedExchange
+        |under the second broadcast) — only the node-sized final
+        |aggregate + broadcast build repeats, which is degree-table
+        |cost, not edge-scale cost.""".stripMargin,
+    "q_graph_labelprop" ->
+      """Sync LPA rounds over a persisted edge cache pre-partitioned on
+        |the neighbor key; the node-sized label table is SHUFFLED into
+        |each round's join (labels are O(V) — never broadcast at scale),
+        |and each round ends in a lazy localCheckpoint so the witness
+        |branch reuses round RDDs instead of re-executing the chain.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
