@@ -496,7 +496,12 @@ object Wave10 {
     * keeps lineage flat (the k-core discipline).
     */
   val LpaRounds = 4
-  val graphLabelprop: Q = {
+
+  /** Shared LPA oracle scaffolding: edge build + symmetric edges +
+    * [[LpaRounds]] generated MATERIALIZED rounds (l0..l4). Used by
+    * q_graph_labelprop and q_graph_modularity so detector and metric
+    * can never drift. */
+  def lpaChainSql: String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""g$i AS (SELECT eu.u AS node, p.lbl AS lbl, COUNT(*) AS n
          |  FROM eu JOIN l${i - 1} p ON p.node = eu.v GROUP BY 1, 2),
@@ -505,62 +510,75 @@ object Wave10 {
          |      ORDER BY n DESC, lbl ASC) AS rn FROM g$i) t WHERE rn = 1)"""
         .stripMargin
     }.mkString(",\n")
+    s"""li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+       |  FROM lineitem),
+       |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |eu AS MATERIALIZED (SELECT u, v FROM e
+       |  UNION ALL SELECT v AS u, u AS v FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM eu),
+       |$rounds""".stripMargin
+  }
+
+  /** Shared LPA engine machinery: (oriented edges, symmetric cached
+    * edges, final labels, previous-round labels). See
+    * [[graphLabelprop]] for the plan-shape commentary. */
+  def lpaLabels(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .hint("merge")
+    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
+      .hint("merge")
+    val e = a
+      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("u", "v")
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(np, col("v"))
+      .persist() // load-bearing: every round joins labels against it
+    var prev = eu.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(false)
+    var cur = prev
+    (1 to LpaRounds).foreach { _ =>
+      prev = cur
+      cur = eu
+        .join(cur.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("u").as("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    (e, eu, cur, prev)
+  }
+
+  val graphLabelprop: Q = {
     Q(
       "q_graph_labelprop",
-      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
-         |  FROM lineitem),
-         |e AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
-         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-         |    AND a.l_partkey < b.l_partkey
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-         |eu AS MATERIALIZED (SELECT u, v FROM e
-         |  UNION ALL SELECT v AS u, u AS v FROM e),
-         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM eu),
-         |$rounds,
+      s"""WITH ${lpaChainSql},
          |ch AS (SELECT COUNT(*) AS n_changed FROM l$LpaRounds a
          |  JOIN l${LpaRounds - 1} b ON a.node = b.node AND a.lbl <> b.lbl)
          |SELECT a.node, a.lbl AS community,
          |  CAST(COUNT(*) OVER (PARTITION BY a.lbl) AS BIGINT) AS n_members,
          |  ch.n_changed
          |FROM l$LpaRounds a, ch ORDER BY node""".stripMargin) { (s, d) =>
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .hint("merge")
-      val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
-        .hint("merge")
-      val e = a
-        .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("u", "v")
-      val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-        .repartition(np, col("v"))
-        .persist() // load-bearing: every round joins labels against it
-      // Each round is LAZILY localCheckpointed: the final plan references
-      // round R in the main projection and rounds R and R-1 in the
-      // n_changed witness subquery — without the checkpoint those
-      // branches RE-EXECUTE the whole chain (11 round-evaluations
-      // instead of 4; measured 5.9s -> 2.4s isolated sf0.1). Lazy (not
-      // eager) keeps it one job: the checkpointed RDDs compute once on
-      // first use and are shared by every consumer, and the flat
-      // LogicalRDD keeps per-round planning cost constant. The argmax
-      // is a struct max (max n, then min label via negation): one
-      // aggregate instead of aggregate + window rank.
-      var prev = eu.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-        .localCheckpoint(false)
-      var cur = prev
-      (1 to LpaRounds).foreach { _ =>
-        prev = cur
-        cur = eu
-          .join(cur.select(col("node").as("v"), col("lbl")), "v")
-          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
-          .groupBy(col("u"))
-          .agg(max(struct(col("n"), (-col("lbl")).as("neg"))).as("m"))
-          .select(col("u").as("node"), (-col("m.neg")).as("lbl"))
-          .localCheckpoint(false)
-      }
+      // Plan shape (see PLANS.md pin): rounds in [[lpaLabels]] are
+      // LAZILY localCheckpointed — the final plan references round R in
+      // the main projection and rounds R and R-1 in the n_changed
+      // witness subquery, and without the checkpoint those branches
+      // RE-EXECUTE the whole chain (11 round-evaluations instead of 4;
+      // measured 5.9s -> 4.1s isolated sf0.1). Lazy (not eager) keeps
+      // it one job: checkpointed RDDs compute once on first use and are
+      // shared by every consumer. The argmax is a struct max (max n,
+      // then min label via negation): one aggregate, no window rank.
+      val (_, _, cur, prev) = lpaLabels(s, d)
       val changed = cur.as("a")
         .join(prev.as("b"), col("a.node") === col("b.node"))
         .filter(col("a.lbl") =!= col("b.lbl"))

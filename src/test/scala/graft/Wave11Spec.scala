@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Wave 11 invariants: integer HITS against an in-memory reference,
+  * modularity identities from a reference LPA, and the audio-frame
+  * byte walk. */
+class Wave11Spec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+
+  /** Reference LPA labels (same contract as Wave10Spec's). */
+  private def referenceLpa(): (Set[(Long, Long)], Map[Long, Seq[Long]], Map[Long, Long]) = {
+    val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rs =>
+      val ps = rs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = (edges ++ edges.map(p => (p._2, p._1))).toSeq
+      .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(u => u -> u).toMap
+    (1 to graft.queries.Wave10.LpaRounds).foreach { _ =>
+      val prev = lbl
+      lbl = adj.map { case (u, vs) =>
+        val counts = vs.groupBy(prev).map { case (l, g) => (l, g.size) }
+        u -> counts.toSeq.minBy { case (l, n) => (-n, l) }._1
+      }
+    }
+    (edges, adj, lbl)
+  }
+
+  test("q_hits_scores equals an in-memory integer HITS") {
+    val ed = Tables.load(spark, SharedSpark.sf001, "orders")
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.load(spark, SharedSpark.sf001, "lineitem")
+        .select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = ed.groupBy(_._2)
+    val byCust = ed.groupBy(_._1)
+    var h: Map[Long, Long] = byCust.keys.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    (1 to graft.queries.Wave11.HitsRounds).foreach { _ =>
+      val araw = bySupp.map { case (s, es) => s -> es.map(e => h(e._1)).sum }
+      val amx = araw.values.max
+      a = araw.map { case (s, r) =>
+        s -> (BigInt(r) * 1000000 / amx).toLong
+      }
+      val hraw = byCust.map { case (c, es) => c -> es.map(e => a(e._2)).sum }
+      val hmx = hraw.values.max
+      h = hraw.map { case (c, r) =>
+        c -> (BigInt(r) * 1000000 / hmx).toLong
+      }
+    }
+    val rows = graft.queries.Wave11.hitsScores
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == a.size + h.size)
+    rows.foreach { r =>
+      val expect = if (r.getString(0) == "auth") a(r.getLong(1)) else h(r.getLong(1))
+      assert(r.getLong(2) == expect, s"${r.getString(0)} ${r.getLong(1)}")
+    }
+    assert(rows.exists(_.getLong(2) == 1000000L), "max nodes score 1e6")
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+  }
+
+  test("q_graph_modularity equals the reference-LPA Newman formula") {
+    val (edges, adj, lbl) = referenceLpa()
+    val m = edges.size.toLong
+    val eIn: Map[Long, Long] = edges.toSeq
+      .filter { case (u, v) => lbl(u) == lbl(v) }
+      .groupBy(p => lbl(p._1))
+      .map { case (c, g) => c -> g.size.toLong }
+    val dSum: Map[Long, Long] = adj.toSeq.groupBy(p => lbl(p._1))
+      .map { case (c, g) => c -> g.map(_._2.size.toLong).sum }
+    val rows = graft.queries.Wave11.graphModularity
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == lbl.values.toSet.size)
+    var contribSum = BigInt(0)
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(r.getLong(1) == lbl.count(_._2 == c))
+      assert(r.getLong(2) == eIn.getOrElse(c, 0L), s"e_in of $c")
+      assert(r.getLong(3) == dSum(c))
+      val contrib = BigInt(4) * BigInt(m) * BigInt(eIn.getOrElse(c, 0L)) -
+        BigInt(dSum(c)) * BigInt(dSum(c))
+      assert(BigInt(r.getLong(4)) == contrib)
+      contribSum += contrib
+    }
+    // degree sums over all communities account for both edge endpoints
+    assert(rows.map(_.getLong(3)).sum == 2 * m)
+    val qPpm = (contribSum * 1000000 / (BigInt(4) * m * m)).toLong
+    assert(rows.forall(_.getLong(5) == qPpm))
+    // a flooded single community scores 0 (e_in = m, d = 2m): any other
+    // partition is a real measurement — just pin the range
+    assert(qPpm >= -1000000L && qPpm <= 1000000L)
+  }
+
+  test("q_audio_energy_vad equals the byte-walk energy recompute") {
+    val docs = Tables.load(spark, SharedSpark.sf001, "documents")
+      .select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      text.getBytes("UTF-8").grouped(160).zipWithIndex.map { case (chunk, i) =>
+        val e = chunk.map { b => val v = (b & 0xff) - 128; v.toLong * v }.sum
+        ((id, i.toLong), (chunk.length.toLong, e))
+      }
+    }.toMap
+    val rows = graft.queries.Wave11.audioEnergyVad
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == expected.size && expected.nonEmpty)
+    rows.foreach { r =>
+      val (n, e) = expected((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == e)
+      assert(r.getBoolean(4) == (e > n * 2000L))
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "VAD must fire on some frames and not others")
+  }
+}
