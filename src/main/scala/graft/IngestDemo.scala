@@ -263,6 +263,24 @@ object IngestDemo {
     println(s"[demo] stream-ohlc: ${ohRows.mkString(",")} " +
       "(n,open,high,low,close) — late k=2 moved open 100 -> 110")
 
+    // 7e. streaming z-score anomaly detection: running integer moments
+    //     per key, batch rows flagged against end-of-batch stats
+    val anIn = MemoryStream[(String, Long)]
+    val aq = streaming.Streams.runToMemory(
+      streaming.StatefulAnomaly.anomaly(
+        spark, anIn.toDF().toDF("k", "cents"), "k", "cents").toDF(),
+      "demo_anomaly", "update")
+    anIn.addData(Seq(100L, 105L, 98L, 102L, 99L, 101L, 100L, 103L, 97L,
+      100L, 104L, 96L, 101L, 99L, 100L, 102L).map(("rev", _)): _*)
+    aq.processAllAvailable()
+    anIn.addData(Seq(103L, 97L, 5000L, 100L).map(("rev", _)): _*)
+    aq.processAllAvailable()
+    aq.stop()
+    val anRows = spark.table("demo_anomaly").collect()
+      .map(r => (r.getLong(1), r.getLong(4)))
+    println(s"[demo] stream-anomaly: (n, flagged)=${anRows.mkString(",")} " +
+      "— the planted 5000-cent outlier trips the |z|>3 gate")
+
     // 8. streaming PQ encode: new vectors quantized map-side against a
     //    frozen batch-trained codebook (the FAISS `add` path;
     //    stream codes ≡ batch codes, pinned by StreamingSpec)

@@ -415,7 +415,7 @@ object DedupSim {
 
   // ---- embedding similarity --------------------------------------------
 
-  private def compSql: String =
+  private[queries] def compSql: String =
     """e AS (SELECT vec_id, label, embedding FROM embeddings),
       |pos AS (SELECT unnest(range(1, 65)) AS i),
       |comp AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v FROM e, pos),

@@ -596,7 +596,7 @@ object Wave10 {
   /** The fxlog2 square-and-shift recurrence as a DuckDB recursive CTE
     * (the q_bm25_fx replay), parameterized on the CTE that supplies the
     * distinct `n` arguments. Emits `base`/`fxl`/`lg`; join `lg` on n. */
-  private def fxlogCte(argsCte: String): String =
+  private[queries] def fxlogCte(argsCte: String): String =
     s"""base AS (SELECT n, length(bin(n)) - 1 AS e FROM $argsCte),
        |fxl(n, i, x, r) AS (
        |  SELECT n, 0,

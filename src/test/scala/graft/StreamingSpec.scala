@@ -574,4 +574,39 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch code drift on ${bad.keys.take(5).mkString(",")}")
     } finally q.stop()
   }
+
+  test("s_stream_anomaly: running moments + flag counts equal the batch " +
+    "fold at every micro-batch prefix (including an injected outlier)") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StatefulAnomaly
+    val mem = MemoryStream[(String, Long)]
+    val ds = StatefulAnomaly.anomaly(
+      spark, mem.toDF().toDF("k", "cents"), "k", "cents")
+    val q = Streams.runToMemory(ds.toDF(), "anomstream", "update")
+    try {
+      // a lone outlier's |z| is bounded by sqrt(n-1), so n must be
+      // comfortably above 10 for the |z|>3 gate to be reachable
+      val b1 = Seq(100L, 105L, 98L, 102L, 99L, 101L, 100L, 103L,
+        97L, 100L, 104L, 96L, 101L, 99L, 100L, 102L)
+      val b2 = Seq(103L, 97L, 5000L, 100L) // 5000 is the planted outlier
+      def expect(batches: Seq[Seq[Long]]) =
+        batches.foldLeft((0L, 0L, 0L, 0L))(StatefulAnomaly.fold)
+      mem.addData(b1.map(("m", _)): _*)
+      q.processAllAvailable()
+      val after1 = spark.table("anomstream").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .last
+      assert(after1 == expect(Seq(b1)))
+      mem.addData(b2.map(("m", _)): _*)
+      q.processAllAvailable()
+      val after2 = spark.table("anomstream").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .maxBy(_._1)
+      val exp2 = expect(Seq(b1, b2))
+      assert(after2 == exp2)
+      assert(exp2._4 >= 1, "the planted outlier must be flagged")
+      // a flag-free key stays flag-free
+      assert(expect(Seq(b1))._4 == 0L)
+    } finally q.stop()
+  }
 }
