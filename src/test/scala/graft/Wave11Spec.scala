@@ -119,4 +119,72 @@ class Wave11Spec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
       "VAD must fire on some frames and not others")
   }
+
+  test("q_ts_acf equals a BigInt recompute of the centered lag products") {
+    val daily = Tables.load(spark, SharedSpark.sf001, "orders")
+      .groupBy(graft.functions.Exact.bucket(
+        graft.functions.Exact.ms(col("o_orderdate")), 86400000L).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = daily.size.toLong
+    val tot = daily.values.sum
+    def c(day: Long) = BigInt(daily(day)) * n - tot
+    val d2 = daily.keys.map(d => c(d) * c(d)).sum
+    val rows = graft.queries.Wave13.tsAcf
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val lag = r.getLong(0)
+      val pairs = daily.keys.filter(d => daily.contains(d + lag)).toSeq
+      assert(r.getLong(1) == pairs.length.toLong)
+      val num = pairs.map(d => c(d) * c(d + lag)).sum
+      assert(BigInt(r.getLong(2)) == num * 1000000 / d2, s"lag $lag")
+      assert(math.abs(r.getLong(2)) <= 1000000L)
+    }
+  }
+
+  test("q_graph_assortativity equals BigInt moments over reference degrees") {
+    val (edges, adj, _) = referenceLpa()
+    val deg = adj.map { case (u, vs) => u -> vs.size.toLong }
+    val xy = (edges ++ edges.map(p => (p._2, p._1))).toSeq
+      .map { case (u, v) => (deg(u), deg(v)) }
+    val n = BigInt(xy.size)
+    val sx = BigInt(xy.map(_._1).sum); val sy = BigInt(xy.map(_._2).sum)
+    val sxy = xy.map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xy.map { case (x, _) => BigInt(x) * x }.sum
+    val syy = xy.map { case (_, y) => BigInt(y) * y }.sum
+    val num = n * sxy - sx * sy
+    val r = graft.queries.Wave13.graphAssortativity
+      .run(spark, SharedSpark.sf001).collect().head
+    assert(r.getLong(0) == xy.size.toLong)
+    assert(r.getInt(3) == num.signum)
+    assert(BigInt(r.getLong(4)) ==
+      num * num * 1000000 / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    // symmetric edge treatment: sx == sy by construction
+    assert(sx == sy)
+  }
+
+  test("q_text_sentiment equals per-doc lexicon counting") {
+    val pos = Set("good", "great", "best", "fast", "clean", "right", "new")
+    val neg = Set("bad", "slow", "wrong", "dup", "error", "old", "broken")
+    val docs = Tables.load(spark, SharedSpark.sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+    val rows = graft.queries.Wave13.textSentiment
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    var seenPos = false; var seenNeg = false
+    rows.foreach { r =>
+      val toks = byId(r.getLong(0)).toLowerCase.split(" ").filter(_.nonEmpty)
+      val np = toks.count(pos); val nn = toks.count(neg)
+      assert(r.getLong(1) == toks.length.toLong && r.getLong(2) == np &&
+        r.getLong(3) == nn)
+      if (toks.nonEmpty)
+        assert(r.getLong(4) == (np - nn).toLong * 1000000L / toks.length)
+      if (np > nn) seenPos = true
+      if (nn > np) seenNeg = true
+    }
+    assert(seenPos && seenNeg, "lexicon must discriminate on this corpus")
+  }
 }
