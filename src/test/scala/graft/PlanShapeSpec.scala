@@ -209,4 +209,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  test("q_spatial_join: the distance join is a cell EQUI-join (never a " +
+    "theta/nested-loop product) with the 9x replica Generate") {
+    val plan = executed("q_spatial_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+    assert(plan.contains("Generate"), plan.take(1500)) // the 3x3 explode
+  }
+
+  test("q_image_dhash_dedup: pair search is the quarter-blocked " +
+    "equi-join — all-pairs exists only in the oracle") {
+    val plan = executed("q_image_dhash_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+  }
+
+  test("q_graph_linkpred: wedges and candidates are equi-joins; the " +
+    "degree groupBy exchange is built once and reused") {
+    val plan = executed("q_graph_linkpred")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("ReusedExchange"), plan.take(2000))
+  }
 }
