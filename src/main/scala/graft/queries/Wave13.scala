@@ -104,7 +104,7 @@ object Wave13 {
       |       * 1000000
       |       // (CAST(n * sxx - sx * sx AS HUGEINT) * (n * syy - sy * sy))
       |    AS BIGINT) AS r2_ppm
-      |FROM m""".stripMargin) { (s, d) =>
+      |FROM m ORDER BY n_edge_ends""".stripMargin) { (s, d) =>
     val li = Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_partkey").distinct()
     val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
