@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Wave10.all ++
       graft.queries.Wave11.all ++
       graft.queries.Wave12.all ++
-      graft.queries.Wave13.all
+      graft.queries.Wave13.all ++
+      graft.queries.Wave14.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

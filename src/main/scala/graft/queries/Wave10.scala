@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -764,66 +765,81 @@ object Wave10 {
     * Shape at 100TB: the fact table aggregates once to 24 month rows;
     * the recursion runs on a single pivoted row.
     */
-  val holtLinear: Q = {
-    val H = 24
-    // One CTE per step: a 24-deep LATERAL-ALIAS chain would inline
-    // ~3 references per level into a 3^24-node expression tree and hang
-    // the DuckDB planner (the k-core CTE-inlining lesson in alias
-    // form); chained CTEs reference previous COLUMNS, so nesting stays
-    // linear. b_t's same-SELECT reference to the l_t alias inlines a
-    // column-only expression once — bounded.
+  private[queries] val HoltSteps = 24
+
+  /** Shared Holt-chain oracle scaffolding: monthly pivot + the 24-step
+    * dyadic recursion + a `series` CTE of (step, x, level, trend) rows.
+    * One CTE per step: a 24-deep LATERAL-ALIAS chain would inline
+    * ~3 references per level into a 3^24-node expression tree and hang
+    * the DuckDB planner (the k-core CTE-inlining lesson in alias
+    * form); chained CTEs reference previous COLUMNS, so nesting stays
+    * linear. Shared by q_holt_linear and q_forecast_eval so model and
+    * eval cannot drift. */
+  private[queries] def holtCteSql: String = {
+    val H = HoltSteps
     val chain = (1 until H).map { t =>
       s"""s$t AS (SELECT *,
          |  (x$t + l${t - 1} + b${t - 1}) // 2 AS l$t,
          |  ((x$t + l${t - 1} + b${t - 1}) // 2 - l${t - 1} + 3 * b${t - 1}) // 4 AS b$t
          |  FROM s${t - 1})""".stripMargin
     }.mkString(",\n")
-    Q(
-      "q_holt_linear",
-      s"""WITH o AS (SELECT EXTRACT(YEAR FROM o_orderdate) * 12
-         |    + EXTRACT(MONTH FROM o_orderdate) - 1 AS amo,
-         |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
-         |  FROM orders),
-         |m0 AS (SELECT MIN(amo) AS base FROM o),
-         |mo AS (SELECT t, CAST(SUM(cents) AS BIGINT) AS cents FROM
-         |         (SELECT o.amo - m0.base AS t, o.cents FROM o, m0) s
-         |       WHERE t < $H GROUP BY 1),
-         |pv AS (SELECT
-         |  ${(0 until H).map(t => s"CAST(COALESCE(SUM(CASE WHEN t = $t THEN cents END), 0) AS BIGINT) AS x$t").mkString(",\n  ")}
-         |  FROM mo),
-         |s0 AS (SELECT *, x0 AS l0, CAST(0 AS BIGINT) AS b0 FROM pv),
-         |$chain
-         |SELECT step, x_cents, level_cents, trend_cents,
-         |  level_cents + trend_cents AS forecast_cents FROM (
-         |${(0 until H).map(t => s"  SELECT CAST($t AS BIGINT) AS step, x$t AS x_cents, l$t AS level_cents, b$t AS trend_cents FROM s${H - 1}").mkString("\n  UNION ALL\n")})
-         |ORDER BY step""".stripMargin) { (s, d) =>
-      val o = Tables.load(s, d, "orders").select(
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
-          .as("amo"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      val m0 = o.agg(min(col("amo")).as("base"))
-      val mo = o.crossJoin(broadcast(m0))
-        .select((col("amo") - col("base")).as("t"), col("cents"))
-        .filter(col("t") < H)
-        .groupBy("t").agg(sum(col("cents")).as("cents"))
-      val xs = (0 until H).map(t =>
-        coalesce(sum(when(col("t") === t, col("cents"))), lit(0L))
-          .as(s"x$t"))
-      val pv = mo.agg(xs.head, xs.tail: _*)
-      val init = pv.withColumn("l0", col("x0")).withColumn("b0", lit(0L))
-      val folded = (1 until H).foldLeft(init) { (df, t) =>
-        df.withColumn(s"l$t",
-            expr(s"(x$t + l${t - 1} + b${t - 1}) div 2"))
-          .withColumn(s"b$t",
-            expr(s"(l$t - l${t - 1} + 3 * b${t - 1}) div 4"))
-      }
-      folded.selectExpr(
-        s"""stack($H, ${(0 until H).map(t =>
-          s"CAST($t AS BIGINT), x$t, l$t, b$t").mkString(", ")})
-           | AS (step, x_cents, level_cents, trend_cents)""".stripMargin)
-        .withColumn("forecast_cents", col("level_cents") + col("trend_cents"))
-        .orderBy("step")
+    s"""o AS (SELECT EXTRACT(YEAR FROM o_orderdate) * 12
+       |    + EXTRACT(MONTH FROM o_orderdate) - 1 AS amo,
+       |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+       |  FROM orders),
+       |m0 AS (SELECT MIN(amo) AS base FROM o),
+       |mo AS (SELECT t, CAST(SUM(cents) AS BIGINT) AS cents FROM
+       |         (SELECT o.amo - m0.base AS t, o.cents FROM o, m0) s
+       |       WHERE t < $H GROUP BY 1),
+       |pv AS (SELECT
+       |  ${(0 until H).map(t => s"CAST(COALESCE(SUM(CASE WHEN t = $t THEN cents END), 0) AS BIGINT) AS x$t").mkString(",\n  ")}
+       |  FROM mo),
+       |s0 AS (SELECT *, x0 AS l0, CAST(0 AS BIGINT) AS b0 FROM pv),
+       |$chain,
+       |series AS (
+       |${(0 until H).map(t => s"  SELECT CAST($t AS BIGINT) AS step, x$t AS x_cents, l$t AS level_cents, b$t AS trend_cents FROM s${H - 1}").mkString("\n  UNION ALL\n")})"""
+      .stripMargin
+  }
+
+  /** Shared Holt-chain engine machinery: the 24 stacked
+    * (step, x_cents, level_cents, trend_cents) rows. */
+  def holtSeries(s: SparkSession, d: String): DataFrame = {
+    val H = HoltSteps
+    val o = Tables.load(s, d, "orders").select(
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .as("amo"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val m0 = o.agg(min(col("amo")).as("base"))
+    val mo = o.crossJoin(broadcast(m0))
+      .select((col("amo") - col("base")).as("t"), col("cents"))
+      .filter(col("t") < H)
+      .groupBy("t").agg(sum(col("cents")).as("cents"))
+    val xs = (0 until H).map(t =>
+      coalesce(sum(when(col("t") === t, col("cents"))), lit(0L))
+        .as(s"x$t"))
+    val pv = mo.agg(xs.head, xs.tail: _*)
+    val init = pv.withColumn("l0", col("x0")).withColumn("b0", lit(0L))
+    val folded = (1 until H).foldLeft(init) { (df, t) =>
+      df.withColumn(s"l$t",
+          expr(s"(x$t + l${t - 1} + b${t - 1}) div 2"))
+        .withColumn(s"b$t",
+          expr(s"(l$t - l${t - 1} + 3 * b${t - 1}) div 4"))
     }
+    folded.selectExpr(
+      s"""stack($H, ${(0 until H).map(t =>
+        s"CAST($t AS BIGINT), x$t, l$t, b$t").mkString(", ")})
+         | AS (step, x_cents, level_cents, trend_cents)""".stripMargin)
+  }
+
+  val holtLinear: Q = Q(
+    "q_holt_linear",
+    s"""WITH ${holtCteSql}
+       |SELECT step, x_cents, level_cents, trend_cents,
+       |  level_cents + trend_cents AS forecast_cents
+       |FROM series ORDER BY step""".stripMargin) { (s, d) =>
+    holtSeries(s, d)
+      .withColumn("forecast_cents", col("level_cents") + col("trend_cents"))
+      .orderBy("step")
   }
 
   val all: Seq[Q] = Seq(profileTable, attributionPosition, lmKneserNey,

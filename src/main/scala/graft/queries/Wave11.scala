@@ -134,13 +134,18 @@ object Wave11 {
        |SELECT per.community, per.n_members, per.e_in, per.d_sum,
        |  per.contrib, qt.q_ppm
        |FROM per, qt ORDER BY community""".stripMargin) { (s, d) =>
-    val (e, eu, labels, _) = Wave10.lpaLabels(s, d)
-    val m = e.agg(count(lit(1)).as("m"))
-    val within = e
+    // m and e_in derive from the CACHED symmetric edge list (every
+    // undirected edge appears exactly twice, so halves are exact
+    // integers) — going back to `e` would re-run the pair self-join
+    // once per consumer (measured: 6.1s -> ~4s in-suite sf0.1)
+    val (_, eu, labels, _) = Wave10.lpaLabels(s, d)
+    val m = eu.agg(expr("CAST(COUNT(1) div 2 AS BIGINT)").as("m"))
+    val within = eu
       .join(labels.toDF("u", "cu"), "u")
       .join(labels.toDF("v", "cv"), "v")
       .filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+      .groupBy(col("cu").as("community"))
+      .agg(expr("CAST(COUNT(1) div 2 AS BIGINT)").as("e_in"))
     val deg = eu.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val ds = labels.join(deg, "node")
       .groupBy(col("lbl").as("community"))

@@ -187,4 +187,60 @@ class Wave11Spec extends AnyFunSuite {
     }
     assert(seenPos && seenNeg, "lexicon must discriminate on this corpus")
   }
+
+  test("q_forecast_eval equals the sequential Holt one-step errors") {
+    val series = graft.queries.Wave10.holtSeries(spark, SharedSpark.sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val rows = graft.queries.Wave14.forecastEval
+      .run(spark, SharedSpark.sf001).collect().sortBy(_.getLong(0))
+    assert(rows.length == series.length - 1)
+    var sumAbsErr = BigInt(0); var sumNaive = BigInt(0); var sumApe = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val (pt, px, pl, pb) = series(i)        // step t-1
+      val (t, x, _, _) = series(i + 1)        // step t
+      assert(r.getLong(0) == t && pt == t - 1)
+      val f = pl + pb
+      assert(r.getLong(2) == f && r.getLong(3) == x - f)
+      if (x > 0) assert(r.getLong(4) == math.abs(x - f) * 1000000L / x)
+      sumAbsErr += (x - f).abs; sumNaive += (x - px).abs
+      sumApe += r.getLong(4)
+    }
+    assert(rows.head.getLong(5) == sumApe / rows.length)
+    assert(BigInt(rows.head.getLong(6)) == sumAbsErr * 1000000 / sumNaive)
+    // the smoother must actually beat or track persistence-scale errors
+    assert(rows.head.getLong(6) > 0)
+  }
+
+  test("q_markov_entropy equals a fxlog2 recompute from transition counts") {
+    import graft.plans.FxLog2.fxlog2
+    val ev = Tables.load(spark, SharedSpark.sf001, "events")
+      .select(col("user_id"), col("event_type"),
+        graft.functions.Exact.ms(col("ts")).as("ms"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rs =>
+      val s = rs.sortBy(e => (e._3, e._4)).map(_._2)
+      s.zip(s.drop(1))
+    }.toSeq
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = graft.queries.Wave14.markovEntropy
+      .run(spark, SharedSpark.sf001).collect()
+    val byFrom = c.groupBy(_._1._1)
+    assert(rows.length == byFrom.size)
+    rows.foreach { r =>
+      val from = r.getString(0)
+      val cells = byFrom(from)
+      val total = cells.values.sum
+      val k = cells.size.toLong
+      assert(r.getLong(1) == total && r.getLong(2) == k)
+      val hFx = cells.values.map(n => n * (fxlog2(total) - fxlog2(n))).sum
+      assert(r.getLong(3) == hFx, s"state $from")
+      if (k > 1)
+        assert(BigInt(r.getLong(4)) ==
+          BigInt(hFx) * 1000000 / (BigInt(total) * fxlog2(k)))
+      // entropy ratio lives in [0, ~1e6] (fx truncation can nick the top)
+      if (k > 1) assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000100L)
+    }
+  }
 }
