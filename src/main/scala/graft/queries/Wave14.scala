@@ -143,5 +143,69 @@ object Wave14 {
       .orderBy("from_type")
   }
 
-  val all: Seq[Q] = Seq(forecastEval, markovEntropy)
+  /** Per-part price elasticity of demand: the log-log OLS slope of
+    * quantity on effective unit price (list price net of discount)
+    * across a part's order lines — the econometrics readout behind
+    * pricing decisions, with BOTH logs in [[graft.plans.FxLog2]]
+    * fixed point so every (x, y) pair is an exact integer and the
+    * slope is the exact rational (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    * emitted as one e6-scaled truncating division in the
+    * DECIMAL(38)/HUGEINT lane (the q_regression_group moments, fed by
+    * portable logs instead of raw values). The effective-price cents
+    * use one identical IEEE chain (div · mul · mul · round — each
+    * step correctly rounded over the same tree, the theilsen lore).
+    *
+    * Shape at 100TB: the log runs per fact row inside codegen (no
+    * dictionary needed engine-side); one aggregate to per-part
+    * moments. The ORACLE's fxlog2 dictionary is a recursive CTE over
+    * the DISTINCT price/quantity values — bounded by price-point
+    * cardinality, not row count.
+    */
+  val priceElasticity: Q = Q(
+    "q_price_elasticity",
+    s"""WITH RECURSIVE
+       |p AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(ROUND(l_extendedprice / l_quantity * (1 - l_discount) * 100,
+       |      0) AS BIGINT) AS pc
+       |  FROM lineitem),
+       |args AS (SELECT DISTINCT pc AS n FROM p
+       |  UNION SELECT DISTINCT qty FROM p),
+       |${Wave10.fxlogCte("args")},
+       |xy AS (SELECT p.l_partkey, lx.r AS x, ly.r AS y
+       |  FROM p JOIN lg lx ON lx.n = p.pc JOIN lg ly ON ly.n = p.qty),
+       |m AS (SELECT l_partkey, COUNT(*) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+       |  FROM xy GROUP BY 1 HAVING COUNT(*) >= 8)
+       |SELECT l_partkey, n,
+       |  CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+       |       // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+       |    AS elasticity_e6
+       |FROM m
+       |WHERE n * sxx - CAST(sx AS HUGEINT) * sx > 0
+       |ORDER BY l_partkey""".stripMargin) { (s, d) =>
+    def fxlog(c: org.apache.spark.sql.Column) =
+      call_function("graft_fxlog2", c)
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val xy = Tables.load(s, d, "lineitem")
+      .repartition(np)
+      .select(col("l_partkey"),
+        fxlog(round(col("l_extendedprice") / col("l_quantity")
+          * (lit(1) - col("l_discount")) * 100, 0).cast("long")).as("x"),
+        fxlog(col("l_quantity").cast("long")).as("y"))
+    val m = xy.groupBy("l_partkey").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+      .filter(col("n") >= 8)
+    m.filter(expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx > 0"))
+      .select(col("l_partkey"), col("n"),
+        expr("""CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+               |     div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+               |     AS BIGINT)""".stripMargin).as("elasticity_e6"))
+      .orderBy("l_partkey")
+  }
+
+  val all: Seq[Q] = Seq(forecastEval, markovEntropy, priceElasticity)
 }

@@ -243,4 +243,33 @@ class Wave11Spec extends AnyFunSuite {
       if (k > 1) assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000100L)
     }
   }
+
+  test("q_price_elasticity equals BigInt moments over fxlog2 pairs") {
+    import graft.plans.FxLog2.fxlog2
+    val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") / col("l_quantity")
+          * (lit(1) - col("l_discount")) * 100, 0).cast("long").as("pc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = li.groupBy(_._1)
+    val rows = graft.queries.Wave14.priceElasticity
+      .run(spark, SharedSpark.sf001).collect()
+    assert(rows.nonEmpty)
+    var sawNegative = false
+    rows.foreach { r =>
+      val lines = byPart(r.getLong(0))
+      assert(r.getLong(1) == lines.length.toLong && lines.length >= 8)
+      val xy = lines.map { case (_, q, p) => (fxlog2(p), fxlog2(q)) }
+      val n = BigInt(xy.length)
+      val sx = xy.map(p => BigInt(p._1)).sum
+      val sy = xy.map(p => BigInt(p._2)).sum
+      val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+      val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+      val den = n * sxx - sx * sx
+      assert(den > 0)
+      assert(BigInt(r.getLong(2)) == (n * sxy - sx * sy) * 1000000 / den)
+      if (r.getLong(2) < 0) sawNegative = true
+    }
+    assert(sawNegative, "demand curves must slope down somewhere")
+  }
 }
