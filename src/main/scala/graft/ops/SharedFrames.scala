@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Suite-level materialize-once registry for subplans that several
+  * registry queries share (the retrieval-eval family's sparse and
+  * dense top-k rankings, the dense doc-vector index behind them).
+  *
+  * Without this, a suite run computes the same expensive frame once
+  * per consumer — the r8 verdict measured ~15-20s of the driver bench
+  * total as the SAME two frames built three times. With it, the first
+  * consumer pays the build (an eager localCheckpoint) and later
+  * consumers reuse the materialized RDD.
+  *
+  * Mechanics:
+  *  - frames are keyed by (data dir, name), so warm-up at one SF never
+  *    leaks into the timed run at another;
+  *  - materialization is `localCheckpoint(eager = true)`: executor-
+  *    local RDD storage, scale-safe (never driver-collected — probe
+  *    top-k frames grow with the probe count, which is a corpus
+  *    fraction, not a constant);
+  *  - the backing RDD ids are tracked so harness-level cache hygiene
+  *    (Bench's inter-query blocking unpersist) can exempt them — a
+  *    localCheckpointed RDD is UNRECOVERABLE once unpersisted, and the
+  *    whole point is surviving across queries;
+  *  - [[releaseAll]] unpersists everything and clears the registry —
+  *    Verify/Bench call it after the suite (the "released after the
+  *    family runs" contract; a library user embedding these queries
+  *    calls it whenever the family is done).
+  */
+object SharedFrames {
+  private val memo =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  private val scalarMemo =
+    scala.collection.mutable.Map.empty[(String, String), Long]
+  private val sharedIds = scala.collection.mutable.Set.empty[Int]
+
+  /** Is this RDD id one of the shared materializations? (Bench's
+    * inter-query unpersist exempts these.) */
+  def isShared(rddId: Int): Boolean = synchronized(sharedIds.contains(rddId))
+
+  /** Memoized eager localCheckpoint of `build`, keyed by (dir, name). */
+  def frame(dir: String, name: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      memo.getOrElseUpdate((dir, name), {
+        val df = build
+        val sc = df.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val out = df.localCheckpoint(true)
+        sharedIds ++= (sc.getPersistentRDDs.keySet -- before)
+        out
+      })
+    }
+
+  /** Memoized driver scalar (e.g. a vocabulary size) computed next to
+    * a shared frame. */
+  def scalar(dir: String, name: String)(build: => Long): Long =
+    synchronized(scalarMemo.getOrElseUpdate((dir, name), build))
+
+  /** Unpersist every shared frame and clear the registry. */
+  def releaseAll(): Unit = synchronized {
+    memo.values.foreach { df =>
+      try df.sparkSession.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => sharedIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    memo.clear()
+    scalarMemo.clear()
+    sharedIds.clear()
+  }
+}

@@ -328,27 +328,10 @@ object DedupSim {
        |SELECT probe_id, rank, id, rrf_e9, r_sparse, r_dense
        |FROM frk WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin) {
     (s, d) =>
-      import graft.ml.Embeddings.fxDot
-      val s20 = graft.ops.TopK.perGroup(
-        TextQueries.sparseSims(s, d, probeMod = 100L),
-        partitionBy = Seq(col("probe_id")),
-        orderBy = Seq(col("sim2_e9").desc, col("doc_id").asc),
-        k = 20, rankCol = "rs")
-        .select(col("probe_id"), col("doc_id"), col("rs"))
-      val withNorm = Tables.load(s, d, "embeddings").withColumn("nrm",
-        sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
-      val probes = withNorm.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("ep"),
-          col("nrm").as("nrm_p"))
-      val scored = withNorm
-        .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-        .withColumn("dot", fxDot(col("embedding"), col("ep")).cast(DoubleType) / FxDiv)
-        .withColumn("cosine", col("dot") / (col("nrm") * col("nrm_p")))
-      val d20 = graft.ops.TopK.perGroup(scored,
-        partitionBy = Seq(col("probe_id")),
-        orderBy = Seq(col("cosine").desc, col("vec_id").asc),
-        k = 20, rankCol = "rd")
-        .select(col("probe_id"), col("vec_id"), col("rd"))
+      // Both top-20 rankings are the suite-shared materializations
+      // (RetrievalShared) — NDCG consumes the same frames at k<=10.
+      val s20 = RetrievalShared.sparseTop20(s, d)
+      val d20 = RetrievalShared.denseTop20(s, d)
       val fused = s20.join(d20,
           s20("probe_id") === d20("probe_id") && s20("doc_id") === d20("vec_id"),
           "full_outer")

@@ -1043,78 +1043,15 @@ object TextQueries {
   /** The (probe_id, doc_id, sim2_e9) similarity frame behind
     * [[sparseCosine]], parameterized on the probe gate so hybrid
     * fusion ([[DedupSim.hybridRrf]]) can score the q_ann_topk probe
-    * set through the identical exact-integer pipeline. */
+    * set through the identical exact-integer pipeline. The dense
+    * doc-vector index underneath is built ONCE per suite run and
+    * shared across every consumer ([[RetrievalShared.docvecs]]);
+    * only the probe-set scoring is per-query.
+    */
   private[queries] def sparseSims(
       s: org.apache.spark.sql.SparkSession, d: String, probeMod: Long)
-      : org.apache.spark.sql.DataFrame = {
-    // Parallelize the tokenize: the single-file scan would otherwise run
-    // the explode narrow chain on one core — and this subplan is rebuilt
-    // by every consumer below (main join, norms, both broadcasts).
-    val tf = Tables.load(s, d, "documents")
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val post = tf.join(df, "term")
-      .select(col("doc_id"), col("term"),
-        (col("tf") * expr("100000 div df")).as("w"))
-      // The postings frame is a few MB here, so AQE would coalesce the
-      // downstream 40M-row probe join + partial agg onto ONE partition
-      // (the single-core trap from CLAUDE.md); pin the parallelism on
-      // the doc key — the same key the norm join needs.
-      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("doc_id"))
-      // One cached postings relation: both docvec consumers (the probe
-      // broadcast and the scoring stream side) otherwise rebuild the
-      // tokenize -> tf -> postings chain (measured +2s at sf0.1). 32
-      // partitions — no 1-partition InMemoryRelation trap.
-      .persist()
-
-    // Dense-adjacency scoring: this corpus's vocabulary is 31 terms
-    // with df ~ 80% of N, so EVERY (probe, doc) pair shares terms —
-    // the inverted-index candidate join (kept as the oracle) would
-    // materialize the same Q x N pairs anyway, 31 rows at a time
-    // (measured 5-10s at sf0.1: 40M string-keyed join rows + a 1.3M
-    // group agg). Instead each doc folds to one dense weight vector
-    // over the term dictionary and pairs score through the codegen
-    // graft_fxsqdist kernel via the polarization identity
-    // dot = (na + nb - |a-b|^2) / 2 — exact integers, no string keys,
-    // no exploded rows (1.7s). Pairs with no shared term have num = 0
-    // and are filtered, which is exactly the candidate set the
-    // inverted oracle yields, so the two formulations are row-equal
-    // by construction. At a natural vocabulary the posting-list join
-    // (the oracle's shape) is the scale path; the crossover is corpus
-    // density, and the comment is the contract.
-    val vsize = df.count().toInt // vocab-sized: one tiny job
-    val byTerm = org.apache.spark.sql.expressions.Window.orderBy("term")
-    val dict = df.select(col("term"),
-      (row_number().over(byTerm) - 1).as("idx")) // vocab rows: window OK
-    val docvec = post.join(broadcast(dict), "term")
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
-        .as("mw"),
-        sum(col("w") * col("w")).as("n2"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(vsize - 1)),
-          i => coalesce(element_at(col("mw"), i), lit(0L))).as("v"),
-        col("n2"))
-    val qvec = docvec.filter(col("doc_id") % probeMod === 0)
-      .select(col("doc_id").as("probe_id"), col("v").as("qv"),
-        col("n2").as("na"))
-    val sim = docvec.crossJoin(broadcast(qvec))
-      .filter(col("doc_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("doc_id"), col("na"), col("n2").as("nb"),
-        expr("(na + n2 - graft_fxsqdist(v, qv)) div 2").as("num"))
-      .filter(col("num") > 0)
-      .select(col("probe_id"), col("doc_id"),
-        expr("""CAST(CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
-               |     * 1000000000
-               |     div (CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0)))
-               |     AS BIGINT)""".stripMargin).as("sim2_e9"))
-    sim
-  }
+      : org.apache.spark.sql.DataFrame =
+    RetrievalShared.sparseSims(s, d, probeMod)
 
   /** Whitespace/control-character text normalization — the cleanup
     * pass every crawl pipeline runs before tokenization (strip tabs /

@@ -164,27 +164,13 @@ object Wave12 {
        |  CAST(CAST(dcg_fx AS HUGEINT) * 1000000 // idcg_fx AS BIGINT)
        |    AS ndcg_ppm
        |FROM sc ORDER BY probe_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.types.DoubleType
-    import graft.ml.Embeddings.fxDot
-    val s10 = graft.ops.TopK.perGroup(
-      TextQueries.sparseSims(s, d, probeMod = 100L),
-      partitionBy = Seq(col("probe_id")),
-      orderBy = Seq(col("sim2_e9").desc, col("doc_id").asc),
-      k = 10, rankCol = "rs")
-      .select(col("probe_id"), col("doc_id"), col("rs"))
-    val withNorm = Tables.load(s, d, "embeddings").withColumn("nrm",
-      sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / 1e15))
-    val probes = withNorm.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("ep"),
-        col("nrm").as("nrm_p"))
-    val scored = withNorm
-      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("dot", fxDot(col("embedding"), col("ep")).cast(DoubleType) / 1e15)
-      .withColumn("cosine", col("dot") / (col("nrm") * col("nrm_p")))
-    val d10 = graft.ops.TopK.perGroup(scored,
-      partitionBy = Seq(col("probe_id")),
-      orderBy = Seq(col("cosine").desc, col("vec_id").asc),
-      k = 10, rankCol = "rd")
+    // Both rankings come from the suite-shared materializations
+    // (RetrievalShared): filtering the shared top-20 to <=10 yields
+    // rows identical to ranking at k=10 directly (same total order).
+    val s10 = RetrievalShared.sparseTop20(s, d)
+      .filter(col("rs") <= 10)
+    val d10 = RetrievalShared.denseTop20(s, d)
+      .filter(col("rd") <= 10)
       .select(col("probe_id").as("dp"), col("vec_id"))
     s10
       .withColumn("w", expr(

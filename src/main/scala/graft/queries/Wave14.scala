@@ -49,7 +49,8 @@ object Wave14 {
        |SELECT e.step, e.x_cents, e.forecast_cents, e.err_cents, e.ape_ppm,
        |  sm.mape_ppm, sm.mase_ppm
        |FROM e, sm ORDER BY step""".stripMargin) { (s, d) =>
-    val w = Window.orderBy("step")
+    // 24 recursion steps by construction — bounded frame (BoundedWindow)
+    val w = graft.ops.BoundedWindow.single(col("step"))
     val e = Wave10.holtSeries(s, d)
       .withColumn("forecast_cents",
         lag(col("level_cents"), 1).over(w) + lag(col("trend_cents"), 1).over(w))

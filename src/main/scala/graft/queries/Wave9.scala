@@ -216,8 +216,10 @@ object Wave9 {
     *
     * Shape at 100TB: one shingle pass (compiled UDF behind the
     * repartition), one shuffle to first-occurrence per type, one
-    * per-bucket aggregate; the cumulative window runs over the tiny
-    * bucket series only, never over docs.
+    * per-bucket aggregate; the cumulative sums over the docs/16 bucket
+    * series run as [[graft.ops.RankedPrefix]]'s two-phase prefix — the
+    * series is data-sized, so it never rides a single-partition global
+    * window.
     */
   val vocabGrowth: Q = Q(
     "q_vocab_growth",
@@ -239,7 +241,6 @@ object Wave9 {
       |    AS cum_types
       |FROM pb p LEFT JOIN nb n ON n.bucket = p.bucket
       |ORDER BY p.bucket""".stripMargin) { (s, d) =>
-    val cumW = Window.orderBy("bucket")
     val bg = Tables.load(s, d, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id"),
@@ -249,11 +250,24 @@ object Wave9 {
     val nb = bg.groupBy("bg").agg(min(col("doc_id")).as("first_doc"))
       .groupBy(expr("first_doc div 16").as("bucket"))
       .agg(count(lit(1)).as("n_new"))
-    pb.join(nb, Seq("bucket"), "left")
+    // The bucket series is docs/16 — data-sized, so the cumulative
+    // sums run through RankedPrefix's two-phase prefix (range-buckets
+    // over the dense bucket ids, width from one max scalar), never a
+    // single-partition global window.
+    val cur = pb.join(nb, Seq("bucket"), "left")
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .persist()
+    val maxB = cur.agg(coalesce(max(col("bucket")), lit(0L))).head.getLong(0)
+    val r = graft.ops.RankedPrefix.rankedCumsum(
+      cur,
+      bucket = graft.ops.RankedPrefix.rangeBucket(col("bucket"), maxB / 2048 + 1),
+      bucketDesc = false,
+      order = Seq(col("bucket")),
+      sums = Seq("n_bigrams" -> "cum_bigrams", "n_new" -> "cum_types"),
+      rankCol = None)
+    r.df
       .select(col("bucket"), col("n_docs"), col("n_bigrams"), col("n_new"),
-        sum(col("n_bigrams")).over(cumW).as("cum_bigrams"),
-        sum(col("n_new")).over(cumW).as("cum_types"))
+        col("cum_bigrams"), col("cum_types"))
       .orderBy("bucket")
   }
 
@@ -583,10 +597,11 @@ object Wave9 {
     * break by part key.
     *
     * Shape at 100TB: the fact table aggregates once to per-part
-    * revenue; the ranking window runs over the CATALOG-sized aggregate
-    * (items, not line items). For a catalog too large for one
-    * partition, the q_rfm_segment boundary-broadcast shape (percentile
-    * cut points, branch-free classes) is the two-phase variant.
+    * revenue; the ranking then runs as [[graft.ops.RankedPrefix]]'s
+    * two-phase prefix (log-bucket -> per-bucket subtotals -> driver
+    * prefix over bucket sums -> broadcast bases -> parallel local
+    * windows), so even a multi-million-part catalog never serializes
+    * through a single-partition global window.
     */
   val abcClassify: Q = Q(
     "q_abc_classify",
@@ -606,14 +621,27 @@ object Wave9 {
       |       WHEN cum * 1000000 // total <= 950000 THEN 'B'
       |       ELSE 'C' END AS abc
       |FROM w ORDER BY rk""".stripMargin) { (s, d) =>
-    val byRev = Window.orderBy(col("cents").desc, col("l_partkey"))
+    // Two-phase prefix (RankedPrefix): the rank/cumsum over the
+    // catalog-sized revenue frame never serializes through one task —
+    // log-bucket the revenue (monotone in the ORDER BY cents DESC
+    // leg), per-bucket subtotals, driver prefix over the <=2k bucket
+    // sums, broadcast bases, local windows per bucket. The grand total
+    // falls out of the driver prefix, replacing the SUM() OVER ()
+    // global window.
     val r = Tables.load(s, d, "lineitem")
       .groupBy("l_partkey")
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("cents"))
-    r.withColumn("rk", row_number().over(byRev))
-      .withColumn("cum", sum(col("cents")).over(byRev))
-      .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
-      .withColumn("cum_share_e6", expr("cum * 1000000 div total"))
+      .persist()
+    val ranked = graft.ops.RankedPrefix.rankedCumsum(
+      r,
+      bucket = graft.ops.RankedPrefix.logBucket(col("cents")),
+      bucketDesc = true,
+      order = Seq(col("cents").desc, col("l_partkey")),
+      sums = Seq("cents" -> "cum"),
+      rankCol = Some("rk"))
+    val total = ranked.totals("cents")
+    ranked.df
+      .withColumn("cum_share_e6", expr(s"cum * 1000000 div ${total}L"))
       .select(col("l_partkey"), col("cents"), col("rk"), col("cum"),
         col("cum_share_e6"),
         when(col("cum_share_e6") <= 800000, "A")
@@ -629,7 +657,10 @@ object Wave9 {
     * (discrete percentiles — pure element selection, no interpolation
     * formula to drift), the max/p50 skew ratio in exact ppm, and the
     * top-5 heavy keys with their own ratios. One aggregate to group
-    * sizes, windows over the key-count frame only.
+    * sizes; the percentile selection runs over the DISTINCT-size
+    * histogram via [[graft.ops.RankedPrefix]] (two-phase prefix, no
+    * O(keys) global window) and the top-5 is a sort+limit
+    * (TakeOrderedAndProject).
     */
   val skewReport: Q = Q(
     "q_skew_report",
@@ -649,22 +680,47 @@ object Wave9 {
       |  h.sz * 1000000 // p.p50_sz AS key_vs_p50_e6,
       |  p.max_sz * 1000000 // p.p50_sz AS skew_ratio_e6
       |FROM h, p WHERE h.hrk <= 5 ORDER BY h.hrk""".stripMargin) { (s, d) =>
-    val bySz = Window.orderBy("sz", "key")
     val g = Tables.load(s, d, "lineitem")
       .groupBy(col("l_partkey").as("key"))
       .agg(count(lit(1)).as("sz"))
-    val p = g
-      .withColumn("rn", row_number().over(bySz))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("total", sum(col("sz")).over(Window.partitionBy()))
+      .persist()
+    // Rank-selected percentiles over sz depend only on the DISTINCT-
+    // size histogram (ties share a size, so the sz at any global rank
+    // is the histogram row whose cumulative key count covers it). The
+    // histogram is <= O(sqrt(2N)) rows by the partition-sum argument
+    // (distinct sizes s_1 < s_2 < ... satisfy sum s_i <= N), and its
+    // cumulative count comes from RankedPrefix's two-phase prefix —
+    // no O(keys) single-partition window anywhere.
+    val h = g.groupBy("sz").agg(count(lit(1)).as("nk"))
+      .withColumn("w", col("sz") * col("nk"))
+    val rh = graft.ops.RankedPrefix.rankedCumsum(
+      h,
+      bucket = graft.ops.RankedPrefix.logBucket(col("sz")),
+      bucketDesc = false,
+      order = Seq(col("sz")),
+      sums = Seq("nk" -> "cumk", "w" -> "cumw"),
+      rankCol = None)
+    val nKeys = rh.totals("nk")
+    val nRows = rh.totals("w")
+    val p50rn = (nKeys + 1) / 2
+    val p99rn = (99 * nKeys + 99) / 100
+    val p = rh.df
+      .withColumn("lo", col("cumk") - col("nk"))
       .agg(
-        max(when(expr("rn = (n + 1) div 2"), col("sz"))).as("p50_sz"),
-        max(when(expr("rn = (99 * n + 99) div 100"), col("sz"))).as("p99_sz"),
-        max(col("sz")).as("max_sz"), max(col("n")).as("n_keys"),
-        max(col("total")).as("n_rows"))
-    g.withColumn("hrk", row_number().over(Window.orderBy(col("sz").desc,
-        col("key"))))
-      .filter(col("hrk") <= 5)
+        max(when(col("lo") < p50rn && col("cumk") >= p50rn, col("sz")))
+          .as("p50_sz"),
+        max(when(col("lo") < p99rn && col("cumk") >= p99rn, col("sz")))
+          .as("p99_sz"),
+        max(col("sz")).as("max_sz"))
+      .withColumn("n_keys", lit(nKeys))
+      .withColumn("n_rows", lit(nRows))
+    // Top-5 heavy keys: sort+limit plans as TakeOrderedAndProject (a
+    // per-partition top-5 then a 5-row merge — scale-safe); the rank
+    // column is a window over those five rows only.
+    g.orderBy(col("sz").desc, col("key")).limit(5)
+      .withColumn("hrk", row_number().over(
+        graft.ops.BoundedWindow.singleRef(col("sz"),
+          col("sz").desc, col("key"))))
       .crossJoin(broadcast(p))
       .select(col("key"), col("sz"), col("hrk"), col("n_keys"), col("n_rows"),
         col("max_sz"), col("p50_sz"), col("p99_sz"),
@@ -712,7 +768,9 @@ object Wave9 {
       |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
       |    CAST(SIGN(n * sxy - sx * sy) AS BIGINT) END AS r_sign
       |FROM w ORDER BY day""".stripMargin) { (s, d) =>
-    val fr = Window.orderBy("day").rowsBetween(-6, 0)
+    // daily series — calendar-bounded frame, deliberate single
+    // partition (BoundedWindow)
+    val fr = graft.ops.BoundedWindow.single(col("day")).rowsBetween(-6, 0)
     val daily = Tables.load(s, d, "events")
       .groupBy(graft.functions.Exact.bucket(ms(col("ts")), 86400000L).as("day"))
       .agg(count(when(col("event_type") === "click", 1)).as("x"),
@@ -959,9 +1017,13 @@ object Wave9 {
         .agg(sum(col("wt") * col("cents")).as("num"), sum(col("wt")).as("den"))
         .filter(col("den") > 0)
         .select(col("b"), expr("num div den").as("mean_cents"))
+      // 200 replicas by construction — bounded frame, deliberate
+      // single partition (BoundedWindow documents the assertion)
       m.withColumn("rn",
-          row_number().over(Window.orderBy("mean_cents", "b")))
-        .withColumn("nb", count(lit(1)).over(Window.partitionBy()))
+          row_number().over(graft.ops.BoundedWindow.single(
+            col("mean_cents"), col("b"))))
+        .withColumn("nb", count(lit(1)).over(
+          graft.ops.BoundedWindow.all(col("mean_cents"))))
         .agg(
           max(when(expr("rn = (5 * nb + 99) div 100"), col("mean_cents")))
             .as("lo_cents"),
@@ -1205,7 +1267,9 @@ object Wave9 {
     val negw = cnt.select(col("w"),
       floor(sqrt(col("c").cast("double"))
         * sqrt(sqrt(col("c").cast("double")))).cast("long").as("wt"))
-    val byW = Window.orderBy("w")
+    // vocabulary-bounded frame (one row per distinct word) —
+    // deliberate single partition (BoundedWindow)
+    val byW = graft.ops.BoundedWindow.single(col("w"))
     val negc = negw
       .withColumn("hi", sum(col("wt")).over(byW))
       .withColumn("lo", col("hi") - col("wt"))
