@@ -107,9 +107,18 @@ object Wave13 {
       |FROM m ORDER BY n_edge_ends""".stripMargin) { (s, d) =>
     val li = Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_partkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+    // A-priori prune: an edge needs co-occurrence >= 2, so both
+    // endpoints must sit on >= 2 raw lines (superset of the
+    // distinct-basket bound — see q_copurchase_pairs) — broadcast
+    // semi-join the hot items out of the self-join input (rows
+    // unchanged by the bound).
+    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 2)
+      .select("l_partkey")
+    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
+    val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
       .hint("merge")
-    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
+    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
       .hint("merge")
     val e = a
       .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
