@@ -274,7 +274,13 @@ object Multimodal {
     val enc = encode(col("text"), "UTF-8")
     graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id").as("asset_id"),
-        when(octet_length(enc) === length(col("text")), enc)
+        // NULL text passes through as an empty payload (same explicit
+        // passthrough as ppmAssetsFromDocuments) — without it the null
+        // condition falls to the otherwise branch and raise_error
+        // crashes the run instead of matching the oracles' null-doc
+        // skip (WHERE i < length(text) yields no rows for NULL).
+        when(col("text").isNull, lit(Array.emptyByteArray))
+          .when(octet_length(enc) === length(col("text")), enc)
           .otherwise(raise_error(concat(
             lit("non-ASCII document (byte!=char offsets break frame "),
             lit("slicing): "), col("doc_id"))))

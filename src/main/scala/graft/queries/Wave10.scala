@@ -166,7 +166,17 @@ object Wave10 {
         .rangeBetween(-W, -1L)
       Tables.load(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          ((ms(col("ts")) - base) * P + col("event_id")).as("k"),
+          // Packing invariants GUARDED, not assumed: k = (ms-base)*P +
+          // event_id recovers first/last_click_id via k % P only while
+          // ms >= base and event_id < P. A violating row would corrupt
+          // the recovered ids IDENTICALLY in both engines (the hash
+          // gate cannot catch it), so the engine fails loudly instead.
+          when(ms(col("ts")) >= base && col("event_id") < P,
+            (ms(col("ts")) - base) * P + col("event_id"))
+            .otherwise(raise_error(concat(
+              lit(s"attribution packing violated (ts < $base or "),
+              lit(s"event_id >= $P): event "), col("event_id"))))
+            .as("k"),
           ms(col("ts")).as("ms"))
         .withColumn("n_touches",
           count(when(col("event_type") === "click", 1)).over(f))

@@ -19,6 +19,16 @@ object Wave12 {
     * division in the DECIMAL(38)/HUGEINT lane — no nested rounded
     * means. Cell means ride along as exact 1e4-scaled divisions.
     *
+    * Magnitude envelope: each numerator term is s·n·n·n·10⁶ — with
+    * cents sums s ≲ 10^q and cell counts n ≲ 10^p it needs q+3p+6
+    * digits, so DECIMAL(38)/HUGEINT holds only while q+3p ≤ 32 (e.g.
+    * s ≤ 10^17 with n ≤ 10^5, or s ≤ 10^14 with n ≤ 10^6). A full
+    * 100TB fact table with ~10^12-row cells EXCEEDS that; the scale
+    * form factors the contrast into two divisions —
+    * (s11/n11 − s10/n10) − (s01/n01 − s00/n00) with each mean taken
+    * at 1e6 scale first — trading one-division exactness for range.
+    * Driver scale factors sit far inside the single-division envelope.
+    *
     * Shape at 100TB: arm and period are map-side expressions on the
     * fact scan (no dim join — the arm gate hashes the foreign key
     * directly); ONE aggregate to 4 cells; the contrast is arithmetic

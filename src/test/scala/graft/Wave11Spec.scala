@@ -195,18 +195,26 @@ class Wave11Spec extends AnyFunSuite {
     val rows = graft.queries.Wave14.forecastEval
       .run(spark, SharedSpark.sf001).collect().sortBy(_.getLong(0))
     assert(rows.length == series.length - 1)
-    var sumAbsErr = BigInt(0); var sumNaive = BigInt(0); var sumApe = 0L
+    // MAPE mirrors the engine's COUNT(ape_ppm) semantics: ape is NULL
+    // for a zero-revenue month, so only non-null rows enter the sum
+    // AND the divisor — an unconditional getLong(4)/rows.length would
+    // fail spuriously on a zero month instead of flagging a real bug.
+    var sumAbsErr = BigInt(0); var sumNaive = BigInt(0)
+    var sumApe = 0L; var nApe = 0L
     rows.zipWithIndex.foreach { case (r, i) =>
       val (pt, px, pl, pb) = series(i)        // step t-1
       val (t, x, _, _) = series(i + 1)        // step t
       assert(r.getLong(0) == t && pt == t - 1)
       val f = pl + pb
       assert(r.getLong(2) == f && r.getLong(3) == x - f)
-      if (x > 0) assert(r.getLong(4) == math.abs(x - f) * 1000000L / x)
+      if (x > 0) {
+        assert(!r.isNullAt(4) && r.getLong(4) == math.abs(x - f) * 1000000L / x)
+        sumApe += r.getLong(4); nApe += 1
+      } else assert(r.isNullAt(4))
       sumAbsErr += (x - f).abs; sumNaive += (x - px).abs
-      sumApe += r.getLong(4)
     }
-    assert(rows.head.getLong(5) == sumApe / rows.length)
+    assert(nApe > 0, "corpus must have at least one revenue month")
+    assert(rows.head.getLong(5) == sumApe / nApe)
     assert(BigInt(rows.head.getLong(6)) == sumAbsErr * 1000000 / sumNaive)
     // the smoother must actually beat or track persistence-scale errors
     assert(rows.head.getLong(6) > 0)
