@@ -242,7 +242,39 @@ object PlanDump {
         |the neighbor key; the node-sized label table is SHUFFLED into
         |each round's join (labels are O(V) — never broadcast at scale),
         |and each round ends in a lazy localCheckpoint so the witness
-        |branch reuses round RDDs instead of re-executing the chain.""".stripMargin)
+        |branch reuses round RDDs instead of re-executing the chain.""".stripMargin,
+    "q_hits_scores" ->
+      """Integer HITS: the edge list persists pre-partitioned on the hub
+        |key and feeds two joins per round; score tables are node-sized
+        |and SHUFFLE into those joins (never broadcast at scale); each
+        |max-normalization is a one-row broadcast (the only BNLJs — two
+        |in the final plan, one per side of the output union). Lazy
+        |per-round localCheckpoints keep the chain single-execution, so
+        |the final plan reads round RDDs, not the full lineage.""".stripMargin,
+    "q_copurchase_lift" ->
+      """Market-basket lift with an a-priori pre-prune: the broadcast
+        |LEFT-SEMI join (items with raw count >= minSupport) must sit
+        |BELOW both sides of the merge-hinted basket self-join — the
+        |quadratic-in-basket-size pair stage only ever sees prunable-
+        |surviving items. Denominator joins are broadcasts of the tiny
+        |item-count table; the scalar n_orders is a one-row broadcast
+        |BNLJ. No CartesianProduct anywhere.""".stripMargin,
+    "q_graph_assortativity" ->
+      """Degree assortativity: the same a-priori-pruned merge-hinted SMJ
+        |self-join builds the edge list ONCE (lazy localCheckpoint — the
+        |degree aggregate and the edge-end join both read the checkpoint
+        |RDD, not two executions); degree tables join back as explicit
+        |broadcasts (stats-less checkpoint frames would otherwise
+        |re-shuffle); the five moments are one map-side-partial
+        |aggregate to a single row.""".stripMargin,
+    "q_retrieval_ndcg" ->
+      """NDCG@10 over the suite-shared retrieval frames: both rankings
+        |arrive as localCheckpointed RDD scans (RetrievalShared — the
+        |tf-idf index and the exact dense ground truth are built ONCE
+        |per suite, not per consumer), so this plan is just the rs<=10 /
+        |rd<=10 filters, the relevance left join, the fxlog2 discount
+        |and one aggregate — no corpus scan, no window, no cartesian
+        |product.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -235,4 +235,67 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(plan.contains("ReusedExchange"), plan.take(2000))
   }
+
+  test("q_hits_scores: only the one-row max-norm broadcasts are nested " +
+    "loops; rounds read checkpointed RDDs, never the full lineage") {
+    val plan = staticPlan("q_hits_scores")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    val bnl = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    // exactly the two intended one-row max broadcasts (one per output
+    // side); a third would mean a round's score join degenerated
+    assert(bnl.size <= 2, s"expected <=2 one-row BNLJs, got ${bnl.size}:\n" +
+      s.take(1500))
+    assert(s.contains("Scan ExistingRDD"), s.take(1500)) // checkpointed rounds
+  }
+
+  test("q_copurchase_lift: the a-priori broadcast semi-join prunes BELOW " +
+    "both sides of the merge-hinted basket self-join") {
+    val plan = staticPlan("q_copurchase_lift")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    val smj = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, s.take(2000))
+    // both self-join inputs must already be semi-pruned (the
+    // PushLeftSemiLeftAntiThroughJoin trap would hoist it above); the
+    // second side legitimately arrives as a ReusedExchange of the
+    // first side's pruned subtree (one build, two consumers)
+    smj.head.children.foreach { side =>
+      val t = side.toString
+      assert(t.contains("LeftSemi") || t.contains("ReusedExchange"),
+        s"self-join side missing the semi prune:\n${t.take(1500)}")
+    }
+    assert(s.contains("LeftSemi"), s.take(2000))
+  }
+
+  test("q_graph_assortativity: the pruned self-join builds the edge " +
+    "list once (checkpoint scan) and degrees join back as broadcasts") {
+    val df = SparkEntry.queries("q_graph_assortativity")(spark, SharedSpark.sf001)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    assert(s.contains("Scan ExistingRDD"), s.take(1500)) // the eu checkpoint
+    assert(s.contains("BroadcastHashJoin"), s.take(1500)) // degree joins
+  }
+
+  test("q_retrieval_ndcg: consumes the suite-shared checkpointed " +
+    "rankings — no corpus scan, no window, no cartesian product") {
+    val plan = staticPlan("q_retrieval_ndcg")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    assert(s.contains("graft_fxlog2"), s.take(1500))
+    assert(s.contains("Scan ExistingRDD"), s.take(1500)) // shared frames
+    val scans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"NDCG must not rescan the corpus (shared frames): ${scans.size} scans")
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "ranking must arrive pre-cut from the shared frames")
+  }
 }
