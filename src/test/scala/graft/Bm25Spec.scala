@@ -80,7 +80,7 @@ class Bm25Spec extends AnyFunSuite {
   test("full sf0.01 table: top-k ids AND scores match the independent " +
     "reference end-to-end") {
     // the registry query's exact shape (same terms / k1 / b) over the
-    // full 5000-doc table, checked against the naive no-Spark
+    // full 500-doc table, checked against the naive no-Spark
     // reference — not the hand-built fixture
     val corpus = Tables.load(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "text").collect()
@@ -95,6 +95,18 @@ class Bm25Spec extends AnyFunSuite {
     assert(got.length == refTop.length)
     got.zip(refTop).foreach { case ((gid, gs), (rid, rs)) =>
       assert(gid == rid, s"rank order diverged: got doc $gid, want $rid")
+      assert(math.abs(gs - rs) < 1e-9, s"doc $gid: got $gs want $rs")
+    }
+    // and the REGISTRY entry end-to-end at sf0.01 (its own k=20 cut):
+    // the no-oracle query gets the same independent full-table check
+    // the oracle-backed entries get from DuckDB
+    val reg = graft.queries.TextQueries.bm25TopK
+      .run(spark, SharedSpark.sf01).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val refReg = refTop.take(20)
+    assert(reg.length == refReg.length)
+    reg.zip(refReg).foreach { case ((gid, gs), (rid, rs)) =>
+      assert(gid == rid, s"registry rank diverged: got doc $gid, want $rid")
       assert(math.abs(gs - rs) < 1e-9, s"doc $gid: got $gs want $rs")
     }
   }

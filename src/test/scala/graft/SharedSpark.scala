@@ -19,4 +19,5 @@ object SharedSpark {
     .getOrCreate()
 
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }
