@@ -30,9 +30,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: at 8g the 32-thread bench suite spent enough time in
-  // GC that queries read 3-4x their isolated runtime (the VM has 128g)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Heap sizing: at 8g the 32-thread bench suite spent enough time in
+  // GC that queries read 3-4x their isolated runtime, and a FIXED 24g
+  // can exceed a cgroup-limited driver environment's visible RAM (the
+  // r8 driver bench recorded gc_s=26.1s where this 128g VM records
+  // 0.07s with identical code — consistent with collection-time page
+  // faults under memory pressure, not allocation pressure). A
+  // container-aware percentage sizes the heap to the machine actually
+  // running it: 25% of 128g = 32g locally; 25% of whatever the driver
+  // cgroup really grants elsewhere. SPARK_DRIVER_MEM still overrides.
+  sys.env.get("SPARK_DRIVER_MEM").map(m => s"-Xmx$m")
+    .getOrElse("-XX:MaxRAMPercentage=25.0"),
   // Throughput collector: pause times are irrelevant for a local batch
   // driver, and G1's concurrent cycles were stealing cores from the
   // 32-thread suite — measured 34.1s -> 27.1/27.9s on back-to-back

@@ -132,6 +132,15 @@ object Bench {
     // and the suite's total GC wall time.
     val cores = Runtime.getRuntime.availableProcessors
     val gcTotalS = gcDetail.values.map(_._1).sum / 1e3
+    // Memory evidence for the gc_s investigation (driver recorded 26.1s
+    // at r8 where this VM records ~0.07s, same code): the heap ceiling
+    // this JVM got and the RAM it can see (container-aware on JDK 17 —
+    // getTotalMemorySize reflects the cgroup limit, not the host).
+    val heapG = Runtime.getRuntime.maxMemory >> 30
+    val ramG = try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      .getTotalMemorySize >> 30
+    catch { case _: Throwable => -1L }
     // Locale.ROOT everywhere: a non-English default locale renders %f
     // with comma decimals and breaks the single-line JSON contract.
     def fmt(dec: Int, v: Double): String =
@@ -140,7 +149,7 @@ object Bench {
       val qs = results
         .map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     // 1800 chars is the ceiling: the consumer's 2000-char tail must
     // also hold sbt's trailing "[success] Total time" line (~75), and
@@ -158,7 +167,7 @@ object Bench {
       val qs = top
         .map { case (k, v) => "\"" + k + "\":" + fmt(2, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
     }
     def topFit: String =
       (results.size to 0 by -1).iterator.map(topN)
@@ -174,7 +183,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"gc_s":$gcTotalS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":$gcTotalS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     graft.ops.SharedFrames.releaseAll()
