@@ -306,6 +306,12 @@ object PlanDump {
       sb.append(if (keepDetails(name)) plan.trim else plan.split("\n\n").head)
       sb.append("\n```\n")
     }
+    sb.append("\n## Accepted deviations\n\n")
+    sb.append("- `q_text_sentiment` scores through HOF `filter` lambdas, which\n")
+    sb.append("  run interpreted (measured ~10x slower than compiled UDFs in hot\n")
+    sb.append("  paths). Accepted: the query runs in well under a second in-suite\n")
+    sb.append("  and has never appeared in the top-75 cost list; revisit only if\n")
+    sb.append("  it does.\n")
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println(s"[plandump] wrote PLANS.md (${interesting.size} plans)")
     spark.stop()
