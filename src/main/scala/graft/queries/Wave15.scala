@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.text.Text
+
+/** Wave 15 — corpus statistics and behavioral mining: PMI collocations
+  * (the classic "which word pairs belong together" corpus readout),
+  * frequent event paths (sequence mining), and item-item collaborative
+  * filtering (the co-occurrence-cosine recommender baseline). All in
+  * the exact-integer / fxlog2 lanes: counts, truncating ppm divisions,
+  * and fixed-point logs — no IEEE transcendentals anywhere.
+  */
+object Wave15 {
+
+  /** PMI-ranked bigram collocations (Church & Hanks 1990): for every
+    * adjacent word pair seen >= 5 times,
+    *   PMI = log2( p(w1,w2) / (p(w1)·p(w2)) )
+    * computed entirely in [[graft.plans.FxLog2]] fixed point via the
+    * factored identity
+    *   pmi_fx = lg(n2) + 2·lg(N) − lg(Nb) − lg(n1_w1) − lg(n1_w2)
+    * (every argument is a small corpus count — the unfactored
+    * c2·N²/(Nb·c1·c1) form would overflow BIGINT at corpus scale).
+    *
+    * Shape at 100TB: unigram and bigram counts are each ONE
+    * partial-aggregated shuffle off a narrow compiled-UDF tokenize
+    * pass; the two totals are one-row broadcasts; the count joins are
+    * vocabulary-sized broadcasts (vocab ≪ corpus by Heaps' law —
+    * q_vocab_growth measures exactly that); the log runs per SURVIVING
+    * pair, never per token.
+    */
+  val textCollocations: Q = Q(
+    "q_text_collocations",
+    s"""WITH RECURSIVE
+       |tk AS (SELECT list_filter(string_split(lower(text), ' '),
+       |         x -> x <> '') AS toks FROM documents),
+       |uni AS (SELECT unnest(toks) AS w FROM tk),
+       |c1 AS (SELECT w, COUNT(*) AS n1 FROM uni GROUP BY 1),
+       |nt AS (SELECT CAST(SUM(n1) AS BIGINT) AS n_tok FROM c1),
+       |big AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+       |        FROM tk, (SELECT unnest(range(1,
+       |          (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM tk))) AS i) p
+       |        WHERE i <= len(toks) - 1),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
+       |nb AS (SELECT CAST(SUM(n2) AS BIGINT) AS n_big FROM c2),
+       |f AS (SELECT w1, w2, n2 FROM c2 WHERE n2 >= 5),
+       |args AS (SELECT DISTINCT n2 AS n FROM f
+       |  UNION SELECT DISTINCT n1 FROM c1
+       |  UNION SELECT n_tok FROM nt
+       |  UNION SELECT n_big FROM nb),
+       |${Wave10.fxlogCte("args")}
+       |SELECT f.w1, f.w2, f.n2, ca.n1 AS n1_w1, cb.n1 AS n1_w2,
+       |  l2.r + 2 * ln_.r - lb_.r - la.r - lbw.r AS pmi_fx
+       |FROM f
+       |JOIN c1 ca ON ca.w = f.w1
+       |JOIN c1 cb ON cb.w = f.w2
+       |CROSS JOIN nt CROSS JOIN nb
+       |JOIN lg l2 ON l2.n = f.n2
+       |JOIN lg ln_ ON ln_.n = nt.n_tok
+       |JOIN lg lb_ ON lb_.n = nb.n_big
+       |JOIN lg la ON la.n = ca.n1
+       |JOIN lg lbw ON lbw.n = cb.n1
+       |ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    def fxlog(c: org.apache.spark.sql.Column) =
+      call_function("graft_fxlog2", c)
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = Tables.load(s, d, "documents").repartition(np)
+    val c1 = docs.select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val c2 = docs
+      .select(explode(Text.shingleListUdf(2)(col("text"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n2"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("n2"))
+    val nt = c1.agg(sum(col("n1")).as("n_tok"))
+    val nb = c2.agg(sum(col("n2")).as("n_big"))
+    c2.filter(col("n2") >= 5)
+      .join(broadcast(c1.toDF("w1", "n1_w1")), "w1")
+      .join(broadcast(c1.toDF("w2", "n1_w2")), "w2")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n2"), col("n1_w1"), col("n1_w2"),
+        (fxlog(col("n2")) + lit(2) * fxlog(col("n_tok"))
+          - fxlog(col("n_big")) - fxlog(col("n1_w1"))
+          - fxlog(col("n1_w2"))).as("pmi_fx"))
+      .orderBy("w1", "w2")
+  }
+
+  /** Frequent 3-step behavioral paths (PrefixSpan-lite, contiguous
+    * form): every contiguous event-type trigram in a user's timeline,
+    * with total occurrences and distinct-user support — the sequence
+    * mining that feeds funnel design and next-action models. Counts
+    * only; nothing to drift cross-engine.
+    *
+    * Shape at 100TB: the two LEADs share ONE user-keyed window
+    * exchange (the q_funnel_stages shape); the path aggregate is the
+    * only other shuffle, and the distinct-user count partial-aggregates
+    * on (path, user) before the final fold.
+    */
+  val pathMining: Q = Q(
+    "q_path_mining",
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id
+      |  FROM events),
+      |tg AS (SELECT user_id, event_type AS t1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ms, event_id) AS t2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |                              ORDER BY ms, event_id) AS t3
+      |  FROM ev)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path,
+      |  COUNT(*) AS n_occ, COUNT(DISTINCT user_id) AS n_users
+      |FROM tg WHERE t3 IS NOT NULL
+      |GROUP BY 1 HAVING COUNT(*) >= 5
+      |ORDER BY path""".stripMargin) { (s, d) =>
+    import graft.functions.Exact.ms
+    val byUser = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        ms(col("ts")).as("ms"), col("event_id"))
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(byUser).as("t2"),
+        lead(col("event_type"), 2).over(byUser).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"),
+        col("user_id"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_occ") >= 5)
+      .orderBy("path")
+  }
+
+  /** Item-item collaborative filtering (Sarwar et al. 2001, the
+    * Amazon-style recommender baseline): basket co-occurrence cosine
+    * between parts, squared into the exact-integer lane —
+    *   sim²_ppm = n_ij² · 10⁶ div (n_i · n_j)
+    * — and the top-3 recommendations per item by (sim² desc, partner
+    * asc). Shares the a-priori pre-prune + merge-hinted basket
+    * self-join scale shape with q_copurchase_lift: a pair needs
+    * co-occurrence >= 3, so both items must sit on >= 3 raw lines —
+    * the broadcast semi-join shrinks the quadratic-in-basket-size
+    * stage's input without changing its output.
+    *
+    * Shape at 100TB: basket self-join on the order key (merge-hinted,
+    * ReusedExchange both sides), item-count joins are broadcasts of
+    * the item dictionary, and the top-3 cut is a WindowGroupLimit —
+    * only 3 rows per item survive to the final exchange.
+    */
+  val itemcfRecs: Q = Q(
+    "q_itemcf_recs",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ic AS (SELECT l_partkey, COUNT(*) AS n_i FROM li GROUP BY 1),
+      |pr AS (SELECT a.l_partkey AS i, b.l_partkey AS j, COUNT(*) AS n_ij
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |    AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |sym AS (SELECT i, j, n_ij FROM pr
+      |  UNION ALL SELECT j, i, n_ij FROM pr),
+      |sc AS (SELECT sym.i AS item, sym.j AS rec, sym.n_ij,
+      |    CAST(CAST(sym.n_ij AS HUGEINT) * sym.n_ij * 1000000
+      |         // (ci.n_i * cj.n_i) AS BIGINT) AS sim2_ppm
+      |  FROM sym JOIN ic ci ON ci.l_partkey = sym.i
+      |  JOIN ic cj ON cj.l_partkey = sym.j),
+      |rk AS (SELECT item, rec, n_ij, sim2_ppm,
+      |    ROW_NUMBER() OVER (PARTITION BY item
+      |                       ORDER BY sim2_ppm DESC, rec) AS rank
+      |  FROM sc)
+      |SELECT item, rank, rec, n_ij, sim2_ppm FROM rk
+      |WHERE rank <= 3 ORDER BY item, rank""".stripMargin) { (s, d) =>
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    // A-priori prune: co-occurrence >= 3 needs both endpoints on >= 3
+    // raw lineitem rows (a superset of the distinct-basket count) —
+    // same broadcast semi-join bound as q_copurchase_lift.
+    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 3)
+      .select("l_partkey")
+    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
+    val ic = li.groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
+    val a = lih.select(col("l_orderkey"), col("l_partkey").as("i"))
+      .hint("merge")
+    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("j"))
+      .hint("merge")
+    val pr = a
+      .join(b, col("l_orderkey") === col("okey_b") && col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_ij"))
+      .filter(col("n_ij") >= 3)
+    val sym = pr.select("i", "j", "n_ij")
+      .unionAll(pr.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+    val sc = sym
+      .join(broadcast(ic.toDF("i", "n_i_i")), "i")
+      .join(broadcast(ic.toDF("j", "n_i_j")), "j")
+      .select(col("i").as("item"), col("j").as("rec"), col("n_ij"),
+        expr("""CAST(CAST(n_ij AS DECIMAL(38,0)) * n_ij * 1000000
+               |     div (n_i_i * n_i_j) AS BIGINT)""".stripMargin)
+          .as("sim2_ppm"))
+    val byItem = Window.partitionBy("item")
+      .orderBy(col("sim2_ppm").desc, col("rec"))
+    sc.withColumn("rank", row_number().over(byItem))
+      .filter(col("rank") <= 3)
+      .select("item", "rank", "rec", "n_ij", "sim2_ppm")
+      .orderBy("item", "rank")
+  }
+
+  val all: Seq[Q] = Seq(textCollocations, pathMining, itemcfRecs)
+}
