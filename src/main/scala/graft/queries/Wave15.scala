@@ -202,5 +202,151 @@ object Wave15 {
       .orderBy("item", "rank")
   }
 
-  val all: Seq[Q] = Seq(textCollocations, pathMining, itemcfRecs)
+  /** Offline policy evaluation by replay (the Li et al. 2011 method's
+    * deterministic skeleton): learn a per-context greedy policy on the
+    * md5-80% train split (the action with the highest total reward,
+    * action-name tiebreak), then REPLAY it against the held-out test
+    * events — the policy is only credited on test events whose logged
+    * action matches its choice, which is the unbiased off-policy
+    * estimator when logging is uniform. Match rate in truncating ppm,
+    * rewards in exact cents.
+    *
+    * Shape at 100TB: the context × action train aggregate is tiny
+    * (contexts × actions rows); the policy broadcast-joins the test
+    * scan and the replay readout is one more aggregate — the event log
+    * itself is scanned twice and never shuffled beyond the two
+    * partial-aggregated groupBys.
+    */
+  val policyReplay: Q = Q(
+    "q_policy_replay",
+    """WITH ev AS (SELECT user_id, event_type,
+      |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |    user_id % 4 AS ctx,
+      |    md5(CAST(user_id AS VARCHAR)) < 'cc' AS is_train
+      |  FROM events),
+      |tr AS (SELECT ctx, event_type,
+      |    CAST(SUM(cents) AS BIGINT) AS train_cents
+      |  FROM ev WHERE is_train GROUP BY 1, 2),
+      |pol AS (SELECT ctx, event_type AS policy_action, train_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY ctx
+      |                       ORDER BY train_cents DESC, event_type) AS rn
+      |  FROM tr),
+      |p1 AS (SELECT ctx, policy_action, train_cents FROM pol WHERE rn = 1),
+      |m AS (SELECT t.ctx, COUNT(*) AS n_test,
+      |    COUNT(CASE WHEN t.event_type = p.policy_action THEN 1 END)
+      |      AS n_matched,
+      |    CAST(SUM(CASE WHEN t.event_type = p.policy_action
+      |                  THEN t.cents ELSE 0 END) AS BIGINT) AS matched_cents
+      |  FROM ev t JOIN p1 p ON p.ctx = t.ctx
+      |  WHERE NOT t.is_train GROUP BY 1)
+      |SELECT p1.ctx, p1.policy_action, p1.train_cents, m.n_test,
+      |  m.n_matched, m.n_matched * 1000000 // m.n_test AS match_ppm,
+      |  m.matched_cents
+      |FROM p1 JOIN m ON m.ctx = p1.ctx ORDER BY p1.ctx""".stripMargin) { (s, d) =>
+    val ev = Tables.load(s, d, "events")
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("user_id") % 4).as("ctx"),
+        (md5(col("user_id").cast("string").cast("binary")) < "cc")
+          .as("is_train"))
+    val tr = ev.filter(col("is_train"))
+      .groupBy("ctx", "event_type")
+      .agg(sum(col("cents")).as("train_cents"))
+    val byCtx = Window.partitionBy("ctx")
+      .orderBy(col("train_cents").desc, col("event_type"))
+    val p1 = tr.withColumn("rn", row_number().over(byCtx))
+      .filter(col("rn") === 1)
+      .select(col("ctx"), col("event_type").as("policy_action"),
+        col("train_cents"))
+    val m = ev.filter(!col("is_train"))
+      .join(broadcast(p1.select("ctx", "policy_action")), "ctx")
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("n_test"),
+        count(when(col("event_type") === col("policy_action"), 1))
+          .as("n_matched"),
+        sum(when(col("event_type") === col("policy_action"), col("cents"))
+          .otherwise(0L)).as("matched_cents"))
+    p1.join(m, "ctx")
+      .select(col("ctx"), col("policy_action"), col("train_cents"),
+        col("n_test"), col("n_matched"),
+        expr("n_matched * 1000000 div n_test").as("match_ppm"),
+        col("matched_cents"))
+      .orderBy("ctx")
+  }
+
+  /** Johnson–Lindenstrauss random sign projection of the embedding
+    * table, 64 → 8 dims: y_j = Σ_i s_ij·x_i with s_ij = ±1 from an
+    * md5 coin on ("rp:" + dim + ":" + j). Components enter as
+    * floor(x·10¹²) BIGINT fixed point (one correctly-rounded IEEE
+    * multiply — the hash-safe float lane), so the projected values
+    * are exact integer sums; the per-vector norm-preservation readout
+    * ||y||²/(K·||x||²) (≈ 1 in expectation — the JL guarantee) is one
+    * truncating ppm division in the DECIMAL(38)/HUGEINT lane, with
+    * the 1/K folded into the ppm multiplier (10⁶/8 = 125000 exactly)
+    * so it stays ONE division and intermediates stay inside 38 digits
+    * (a div-8-first form overflowed Spark's LONG-typed IntegralDivide).
+    *
+    * Shape at 100TB: the 512-entry sign matrix is a broadcast; the
+    * component explode is narrow and both groupBys partial-aggregate
+    * map-side. The fused-kernel alternative (a projection Expression
+    * like FxDotProduct) removes the 64× explode rows once profiles
+    * demand it.
+    */
+  val randomProjection: Q = Q(
+    "q_random_projection",
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |pos AS (SELECT unnest(range(1, 65)) AS i),
+      |comp AS (SELECT vec_id, i,
+      |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e12) AS BIGINT) AS fx
+      |  FROM e, pos),
+      |ks AS (SELECT unnest(range(0, 8)) AS j),
+      |sg AS (SELECT i, j,
+      |    CASE WHEN substring(md5('rp:' || CAST(i - 1 AS VARCHAR)
+      |                            || ':' || CAST(j AS VARCHAR)), 1, 1) < '8'
+      |         THEN 1 ELSE -1 END AS sgn
+      |  FROM pos, ks),
+      |y AS (SELECT c.vec_id, s.j,
+      |    CAST(SUM(s.sgn * c.fx) AS BIGINT) AS y_fx
+      |  FROM comp c JOIN sg s ON s.i = c.i GROUP BY 1, 2),
+      |nx AS (SELECT vec_id,
+      |    CAST(SUM(CAST(fx AS HUGEINT) * fx) AS HUGEINT) AS n2
+      |  FROM comp GROUP BY 1),
+      |ny AS (SELECT vec_id,
+      |    CAST(SUM(CAST(y_fx AS HUGEINT) * y_fx) AS HUGEINT) AS n2
+      |  FROM y GROUP BY 1),
+      |r AS (SELECT nx.vec_id,
+      |    CAST(ny.n2 * 125000 // nx.n2 AS BIGINT) AS ratio_ppm
+      |  FROM nx JOIN ny ON ny.vec_id = nx.vec_id)
+      |SELECT y.vec_id, y.j AS dim_out, y.y_fx, r.ratio_ppm
+      |FROM y JOIN r ON r.vec_id = y.vec_id
+      |ORDER BY y.vec_id, dim_out""".stripMargin) { (s, d) =>
+    val comp = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * lit(1e12)).cast("long").as("fx"))
+    val signs = s.range(0, 64).toDF("dim")
+      .crossJoin(s.range(0, 8).toDF("j"))
+      .select(col("dim"), col("j"),
+        when(substring(md5(concat(lit("rp:"), col("dim").cast("string"),
+          lit(":"), col("j").cast("string")).cast("binary")), 1, 1) < "8",
+          1L).otherwise(-1L).as("sgn"))
+    val y = comp.join(broadcast(signs), "dim")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("sgn") * col("fx")).as("y_fx"))
+    val nx = comp.groupBy("vec_id")
+      .agg(sum(expr("CAST(fx AS DECIMAL(38,0)) * fx")).as("nx2"))
+    val ny = y.groupBy("vec_id")
+      .agg(sum(expr("CAST(y_fx AS DECIMAL(38,0)) * y_fx")).as("ny2"))
+    val r = nx.join(ny, "vec_id")
+      .select(col("vec_id"),
+        expr("CAST(ny2 * 125000 div nx2 AS BIGINT)").as("ratio_ppm"))
+    y.join(r, "vec_id")
+      .select(col("vec_id"), col("j").as("dim_out"), col("y_fx"),
+        col("ratio_ppm"))
+      .orderBy("vec_id", "dim_out")
+  }
+
+  val all: Seq[Q] =
+    Seq(textCollocations, pathMining, itemcfRecs, policyReplay,
+      randomProjection)
 }
