@@ -346,7 +346,167 @@ object Wave15 {
       .orderBy("vec_id", "dim_out")
   }
 
+  /** Weighted single-source shortest paths over the co-purchase graph
+    * (Bellman-Ford, 4 bounded relaxation rounds — the horizon is part
+    * of the operator contract, like q_graph_bfs's hop bound): edge
+    * weight 10⁶ div support (strong ties are cheap), source = the
+    * max-degree node (smallest-id tiebreak) derived in-plan. Exact
+    * integer distances; MIN is order-free.
+    *
+    * Shape at 100TB: the a-priori-pruned merge-hinted self-join builds
+    * the edge list ONCE and persists it pre-partitioned on the source
+    * endpoint, so every round's relax join reuses the cached
+    * partitioning; the distance frontier is localCheckpointed per
+    * round (it is referenced twice per round — carried forward AND
+    * relaxed — the q_graph_kcore plan-doubling lesson) and joins back
+    * as an explicit broadcast while node-sized (shuffle once it
+    * isn't). The ORACLE unrolls the same four rounds as MATERIALIZED
+    * CTEs (per-round inlining otherwise doubles the plan per round).
+    */
+  val graphSssp: Q = Q(
+    "q_graph_sssp",
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |        1000000 // COUNT(*) AS w
+      |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |        AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |eu AS MATERIALIZED (SELECT u, v, w FROM e
+      |  UNION ALL SELECT v, u, w FROM e),
+      |deg AS (SELECT u, COUNT(*) AS deg FROM eu GROUP BY 1),
+      |d0 AS MATERIALIZED (SELECT u AS node, CAST(0 AS BIGINT) AS dist
+      |  FROM deg ORDER BY deg DESC, u LIMIT 1),
+      |d1 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT node, dist FROM d0
+      |  UNION ALL SELECT eu.v, d0.dist + eu.w FROM d0
+      |    JOIN eu ON eu.u = d0.node) GROUP BY 1),
+      |d2 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT node, dist FROM d1
+      |  UNION ALL SELECT eu.v, d1.dist + eu.w FROM d1
+      |    JOIN eu ON eu.u = d1.node) GROUP BY 1),
+      |d3 AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT node, dist FROM d2
+      |  UNION ALL SELECT eu.v, d2.dist + eu.w FROM d2
+      |    JOIN eu ON eu.u = d2.node) GROUP BY 1),
+      |d4 AS (SELECT node, MIN(dist) AS dist FROM (
+      |  SELECT node, dist FROM d3
+      |  UNION ALL SELECT eu.v, d3.dist + eu.w FROM d3
+      |    JOIN eu ON eu.u = d3.node) GROUP BY 1)
+      |SELECT node, dist FROM d4 ORDER BY node""".stripMargin) { (s, d) =>
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 2)
+      .select("l_partkey")
+    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
+    val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .hint("merge")
+    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
+      .hint("merge")
+    val e = a
+      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("u"), col("v"), expr("1000000 div n").as("w"))
+    val eu = e.select("u", "v", "w")
+      .unionAll(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(np, col("u"))
+      .persist()
+    val deg = eu.groupBy("u").agg(count(lit(1)).as("deg"))
+    var dist = deg.orderBy(col("deg").desc, col("u")).limit(1)
+      .select(col("u").as("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 4) {
+      val relaxed = eu
+        .join(broadcast(dist.toDF("u", "du")), "u")
+        .select(col("v").as("node"), (col("du") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    // No in-body unpersist: the round checkpoints are LAZY, so the
+    // edge cache must stay marked through the consumer's action (the
+    // bench harness reclaims per-query persists between queries).
+    dist.orderBy("node")
+  }
+
+  /** Probabilistic record linkage (the Fellegi–Sunter 1969 decision
+    * structure with fixed integer log-odds weights): a deterministic
+    * "dirty" copy of the customer table — case-mangled names
+    * (key%3=0), names lost to 'unknown' (key%11=0), segments nulled
+    * (key%5=0), balances drifted by key%7 cents — is blocked on the
+    * nation key and scored field-by-field: agreement/disagreement
+    * points per field, NULL comparisons contribute zero (the
+    * missing-at-random convention), and the total decides
+    * match (>= 50) vs possible (>= 40, the clerical-review band).
+    * Everything below the band is suppressed, exactly like a
+    * production linkage emits candidate pairs, not the cross product.
+    *
+    * Shape at 100TB: the pair space is the BLOCK join (equi-join on
+    * nation), never all-pairs; scoring is pure map-side integer
+    * arithmetic inside the join's projection, and the emitted set is
+    * support-filtered before any sort.
+    */
+  val recordLinkage: Q = Q(
+    "q_record_linkage",
+    """WITH a AS (SELECT c_custkey, c_nationkey, lower(c_name) AS name_a,
+      |    c_mktsegment AS seg_a,
+      |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents_a
+      |  FROM customer),
+      |b AS (SELECT c_custkey + 1000000 AS b_key, c_nationkey,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'unknown'
+      |         WHEN c_custkey % 3 = 0 THEN lower(upper(c_name))
+      |         ELSE lower(c_name) END AS name_b,
+      |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+      |         ELSE c_mktsegment END AS seg_b,
+      |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + c_custkey % 7
+      |      AS cents_b
+      |  FROM customer),
+      |sc AS (SELECT a.c_custkey AS a_custkey, b.b_key,
+      |    CASE WHEN a.name_a = b.name_b THEN 40 ELSE -15 END AS name_pts,
+      |    CASE WHEN b.seg_b IS NULL THEN 0
+      |         WHEN a.seg_a = b.seg_b THEN 10 ELSE -5 END AS seg_pts,
+      |    CASE WHEN ABS(a.cents_a - b.cents_b) <= 3 THEN 5 ELSE -5 END
+      |      AS bal_pts
+      |  FROM a JOIN b ON a.c_nationkey = b.c_nationkey)
+      |SELECT a_custkey, b_key, name_pts, seg_pts, bal_pts,
+      |  name_pts + seg_pts + bal_pts AS score,
+      |  CASE WHEN name_pts + seg_pts + bal_pts >= 50 THEN 'match'
+      |       ELSE 'possible' END AS verdict
+      |FROM sc WHERE name_pts + seg_pts + bal_pts >= 40
+      |ORDER BY a_custkey, b_key""".stripMargin) { (s, d) =>
+    val cust = Tables.load(s, d, "customer")
+    val a = cust.select(col("c_custkey"), col("c_nationkey"),
+      lower(col("c_name")).as("name_a"), col("c_mktsegment").as("seg_a"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents_a"))
+    val b = cust.select(
+      (col("c_custkey") + 1000000L).as("b_key"),
+      col("c_nationkey").as("nat_b"),
+      when(col("c_custkey") % 11 === 0, lit("unknown"))
+        .when(col("c_custkey") % 3 === 0, lower(upper(col("c_name"))))
+        .otherwise(lower(col("c_name"))).as("name_b"),
+      when(col("c_custkey") % 5 === 0, lit(null).cast("string"))
+        .otherwise(col("c_mktsegment")).as("seg_b"),
+      (round(col("c_acctbal") * 100, 0).cast("long")
+        + col("c_custkey") % 7).as("cents_b"))
+    a.join(b, col("c_nationkey") === col("nat_b"))
+      .select(col("c_custkey").as("a_custkey"), col("b_key"),
+        when(col("name_a") === col("name_b"), 40).otherwise(-15)
+          .as("name_pts"),
+        when(col("seg_b").isNull, 0)
+          .when(col("seg_a") === col("seg_b"), 10).otherwise(-5)
+          .as("seg_pts"),
+        when(abs(col("cents_a") - col("cents_b")) <= 3, 5).otherwise(-5)
+          .as("bal_pts"))
+      .withColumn("score", col("name_pts") + col("seg_pts") + col("bal_pts"))
+      .filter(col("score") >= 40)
+      .withColumn("verdict",
+        when(col("score") >= 50, "match").otherwise("possible"))
+      .orderBy("a_custkey", "b_key")
+  }
+
   val all: Seq[Q] =
     Seq(textCollocations, pathMining, itemcfRecs, policyReplay,
-      randomProjection)
+      randomProjection, graphSssp, recordLinkage)
 }
