@@ -506,7 +506,226 @@ object Wave15 {
       .orderBy("a_custkey", "b_key")
   }
 
+  /** STL-lite seasonal-trend decomposition of daily order revenue,
+    * entirely in the exact-integer lane: trend = centered 7-day RANGE
+    * sum (full windows only — calendar gaps and edges carry no trend
+    * rather than a biased one), detrended = 7·x − Σ₇ (multiplied
+    * through, never divided — the q_anomaly_cusum trick), seasonal =
+    * per-day-of-week rank-SELECTED median of the detrended values
+    * (the r8b order-statistic lane: pick the (n+1)//2-th element by
+    * ROW_NUMBER — no interpolation formula to disagree on), remainder
+    * = detrended − seasonal. The ×7 scale rides every output column,
+    * stated in the names.
+    *
+    * Shape at 100TB: the fact table aggregates once to the per-day
+    * series; every window after that runs on calendar-bounded rows
+    * ([[graft.ops.BoundedWindow]] — days don't scale with volume) and
+    * the 7-row seasonal table broadcasts back.
+    */
+  val tsStl: Q = Q(
+    "q_ts_stl",
+    """WITH d AS (SELECT epoch_ms(o_orderdate) // 86400000 AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT day, cents,
+      |    CAST(SUM(cents) OVER w AS BIGINT) AS sum7,
+      |    COUNT(*) OVER w AS n7
+      |  FROM d WINDOW w AS (ORDER BY day
+      |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (SELECT day, cents, sum7, 7 * cents - sum7 AS detr_x7,
+      |    day % 7 AS dow
+      |  FROM t WHERE n7 = 7),
+      |rk AS (SELECT dow, detr_x7,
+      |    ROW_NUMBER() OVER (PARTITION BY dow ORDER BY detr_x7, day) AS rn,
+      |    COUNT(*) OVER (PARTITION BY dow) AS cnt
+      |  FROM dt),
+      |md AS (SELECT dow,
+      |    MAX(CASE WHEN rn = (cnt + 1) // 2 THEN detr_x7 END) AS seas_x7
+      |  FROM rk GROUP BY 1)
+      |SELECT dt.day, dt.cents, dt.sum7, dt.detr_x7, md.seas_x7,
+      |  dt.detr_x7 - md.seas_x7 AS resid_x7
+      |FROM dt JOIN md ON md.dow = dt.dow
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val daily = Tables.load(s, d, "orders")
+      .groupBy(graft.functions.Exact.bucket(
+        graft.functions.Exact.ms(col("o_orderdate")), 86400000L).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val w = graft.ops.BoundedWindow.single(col("day")).rangeBetween(-3, 3)
+    val dt = daily
+      .withColumn("sum7", sum(col("cents")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === 7)
+      .select(col("day"), col("cents"), col("sum7"),
+        (lit(7) * col("cents") - col("sum7")).as("detr_x7"),
+        (col("day") % 7).as("dow"))
+    val byDow = Window.partitionBy("dow").orderBy("detr_x7", "day")
+    val md = dt
+      .withColumn("rn", row_number().over(byDow))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("dow")))
+      .groupBy("dow")
+      .agg(max(when(col("rn") === expr("(cnt + 1) div 2"), col("detr_x7")))
+        .as("seas_x7"))
+    dt.join(broadcast(md), "dow")
+      .select(col("day"), col("cents"), col("sum7"), col("detr_x7"),
+        col("seas_x7"), (col("detr_x7") - col("seas_x7")).as("resid_x7"))
+      .orderBy("day")
+  }
+
+  /** Markov-chain channel attribution by removal effect (Anderl et al.
+    * 2014's construction, bounded to a 6-step horizon so the absorbing
+    * probabilities are a FINITE integer recursion instead of a linear
+    * solve): journeys are each user's events up to their first
+    * purchase, the first-order chain is start/channel → channel/conv/
+    * null transition counts, and conversion probability is iterated in
+    * truncating ppm —
+    *   P_k(s) = (n_conv(s)·10⁶ + Σ_t n(s→t)·P_{k-1}(t)) div total(s)
+    * — which both engines replay bit-identically. A channel's removal
+    * effect redirects transitions INTO it to null (totals unchanged);
+    * monotonicity of the recursion makes every effect >= 0, and shares
+    * normalize the effects to ppm.
+    *
+    * Shape at 100TB: transition counting is one user-keyed window +
+    * one aggregate; the recursion runs driver-side on the collected
+    * states×states matrix (k-sized, the PQ-codebook precedent — the
+    * chain has channel-dictionary cardinality, not data cardinality).
+    * The ORACLE unrolls the same recursion, one linear CTE per round
+    * per scenario (the q_holt_linear one-CTE-per-step lesson).
+    */
+  val attributionMarkov: Q = {
+    val chans = Seq("click", "error", "signup", "view")
+    val H = 6
+    def roundsSql(sc: String, removed: Option[String]): String = {
+      val notIn = ("'conv'" :: "'null'" :: removed.map("'" + _ + "'").toList)
+        .mkString(", ")
+      val r1 =
+        s"""p1_$sc AS (SELECT from_state,
+           |    CAST(n_conv * 1000000 // total AS BIGINT) AS p
+           |  FROM fr)""".stripMargin
+      val rest = (2 to H).map { k =>
+        s"""p${k}_$sc AS (SELECT f.from_state,
+           |    CAST((f.n_conv * 1000000
+           |          + COALESCE(SUM(CAST(t.n AS HUGEINT) * p.p), 0))
+           |         // f.total AS BIGINT) AS p
+           |  FROM fr f
+           |  LEFT JOIN tr t ON t.from_state = f.from_state
+           |    AND t.to_state NOT IN ($notIn)
+           |  LEFT JOIN p${k - 1}_$sc p ON p.from_state = t.to_state
+           |  GROUP BY f.from_state, f.n_conv, f.total)""".stripMargin
+      }
+      (r1 +: rest).mkString(",\n")
+    }
+    val scenarios = roundsSql("full", None) + ",\n" +
+      chans.map(c => roundsSql(c, Some(c))).mkString(",\n")
+    val reUnion = chans.map { c =>
+      s"""SELECT '$c' AS channel, f.p AS p_full_ppm, r.p AS p_removed_ppm,
+         |  f.p - r.p AS re_ppm
+         |FROM (SELECT p FROM p${H}_full WHERE from_state = 'start') f,
+         |     (SELECT p FROM p${H}_$c WHERE from_state = 'start') r"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    Q(
+      "q_attribution_markov",
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY epoch_ms(ts), event_id) AS rn
+         |  FROM events),
+         |fp AS (SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn,
+         |    MAX(rn) AS mrn
+         |  FROM ev GROUP BY 1),
+         |ke AS (SELECT e.user_id, e.event_type, e.rn
+         |  FROM ev e JOIN fp ON fp.user_id = e.user_id
+         |  WHERE e.rn <= COALESCE(fp.prn, fp.mrn)),
+         |tr AS (SELECT from_state,
+         |    CASE to_raw WHEN 'purchase' THEN 'conv' ELSE to_raw END
+         |      AS to_state,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT event_type AS from_state,
+         |      COALESCE(LEAD(event_type) OVER (PARTITION BY user_id
+         |                                      ORDER BY rn), 'null') AS to_raw
+         |    FROM ke
+         |    UNION ALL
+         |    SELECT 'start', event_type FROM ke WHERE rn = 1) x
+         |  WHERE from_state <> 'purchase'
+         |  GROUP BY 1, 2),
+         |fr AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS total,
+         |    CAST(COALESCE(SUM(CASE WHEN to_state = 'conv' THEN n END), 0)
+         |      AS BIGINT) AS n_conv
+         |  FROM tr GROUP BY 1),
+         |$scenarios,
+         |re AS ($reUnion),
+         |tot AS (SELECT CAST(SUM(re_ppm) AS BIGINT) AS s FROM re)
+         |SELECT re.channel, re.p_full_ppm, re.p_removed_ppm, re.re_ppm,
+         |  CASE WHEN tot.s > 0
+         |       THEN CAST(re.re_ppm * 1000000 // tot.s AS BIGINT)
+         |  END AS share_ppm
+         |FROM re, tot ORDER BY channel""".stripMargin) { (s, d) =>
+      import graft.functions.Exact.ms
+      val byUserTs = Window.partitionBy("user_id").orderBy("ms", "event_id")
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          ms(col("ts")).as("ms"), col("event_id"))
+        .withColumn("rn", row_number().over(byUserTs))
+      val fp = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "purchase", col("rn"))).as("prn"),
+        max(col("rn")).as("mrn"))
+      val ke = ev.join(fp, "user_id")
+        .filter(col("rn") <= coalesce(col("prn"), col("mrn")))
+        .select("user_id", "event_type", "rn")
+      val byUser = Window.partitionBy("user_id").orderBy("rn")
+      val trans = ke
+        .select(col("event_type").as("from_state"),
+          coalesce(lead(col("event_type"), 1).over(byUser), lit("null"))
+            .as("to_raw"))
+        .filter(col("from_state") =!= "purchase")
+        .unionAll(ke.filter(col("rn") === 1)
+          .select(lit("start").as("from_state"),
+            col("event_type").as("to_raw")))
+        .select(col("from_state"),
+          when(col("to_raw") === "purchase", "conv").otherwise(col("to_raw"))
+            .as("to_state"))
+        .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      // Driver-side bounded recursion over the channel-dictionary-sized
+      // matrix — exactly the oracle's unrolled CTE chain.
+      val froms = trans.keys.map(_._1).toSeq.distinct
+      val total = froms.map(f =>
+        f -> trans.collect { case ((`f`, _), n) => n }.sum).toMap
+      val nConv = froms.map(f => f -> trans.getOrElse((f, "conv"), 0L)).toMap
+      def horizon(removed: Option[String]): Map[String, Long] = {
+        var p: Map[String, Long] = froms.map(_ -> 0L).toMap
+        (1 to H).foreach { _ =>
+          p = froms.map { f =>
+            val flow: BigInt = trans.collect {
+              case ((`f`, t), n)
+                  if t != "conv" && t != "null" && !removed.contains(t) =>
+                BigInt(n) * BigInt(p.getOrElse(t, 0L))
+            }.sum
+            f -> ((BigInt(nConv(f)) * 1000000 + flow) / total(f)).toLong
+          }.toMap
+        }
+        p
+      }
+      val pFull = horizon(None).getOrElse("start", 0L)
+      val re = chans.map { c =>
+        val pr = horizon(Some(c)).getOrElse("start", 0L)
+        (c, pFull, pr, pFull - pr)
+      }
+      val tot = re.map(_._4).sum
+      val rows = re.map { case (c, pf, pr, e) =>
+        (c, pf, pr, e,
+          if (tot > 0) Some(e * 1000000L / tot) else Option.empty[Long])
+      }
+      import s.implicits._
+      rows.toDF("channel", "p_full_ppm", "p_removed_ppm", "re_ppm",
+        "share_ppm").orderBy("channel")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(textCollocations, pathMining, itemcfRecs, policyReplay,
-      randomProjection, graphSssp, recordLinkage)
+      randomProjection, graphSssp, recordLinkage, tsStl, attributionMarkov)
 }

@@ -101,6 +101,94 @@ class Wave15Spec extends AnyFunSuite {
     assert(mean > 300000L && mean < 3000000L, s"mean ratio_ppm $mean")
   }
 
+  test("q_ts_stl equals a sequential in-memory decomposition") {
+    val daily = Tables.load(spark, SharedSpark.sf001, "orders")
+      .select("o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getTimestamp(0).getTime / 86400000L,
+        math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).sum }
+    val days = daily.keys.toSeq.sorted
+    val full = days.flatMap { d =>
+      val win = days.filter(x => x >= d - 3 && x <= d + 3)
+      if (win.length == 7) {
+        val s7 = win.map(daily).sum
+        Some((d, daily(d), s7, 7 * daily(d) - s7, d % 7))
+      } else None
+    }
+    val seas = full.groupBy(_._5).map { case (dow, rs) =>
+      val sorted = rs.map(r => (r._4, r._1)).sortBy(identity)
+      dow -> sorted((sorted.length + 1) / 2 - 1)._1
+    }
+    val want = full.map { case (d, c, s7, det, dow) =>
+      (d, c, s7, det, seas(dow), det - seas(dow))
+    }.sortBy(_._1)
+    val got = graft.queries.Wave15.tsStl
+      .run(spark, SharedSpark.sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want)
+    // trend + seasonal + remainder reassembles the (x7) series exactly
+    got.foreach { case (_, c, s7, det, se, re) =>
+      assert(det == 7 * c - s7); assert(re == det - se)
+    }
+  }
+
+  test("q_attribution_markov equals an independent sequential recompute") {
+    val ev = Tables.load(spark, SharedSpark.sf001, "events")
+      .select(col("user_id"), col("event_type"),
+        graft.functions.Exact.ms(col("ts")).as("ms"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // journeys: each user's events ordered by (ts, event_id) up to and
+    // including the first purchase (whole journey if none)
+    val trans = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { rs =>
+      val path0 = rs.sortBy(r => (r._3, r._4)).map(_._2)
+      val cut = path0.indexOf("purchase")
+      val path = if (cut >= 0) path0.take(cut + 1) else path0
+      val states: List[String] = ("start" +: path).map(t =>
+        if (t == "purchase") "conv" else t).toList :+
+        (if (cut >= 0) "SKIP" else "null")
+      states.sliding(2).foreach {
+        case List(f, t) if f != "conv" && t != "SKIP" =>
+          trans((f, t)) = trans((f, t)) + 1L
+        case _ => ()
+      }
+    }
+    val froms = trans.keys.map(_._1).toSeq.distinct
+    val total = froms.map(f =>
+      f -> trans.collect { case ((`f`, _), n) => n }.sum).toMap
+    val nConv = froms.map(f => f -> trans.getOrElse((f, "conv"), 0L)).toMap
+    def horizon(removed: Option[String]): Long = {
+      var p: Map[String, Long] = froms.map(_ -> 0L).toMap
+      (1 to 6).foreach { _ =>
+        p = froms.map { f =>
+          val flow: BigInt = trans.toSeq.collect {
+            case ((`f`, t), n)
+                if t != "conv" && t != "null" && !removed.contains(t) =>
+              BigInt(n) * BigInt(p.getOrElse(t, 0L))
+          }.sum
+          f -> ((BigInt(nConv(f)) * 1000000 + flow) / total(f)).toLong
+        }.toMap
+      }
+      p.getOrElse("start", 0L)
+    }
+    val pFull = horizon(None)
+    val chans = Seq("click", "error", "signup", "view")
+    val re = chans.map(c => (c, pFull - horizon(Some(c))))
+    val tot = re.map(_._2).sum
+    val got = graft.queries.Wave15.attributionMarkov
+      .run(spark, SharedSpark.sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._4)).toSeq == re)
+    got.foreach { case (_, pf, pr, e) =>
+      assert(pf == pFull)
+      assert(e == pf - pr && e >= 0, "removal effect must be non-negative")
+    }
+    assert(tot > 0 && re.map(_._2 * 1000000L / tot).sum <= 1000000L)
+  }
+
   test("q_record_linkage: links are the intact-name diagonals, scored right") {
     val cust = Tables.load(spark, SharedSpark.sf001, "customer")
       .select("c_custkey", "c_mktsegment", "c_acctbal").collect()
