@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Wave12.all ++
       graft.queries.Wave13.all ++
       graft.queries.Wave14.all ++
-      graft.queries.Wave15.all
+      graft.queries.Wave15.all ++
+      graft.queries.Wave16.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -389,8 +389,9 @@ object TextQueries {
       |       WHERE t.term IN ('dup', 'merge', 'window', 'scan')
       |       GROUP BY 1, 2, 3),
       |dfr AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
-      |args AS (SELECT DISTINCT 2 * df + 1 AS n FROM dfr
-      |         UNION SELECT 2 * n_docs + 2 FROM stats),
+      |args AS (SELECT DISTINCT n FROM (
+      |         SELECT 2 * df + 1 AS n FROM dfr
+      |         UNION ALL SELECT 2 * n_docs + 2 FROM stats)),
       |base AS (SELECT n, length(bin(n)) - 1 AS e FROM args),
       |fxl(n, i, x, r) AS (
       |  SELECT n, 0,
@@ -462,8 +463,8 @@ object TextQueries {
       |         CAST((cr.n_t + 1) * (tot.r_tot + 1024) AS BIGINT) AS num,
       |         CAST((cr.n_r + 1) * (tot.t_tot + 1024) AS BIGINT) AS den
       |       FROM cr CROSS JOIN tot),
-      |args AS (SELECT DISTINCT num AS n FROM wt
-      |         UNION SELECT DISTINCT den FROM wt),
+      |args AS (SELECT DISTINCT n FROM (
+      |         SELECT num AS n FROM wt UNION ALL SELECT den FROM wt)),
       |base AS (SELECT n, length(bin(n)) - 1 AS e FROM args),
       |fxl(n, i, x, r) AS (
       |  SELECT n, 0,

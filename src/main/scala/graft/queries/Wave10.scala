@@ -646,12 +646,13 @@ object Wave10 {
        |ms AS (SELECT seg, CAST(SUM(n_sp) AS BIGINT) AS n_s FROM cells GROUP BY 1),
        |mp AS (SELECT pri, CAST(SUM(n_sp) AS BIGINT) AS n_p FROM cells GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_sp) AS BIGINT) AS n FROM cells),
-       |args AS (SELECT DISTINCT c.n_sp * t.n AS n FROM cells c, tot t
-       |  UNION SELECT DISTINCT ms.n_s * mp.n_p FROM cells c
+       |args AS (SELECT DISTINCT n FROM (
+       |  SELECT c.n_sp * t.n AS n FROM cells c, tot t
+       |  UNION ALL SELECT ms.n_s * mp.n_p FROM cells c
        |    JOIN ms ON ms.seg = c.seg JOIN mp ON mp.pri = c.pri
-       |  UNION SELECT DISTINCT n_s FROM ms
-       |  UNION SELECT DISTINCT n_p FROM mp
-       |  UNION SELECT n FROM tot),
+       |  UNION ALL SELECT n_s FROM ms
+       |  UNION ALL SELECT n_p FROM mp
+       |  UNION ALL SELECT n FROM tot)),
        |${fxlogCte("args")},
        |cm AS (SELECT c.seg, c.pri, c.n_sp, ms.n_s, mp.n_p,
        |    c.n_sp * (la.r - lb.r) AS cell_mi_fx

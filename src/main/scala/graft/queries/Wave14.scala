@@ -98,9 +98,10 @@ object Wave14 {
        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS total,
        |          COUNT(*) AS k_next
        |        FROM c GROUP BY 1),
-       |args AS (SELECT DISTINCT n FROM c
-       |  UNION SELECT DISTINCT total FROM tot
-       |  UNION SELECT DISTINCT k_next FROM tot),
+       |args AS (SELECT DISTINCT n FROM (
+       |  SELECT n FROM c
+       |  UNION ALL SELECT total FROM tot
+       |  UNION ALL SELECT k_next FROM tot)),
        |${Wave10.fxlogCte("args")},
        |h AS (SELECT c.from_type,
        |        CAST(SUM(c.n * (lt.r - ln.r)) AS BIGINT) AS h_fx
@@ -169,8 +170,8 @@ object Wave14 {
        |    CAST(ROUND(l_extendedprice / l_quantity * (1 - l_discount) * 100,
        |      0) AS BIGINT) AS pc
        |  FROM lineitem),
-       |args AS (SELECT DISTINCT pc AS n FROM p
-       |  UNION SELECT DISTINCT qty FROM p),
+       |args AS (SELECT DISTINCT n FROM (
+       |  SELECT pc AS n FROM p UNION ALL SELECT qty FROM p)),
        |${Wave10.fxlogCte("args")},
        |xy AS (SELECT p.l_partkey, lx.r AS x, ly.r AS y
        |  FROM p JOIN lg lx ON lx.n = p.pc JOIN lg ly ON ly.n = p.qty),

@@ -45,10 +45,11 @@ object Wave15 {
        |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
        |nb AS (SELECT CAST(SUM(n2) AS BIGINT) AS n_big FROM c2),
        |f AS (SELECT w1, w2, n2 FROM c2 WHERE n2 >= 5),
-       |args AS (SELECT DISTINCT n2 AS n FROM f
-       |  UNION SELECT DISTINCT n1 FROM c1
-       |  UNION SELECT n_tok FROM nt
-       |  UNION SELECT n_big FROM nb),
+       |args AS (SELECT DISTINCT n FROM (
+       |  SELECT n2 AS n FROM f
+       |  UNION ALL SELECT n1 FROM c1
+       |  UNION ALL SELECT n_tok FROM nt
+       |  UNION ALL SELECT n_big FROM nb)),
        |${Wave10.fxlogCte("args")}
        |SELECT f.w1, f.w2, f.n2, ca.n1 AS n1_w1, cb.n1 AS n1_w2,
        |  l2.r + 2 * ln_.r - lb_.r - la.r - lbw.r AS pmi_fx
