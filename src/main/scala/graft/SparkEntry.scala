@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Wave13.all ++
       graft.queries.Wave14.all ++
       graft.queries.Wave15.all ++
-      graft.queries.Wave16.all
+      graft.queries.Wave16.all ++
+      graft.queries.Wave17.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
