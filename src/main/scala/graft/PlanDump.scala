@@ -274,7 +274,44 @@ object PlanDump {
         |per suite, not per consumer), so this plan is just the rs<=10 /
         |rd<=10 filters, the relevance left join, the fxlog2 discount
         |and one aggregate — no corpus scan, no window, no cartesian
-        |product.""".stripMargin)
+        |product.""".stripMargin,
+    "q_graph_sssp" ->
+      """Bounded Bellman-Ford: the a-priori-pruned merge-hinted SMJ
+        |self-join builds the weighted edge list ONCE into a cached
+        |u-partitioned relation; each of the 4 relaxation rounds joins
+        |the BROADCAST distance frame against that cache (stats-less
+        |checkpoint frames would otherwise re-shuffle it) and min-folds.
+        |Lazy per-round localCheckpoints keep the plan linear in
+        |rounds.""".stripMargin,
+    "q_graph_ppr" ->
+      """Personalized PageRank: same cached u-partitioned edge list as
+        |SSSP; degrees checkpoint lazily off the cache and come back as
+        |a BROADCAST; each of the 6 rounds is one narrow scan of cached
+        |edges + two broadcast joins + the v-keyed aggregate. The eager-
+        |seed/uncached variant re-ran the self-join per consumer and
+        |measured 3x slower — the seed must stay a lazy checkpoint below
+        |the cache.""".stripMargin,
+    "q_tree_split" ->
+      """GBDT histogram split search: the lineitem scan explodes to the
+        |3-feature long form and aggregates STRAIGHT to (feature, bin)
+        |histogram rows — map-side partial combine does the data-sized
+        |work; min/max and per-feature totals are 3-row broadcasts; the
+        |prefix-sum window partitions by feature (never a global
+        |window); nothing downstream of the first aggregate is
+        |data-sized.""".stripMargin,
+    "q_knn_classify" ->
+      """kNN eval: probes (one in 20) BROADCAST against the corpus scan
+        |— the corpus is never shuffled; per-probe top-5 goes through
+        |TopK.perGroup partial ranking; the vote and argmax windows run
+        |on k-sized groups. At a billion vectors the scoring side swaps
+        |to the IVF-PQ index with this eval contract unchanged.""".stripMargin,
+    "q_naive_bayes" ->
+      """Naive Bayes: the (class x vocab) count model and the class
+        |priors come back as BROADCASTS (vocabulary-sized by Heaps'
+        |law); scoring is one narrow tokenize pass + broadcast joins +
+        |one per-(doc, class) partial aggregate; the argmax window
+        |partitions by doc_id. No data-sized shuffle after the token
+        |count.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -298,4 +298,49 @@ class PlanShapeSpec extends AnyFunSuite {
     }
     assert(windows.isEmpty, "ranking must arrive pre-cut from the shared frames")
   }
+
+  test("q_tree_split: the prefix-sum window partitions by feature and " +
+    "nothing past the first aggregate is data-sized") {
+    val plan = staticPlan("q_tree_split")
+    assert(!plan.toString.contains("CartesianProduct"))
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "histogram windows must partition by feature")
+  }
+
+  test("q_knn_classify: probes broadcast against the corpus scan — the " +
+    "corpus side is never shuffled before scoring") {
+    val plan = staticPlan("q_knn_classify")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    // the probe fan-out is the broadcast nested-loop crossJoin by
+    // construction; the corpus must reach it straight from the scan
+    assert(s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+  }
+
+  test("q_naive_bayes: the class/vocab model joins back as broadcasts " +
+    "(no data-sized shuffle after the token count)") {
+    val plan = executed("q_naive_bayes")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("registry-wide: every WindowExec carries a partition spec (no " +
+    "data-sized single-partition windows anywhere)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, f) =>
+        val plan = f(spark, SharedSpark.sf001).queryExecution.executedPlan
+        val bad = plan.collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty, s"$name carries an unpartitioned WindowExec " +
+          "(use ops.BoundedWindow for bounded frames, RankedPrefix/" +
+          "Packing for data-sized ones)")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
