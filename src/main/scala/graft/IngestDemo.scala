@@ -177,6 +177,23 @@ object IngestDemo {
     println(s"[demo] stream-kmv: updates=${kmvRows.mkString(",")} " +
       "(sketch_k, est) after 40 then 60 distinct ids")
 
+    // 7a. streaming uniform sample with payload: md5-priority bottom-k
+    //     state per key — the streaming twin of the q_sample_* family
+    val resIn = MemoryStream[(String, Long)]
+    val rq = streaming.Streams.runToMemory(
+      streaming.StatefulReservoir.uniformSample(
+        spark, resIn.toDF().toDF("grp", "id"), "grp", "id", k = 8).toDF(),
+      "demo_reservoir", "update")
+    resIn.addData((1L to 30L).map(i => ("traffic", i)): _*)
+    rq.processAllAvailable()
+    resIn.addData((31L to 60L).map(i => ("traffic", i)): _*)
+    rq.processAllAvailable()
+    rq.stop()
+    val resRows = spark.table("demo_reservoir").collect()
+      .map(r => (r.getLong(1), r.getString(3).take(8)))
+    println(s"[demo] stream-reservoir: updates=${resRows.mkString(",")} " +
+      "(n_sampled, fp prefix) after 30 then 60 events")
+
     // 7b. streaming HLL: per-key 256-register state, the incremental
     //     twin of q_sketch_hll_fx (register-max mergeability)
     val hllIn = MemoryStream[(String, Long)]

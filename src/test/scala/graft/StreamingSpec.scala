@@ -356,6 +356,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("s_stream_reservoir: incremental md5-priority sample equals the " +
+    "batch sample at every micro-batch prefix, any arrival order") {
+    implicit val ctx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(ids: Seq[Long], k: Int): Seq[Long] =
+      ids.distinct.map(i => (md5hex(i.toString), i)).sortBy(_._1)
+        .take(k).map(_._2)
+    val mem = MemoryStream[(String, Long)]
+    val ds = graft.streaming.StatefulReservoir.uniformSample(
+      spark, mem.toDF().toDF("grp", "id"), "grp", "id", k = 8)
+    val q = Streams.runToMemory(ds.toDF(), "resstream", "update")
+    try {
+      // second batch arrives out of order and overlaps the first:
+      // both order-independence and distinct-ness sit in the pin
+      val b1 = (1L to 40L).toSeq
+      val b2 = (60L to 25L by -1L).toSeq
+      mem.addData(b1.map(i => ("x", i)): _*)
+      q.processAllAvailable()
+      mem.addData(b2.map(i => ("x", i)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("resstream").collect()
+        .map(r => (r.getLong(1), r.getSeq[Long](2).toSeq)).toSet
+      val p1 = ref(b1, 8)
+      val pAll = ref(b1 ++ b2, 8)
+      assert(rows == Set((p1.length.toLong, p1), (pAll.length.toLong, pAll)),
+        s"got $rows, want prefix=$p1 full=$pAll")
+      // the sample is a uniform subset: every id within seen range
+      assert(pAll.forall(i => i >= 1L && i <= 60L) && pAll.length == 8)
+    } finally q.stop()
+  }
+
   test("s_stream_hll: incremental 256-register HLL equals the batch " +
     "sketch at every micro-batch prefix (register-max mergeability)") {
     implicit val ctx = spark.sqlContext
