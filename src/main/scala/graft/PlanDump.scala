@@ -276,21 +276,21 @@ object PlanDump {
         |and one aggregate — no corpus scan, no window, no cartesian
         |product.""".stripMargin,
     "q_graph_sssp" ->
-      """Bounded Bellman-Ford: the a-priori-pruned merge-hinted SMJ
-        |self-join builds the weighted edge list ONCE into a cached
-        |u-partitioned relation; each of the 4 relaxation rounds joins
-        |the BROADCAST distance frame against that cache (stats-less
-        |checkpoint frames would otherwise re-shuffle it) and min-folds.
-        |Lazy per-round localCheckpoints keep the plan linear in
-        |rounds.""".stripMargin,
+      """Bounded Bellman-Ford over the SUITE-SHARED GraphShared edge
+        |frame (one a-priori-pruned merge-hinted SMJ self-join per
+        |suite, not per query — the whole graph family dropped ~31s ->
+        |~11.5s isolated sf0.1 when it landed); each of the 4
+        |relaxation rounds joins the BROADCAST distance frame against
+        |the cached symmetric closure and min-folds. Lazy per-round
+        |localCheckpoints keep the plan linear in rounds.""".stripMargin,
     "q_graph_ppr" ->
-      """Personalized PageRank: same cached u-partitioned edge list as
-        |SSSP; degrees checkpoint lazily off the cache and come back as
-        |a BROADCAST; each of the 6 rounds is one narrow scan of cached
-        |edges + two broadcast joins + the v-keyed aggregate. The eager-
-        |seed/uncached variant re-ran the self-join per consumer and
-        |measured 3x slower — the seed must stay a lazy checkpoint below
-        |the cache.""".stripMargin,
+      """Personalized PageRank over the suite-shared GraphShared frame;
+        |degrees checkpoint lazily off it and come back as a BROADCAST;
+        |each of the 6 rounds is one narrow scan of cached edges + two
+        |broadcast joins + the v-keyed aggregate. The eager-seed/
+        |uncached variant re-ran the self-join per consumer and
+        |measured 3x slower — the seed must stay a lazy checkpoint
+        |below the cache.""".stripMargin,
     "q_tree_split" ->
       """GBDT histogram split search: the lineitem scan explodes to the
         |3-feature long form and aggregates STRAIGHT to (feature, bin)

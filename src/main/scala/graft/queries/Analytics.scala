@@ -278,15 +278,8 @@ object Analytics {
       |FROM e e1 JOIN e e2 ON e1.v = e2.u
       |          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
       |ORDER BY u, v, w""".stripMargin) { (s, d) =>
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val e = li.toDF("okey", "pa")
-      .join(li.toDF("okey", "pb"), "okey")
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("pa").as("a"), col("pb").as("b"))
+    val e = GraphShared.pairs(s, d)
+      .select(col("u").as("a"), col("v").as("b"))
     // undirected degree of every vertex in the co-purchase edge set
     val deg = e.select(col("a").as("x")).unionAll(e.select(col("b").as("x")))
       .groupBy("x").agg(count(lit(1)).as("deg"))
@@ -555,18 +548,8 @@ object Analytics {
       |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
       |FROM bfs GROUP BY node ORDER BY dist, node""".stripMargin) { (s, d) =>
     import s.implicits._
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .hint("merge")
-    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("dst"))
-      .hint("merge")
-    val edges = a
-      .join(b, col("l_orderkey") === col("okey_b") && col("src") =!= col("dst"))
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select("src", "dst")
+    val edges = GraphShared.symmetric(s, d)
+      .select(col("u").as("src"), col("v").as("dst"))
       .persist() // load-bearing: 4 frontier joins reuse one edge build
     val seed = edges.agg(min(col("src"))).as[Long].head()
     var dist = s.createDataFrame(Seq(Tuple2(seed, 0L)))

@@ -539,16 +539,7 @@ object Wave10 {
   def lpaLabels(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .hint("merge")
-    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
-      .hint("merge")
-    val e = a
-      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("u", "v")
+    val e = GraphShared.pairs(s, d).select("u", "v")
     val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       .repartition(np, col("v"))
@@ -735,16 +726,7 @@ object Wave10 {
       |  c.cn * 1000000 // (du.deg + dw.deg - c.cn) AS jaccard_ppm
       |FROM cand c JOIN deg du ON du.node = c.u JOIN deg dw ON dw.node = c.w
       |ORDER BY u, w""".stripMargin) { (s, d) =>
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .hint("merge")
-    val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
-      .hint("merge")
-    val e = a
-      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("u", "v")
+    val e = GraphShared.pairs(s, d).select("u", "v")
     val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val deg = eu.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val wedges = eu.toDF("u", "mid").hint("merge")

@@ -105,29 +105,11 @@ object Wave13 {
       |       // (CAST(n * sxx - sx * sx AS HUGEINT) * (n * syy - sy * sy))
       |    AS BIGINT) AS r2_ppm
       |FROM m ORDER BY n_edge_ends""".stripMargin) { (s, d) =>
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    // A-priori prune: an edge needs co-occurrence >= 2, so both
-    // endpoints must sit on >= 2 raw lines (superset of the
-    // distinct-basket bound — see q_copurchase_pairs) — broadcast
-    // semi-join the hot items out of the self-join input (rows
-    // unchanged by the bound).
-    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 2)
-      .select("l_partkey")
-    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
-    val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .hint("merge")
-    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
-      .hint("merge")
-    val e = a
-      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("u", "v")
-    // eu feeds BOTH the degree aggregate and the edge-end join — the
-    // lazy checkpoint computes the pair self-join once (5.8s -> ~2s
-    // isolated sf0.1 without it the edge build ran per consumer)
-    val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    // Suite-shared a-priori-pruned edge build (GraphShared); the lazy
+    // checkpoint below keeps the symmetric closure computed once for
+    // BOTH the degree aggregate and the edge-end join (5.8s -> ~2s
+    // isolated sf0.1 when the edge build ran per consumer)
+    val eu = GraphShared.symmetric(s, d).select("u", "v")
       .localCheckpoint(false)
     val deg = eu.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val xy = eu

@@ -395,20 +395,7 @@ object Wave15 {
       |    JOIN eu ON eu.u = d3.node) GROUP BY 1)
       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin) { (s, d) =>
     val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 2)
-      .select("l_partkey")
-    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
-    val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .hint("merge")
-    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
-      .hint("merge")
-    val e = a
-      .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    val e = GraphShared.pairs(s, d)
       .select(col("u"), col("v"), expr("1000000 div n").as("w"))
     val eu = e.select("u", "v", "w")
       .unionAll(e.select(col("v").as("u"), col("u").as("v"), col("w")))

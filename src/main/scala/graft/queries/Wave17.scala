@@ -179,27 +179,13 @@ object Wave17 {
          |SELECT node, pr FROM p$PprRounds ORDER BY node""".stripMargin) {
       (s, d) =>
       val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
-        .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 2)
-        .select("l_partkey")
-      val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
-      val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .hint("merge")
-      val b = lih.select(col("l_orderkey").as("okey_b"),
-        col("l_partkey").as("v")).hint("merge")
-      val e = a
-        .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("u", "v")
-      // One cached pre-partitioned edge list (the q_graph_sssp shape);
-      // degrees checkpoint lazily off the cache and BROADCAST back, so
-      // each round is one narrow scan of cached edges + two broadcast
-      // joins + the v-keyed aggregate. An eager seed checkpoint +
-      // uncached eu ran the self-join edge build per consumer and
-      // measured 11.4s vs SSSP's 3.7s same-session — don't repeat it.
-      val eu = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      // Suite-shared edge build (GraphShared); degrees checkpoint
+      // lazily off it and BROADCAST back, so each round is one narrow
+      // scan of cached edges + two broadcast joins + the v-keyed
+      // aggregate. An eager seed checkpoint + an uncached edge list
+      // ran the self-join build per consumer and measured 11.4s vs
+      // SSSP's 3.7s same-session — don't repeat it.
+      val eu = GraphShared.symmetric(s, d).select("u", "v")
         .repartition(np, col("u"))
         .persist()
       val deg = eu.groupBy("u").agg(count(lit(1)).as("deg"))

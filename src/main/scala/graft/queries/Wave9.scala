@@ -472,16 +472,7 @@ object Wave9 {
          |            = (SELECT COUNT(*) FROM a${KcoreRounds - 1}) AS converged)
          |SELECT f.node, f.core_deg, cv.converged FROM fin f, cv
          |ORDER BY f.node""".stripMargin) { (s, d) =>
-      val li = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .hint("merge")
-      val b = li.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("v"))
-        .hint("merge")
-      val e = a
-        .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("u", "v")
+      val e = GraphShared.pairs(s, d).select("u", "v")
       // Pre-partition the edge cache on u: every round's degree count
       // then reuses the cached partitioning (zero per-round shuffles —
       // the alive sets below join as explicit broadcasts, which also
