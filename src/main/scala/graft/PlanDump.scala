@@ -252,13 +252,13 @@ object PlanDump {
         |per-round localCheckpoints keep the chain single-execution, so
         |the final plan reads round RDDs, not the full lineage.""".stripMargin,
     "q_copurchase_lift" ->
-      """Market-basket lift with an a-priori pre-prune: the broadcast
-        |LEFT-SEMI join (items with raw count >= minSupport) must sit
-        |BELOW both sides of the merge-hinted basket self-join — the
-        |quadratic-in-basket-size pair stage only ever sees prunable-
-        |surviving items. Denominator joins are broadcasts of the tiny
-        |item-count table; the scalar n_orders is a one-row broadcast
-        |BNLJ. No CartesianProduct anywhere.""".stripMargin,
+      """Market-basket lift over the suite-shared GraphShared pair
+        |frame (the a-priori semi prune + merge-hinted self-join now
+        |live in that one build — PlanShapeSpec pins its shape
+        |directly): this consumer reads the checkpointed pairs at
+        |support >= 3 and must NOT rebuild the pair join. Denominator
+        |joins are broadcasts of the tiny item-count table; the scalar
+        |n_orders is a one-row broadcast BNLJ.""".stripMargin,
     "q_graph_assortativity" ->
       """Degree assortativity: the same a-priori-pruned merge-hinted SMJ
         |self-join builds the edge list ONCE (lazy localCheckpoint — the

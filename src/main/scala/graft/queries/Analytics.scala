@@ -221,35 +221,12 @@ object Analytics {
       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY part_a, part_b""".stripMargin) { (s, d) =>
-    val li = Tables.load(s, d, "lineitem")
-      .select("l_orderkey", "l_partkey").distinct()
-    // A-priori prune BEFORE the quadratic-in-basket-size self-join: a
-    // pair with support >= 3 needs BOTH items in >= 3 baskets, so a
-    // broadcast semi-join against the hot-item list shrinks the join
-    // input first — rows unchanged by the support bound, and a pure
-    // win on skewed 100TB baskets (the cold tail never enters the
-    // pair space). The hot list uses RAW per-item line counts (a
-    // superset of the distinct-basket bound: raw >= support, so
-    // raw < 3 certainly means support < 3) — one column-pruned scan
-    // with map-side combine instead of a second (orderkey, partkey)
-    // distinct pass (A/B r9: the distinct-based hot list doubled the
-    // isolated query time at this SF, where nothing prunes).
-    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 3)
-      .select("l_partkey")
-    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
-    // merge hints on BOTH sides of the pair self-join: the planner would
-    // otherwise broadcast one side and RECOMPUTE the distinct subplan for
-    // it; the hinted SMJ feeds both sides from one reused exchange
-    // (CLAUDE.md self-join lore, same shape as the Jaccard join).
-    val a = lih.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .hint("merge")
-    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("part_b"))
-      .hint("merge")
-    a.join(b, col("l_orderkey") === col("okey_b") && col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 3)
+    // The support>=3 pair set is the suite-shared GraphShared frame
+    // (support >= 2) filtered one notch tighter — identical rows to
+    // the inline a-priori-pruned merge-hinted self-join this replaced.
+    GraphShared.pairs(s, d).filter(col("n") >= 3)
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("n").as("n_orders"))
       .orderBy("part_a", "part_b")
   }
 
@@ -1318,23 +1295,13 @@ object Analytics {
       .select("l_orderkey", "l_partkey").distinct()
     val n = li.select(countDistinct(col("l_orderkey")).as("n_orders"))
     val item = li.groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
-    // A-priori prune (same raw-count superset bound as
-    // q_copurchase_pairs): only items on >= 3 raw lines can reach
-    // pair support >= 3 — broadcast semi-join them out of the
-    // self-join input. `item` stays UNpruned: the confidence/lift
-    // denominators and the oracle use full distinct-basket counts.
-    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 3)
-      .select("l_partkey")
-    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
-    val pair = lih.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .hint("merge")
-      .join(lih.select(col("l_orderkey").as("ok2"), col("l_partkey").as("part_b"))
-        .hint("merge"),
-        col("l_orderkey") === col("ok2") && col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 3)
+    // The suite-shared support>=2 pair frame filtered to >= 3 —
+    // identical rows to the inline a-priori-pruned self-join. `item`
+    // stays UNpruned: the confidence/lift denominators and the oracle
+    // use full distinct-basket counts.
+    val pair = GraphShared.pairs(s, d).filter(col("n") >= 3)
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("n").as("n_ab"))
     pair
       .join(broadcast(item.select(col("l_partkey").as("part_a"),
         col("n_i").as("na"))), Seq("part_a"))

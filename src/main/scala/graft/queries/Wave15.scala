@@ -170,22 +170,11 @@ object Wave15 {
       |WHERE rank <= 3 ORDER BY item, rank""".stripMargin) { (s, d) =>
     val li = Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_partkey").distinct()
-    // A-priori prune: co-occurrence >= 3 needs both endpoints on >= 3
-    // raw lineitem rows (a superset of the distinct-basket count) —
-    // same broadcast semi-join bound as q_copurchase_lift.
-    val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
-      .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 3)
-      .select("l_partkey")
-    val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
     val ic = li.groupBy("l_partkey").agg(count(lit(1)).as("n_i"))
-    val a = lih.select(col("l_orderkey"), col("l_partkey").as("i"))
-      .hint("merge")
-    val b = lih.select(col("l_orderkey").as("okey_b"), col("l_partkey").as("j"))
-      .hint("merge")
-    val pr = a
-      .join(b, col("l_orderkey") === col("okey_b") && col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n_ij"))
-      .filter(col("n_ij") >= 3)
+    // The suite-shared support>=2 pair frame filtered to >= 3 —
+    // identical rows to the inline a-priori-pruned self-join.
+    val pr = GraphShared.pairs(s, d).filter(col("n") >= 3)
+      .select(col("u").as("i"), col("v").as("j"), col("n").as("n_ij"))
     val sym = pr.select("i", "j", "n_ij")
       .unionAll(pr.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
     val sc = sym

@@ -255,25 +255,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(s.contains("Scan ExistingRDD"), s.take(1500)) // checkpointed rounds
   }
 
-  test("q_copurchase_lift: the a-priori broadcast semi-join prunes BELOW " +
-    "both sides of the merge-hinted basket self-join") {
+  test("q_copurchase_lift: pairs arrive from the suite-shared edge " +
+    "frame; denominators join back as broadcasts") {
     val plan = staticPlan("q_copurchase_lift")
     val s = plan.toString
-    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("CartesianProduct") || s.contains("BroadcastNestedLoop"),
+      s.take(2000))
+    // the basket self-join (with its a-priori semi prune and merge
+    // hints) now lives inside the GraphShared build — this consumer
+    // must read the checkpointed frame, not rebuild the pair join
+    assert(s.contains("Scan ExistingRDD"), s.take(2000))
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
     val smj = plan.collectWithSubqueries {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }
-    assert(smj.nonEmpty, s.take(2000))
-    // both self-join inputs must already be semi-pruned (the
-    // PushLeftSemiLeftAntiThroughJoin trap would hoist it above); the
-    // second side legitimately arrives as a ReusedExchange of the
-    // first side's pruned subtree (one build, two consumers)
-    smj.head.children.foreach { side =>
-      val t = side.toString
-      assert(t.contains("LeftSemi") || t.contains("ReusedExchange"),
-        s"self-join side missing the semi prune:\n${t.take(1500)}")
-    }
-    assert(s.contains("LeftSemi"), s.take(2000))
+    assert(smj.isEmpty, "the pair self-join must not be rebuilt here")
+  }
+
+  test("GraphShared.pairs: the one suite-level edge build keeps the " +
+    "a-priori semi prune below both sides of the merge-hinted SMJ") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // build the frame's PLAN without materializing: reconstruct via a
+      // fresh logical copy (SharedFrames would hand back the checkpoint)
+      val li = Tables.load(spark, SharedSpark.sf001, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val hot = Tables.load(spark, SharedSpark.sf001, "lineitem")
+        .groupBy("l_partkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_raw"))
+        .filter(org.apache.spark.sql.functions.col("n_raw") >= 2)
+        .select("l_partkey")
+      import org.apache.spark.sql.functions._
+      val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
+      val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .hint("merge")
+      val b = lih.select(col("l_orderkey").as("okey_b"),
+        col("l_partkey").as("v")).hint("merge")
+      val plan = a
+        .join(b, col("l_orderkey") === col("okey_b") && col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .queryExecution.executedPlan
+      val smj = plan.collectWithSubqueries {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, plan.toString.take(2000))
+      smj.head.children.foreach { side =>
+        val t = side.toString
+        assert(t.contains("LeftSemi") || t.contains("ReusedExchange"),
+          s"self-join side missing the semi prune:\n${t.take(1500)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q_graph_assortativity: the pruned self-join builds the edge " +
