@@ -330,6 +330,17 @@ object IngestDemo {
       .count(_.getName.startsWith("cell="))
     println(s"[demo] ivfpq-index: $served results served from " +
       s"$nCells cell partitions on disk")
+
+    // 10. ORC round-trip — the columnar format beyond parquet/Avro,
+    //     with the same predicate-pushdown surface (partition pruning
+    //     is already exercised by stage 2's bucketed write above).
+    val docsIn = Tables.load(spark, sfDir, "documents")
+    docsIn.write.mode("overwrite").orc(s"$outDir/docs_orc")
+    val orcBack = spark.read.orc(s"$outDir/docs_orc")
+    val orcPush = orcBack.filter(col("n_chars") > 100).select("doc_id")
+      .queryExecution.executedPlan.toString.contains("PushedFilters: [")
+    println(s"[demo] orc-roundtrip: ${orcBack.count()} rows " +
+      s"(= ${docsIn.count()} in), filter pushdown=$orcPush")
     spark.stop()
   }
 }
