@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Wave16.all ++
       graft.queries.Wave17.all ++
       graft.queries.Wave18.all ++
-      graft.queries.Wave19.all
+      graft.queries.Wave19.all ++
+      graft.queries.Wave20.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
