@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.Wave18.all ++
       graft.queries.Wave19.all ++
       graft.queries.Wave20.all ++
-      graft.queries.Wave21.all
+      graft.queries.Wave21.all ++
+      graft.queries.Wave22.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
