@@ -311,7 +311,33 @@ object PlanDump {
         |law); scoring is one narrow tokenize pass + broadcast joins +
         |one per-(doc, class) partial aggregate; the argmax window
         |partitions by doc_id. No data-sized shuffle after the token
-        |count.""".stripMargin)
+        |count.""".stripMargin,
+    "q_graph_mst" ->
+      """Boruvka MSF over the suite-shared GraphShared edges (cached,
+        |u-partitioned). Per round: the two component-label joins are
+        |BROADCASTS against the cached edge scan; the per-component
+        |argmin window partitions by c (never global); pointer jumps
+        |are dictionary-sized broadcast joins. Carried frames come back
+        |as fresh createDataFrame leaves (constant stats — the
+        |localCheckpoint stats-snowball fix; see CLAUDE.md), so the
+        |per-round plan stays constant-size across rounds.""".stripMargin,
+    "q_retrieval_mmr" ->
+      """MMR reranking downstream of the suite-shared dense top-20
+        |ground truth: candidates are 10 rows/probe, the pairwise-sim
+        |frame 45 rows/probe (fused graft_fxdot in the join project, no
+        |component explode); each greedy round is a probe-partitioned
+        |window argmax. Diversity runs AFTER retrieval pruning — the
+        |only affordable place at scale.""".stripMargin,
+    "q_als_rank1" ->
+      """Rank-1 ALS: the ratings build is one (cust,part) shuffle; each
+        |half-step is a key-partitioned aggregate with map-side partial
+        |combine; factors stay columns of distributed frames (no
+        |driver-side matrix, no collect).""".stripMargin,
+    "q_ts_dtw" ->
+      """DTW: one month-keyed aggregate collapses the fact table to a
+        |25x12 dictionary; the pair self-join and the compiled per-pair
+        |DP kernel run on 300 bounded rows. The only data-sized work is
+        |the first aggregate's shuffle.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
