@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Wave23.all ++
       graft.queries.Wave24.all ++
       graft.queries.Wave25.all ++
-      graft.queries.Wave26.all
+      graft.queries.Wave26.all ++
+      graft.queries.Wave27.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
