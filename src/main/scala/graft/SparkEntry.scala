@@ -39,7 +39,8 @@ object SparkEntry {
       graft.queries.Wave24.all ++
       graft.queries.Wave25.all ++
       graft.queries.Wave26.all ++
-      graft.queries.Wave27.all
+      graft.queries.Wave27.all ++
+      graft.queries.Wave28.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
