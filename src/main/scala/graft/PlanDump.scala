@@ -337,7 +337,22 @@ object PlanDump {
       """DTW: one month-keyed aggregate collapses the fact table to a
         |25x12 dictionary; the pair self-join and the compiled per-pair
         |DP kernel run on 300 bounded rows. The only data-sized work is
-        |the first aggregate's shuffle.""".stripMargin)
+        |the first aggregate's shuffle.""".stripMargin,
+    "q_dbscan_core" ->
+      """Grid-blocked DBSCAN: the candidate pair join is a cell EQUI-join
+        |over the 9x neighbor-cell replica (never all-pairs / no nested
+        |loop); the exact distance predicate rides the join; the
+        |core-set pass re-reads the persisted pair frame.""".stripMargin,
+    "q_graph_betweenness" ->
+      """Sampled Brandes: per hop one broadcast frontier join against the
+        |cached symmetric edges plus an anti-join on visited (each
+        |checkpointed); the backward pass is one level join per hop.
+        |Frontiers are node-set-sized; nothing is all-pairs.""".stripMargin,
+    "q_bipartite_match" ->
+      """Local-max matching: per round two key-partitioned argmax windows
+        |(WindowGroupLimit-able), an equi-join for mutuality and two
+        |anti-joins retiring matched endpoints; carried frames are
+        |fresh-leaf checkpoints (constant stats across rounds).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
