@@ -158,14 +158,24 @@ object Wave29 {
         .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
           .as("rv"))
       val rt = rev.agg(sum("rv").as("rvt"))
-      val tseg = rev.groupBy("seg").agg(sum("rv").as("rvs"))
+      // fresh-leaf checkpoints: without them each half-step references
+      // the carried frame twice (margin sum + scale join), DOUBLING the
+      // uncached plan per step — 2^8 re-executions of the cells/rev
+      // base by round 4 (measured 56s at sf0.1; 1.4s with the leaves).
+      // The frames are margin-dictionary-sized, so the checkpoint jobs
+      // are trivial. Same ckptLeaf rationale as q_graph_mst.
+      def ckptLeaf(df: DataFrame): DataFrame = {
+        val ck = df.localCheckpoint(true)
+        s.createDataFrame(ck.toDF().rdd, ck.schema)
+      }
+      val tseg = ckptLeaf(rev.groupBy("seg").agg(sum("rv").as("rvs"))
         .crossJoin(broadcast(tot)).crossJoin(broadcast(rt))
-        .select(col("seg"), expr("CAST(rvs * nt div rvt AS BIGINT)").as("t"))
-      val treg = rev.groupBy("reg").agg(sum("rv").as("rvs"))
+        .select(col("seg"), expr("CAST(rvs * nt div rvt AS BIGINT)").as("t")))
+      val treg = ckptLeaf(rev.groupBy("reg").agg(sum("rv").as("rvs"))
         .crossJoin(broadcast(tot)).crossJoin(broadcast(rt))
-        .select(col("reg"), expr("CAST(rvs * nt div rvt AS BIGINT)").as("t"))
-      var w: DataFrame = cells.select(col("seg"), col("reg"),
-        (col("n") * lit(1000000L)).as("w"))
+        .select(col("reg"), expr("CAST(rvs * nt div rvt AS BIGINT)").as("t")))
+      var w: DataFrame = ckptLeaf(cells.select(col("seg"), col("reg"),
+        (col("n") * lit(1000000L)).as("w")))
       // DECIMAL(38)/HUGEINT intermediates, BIGINT at each half-step
       // boundary: w*f and t*1e12 pass 2^63 near 1e9-customer margins
       val scale = """CAST(CAST(w AS DECIMAL(38,0))
@@ -173,11 +183,13 @@ object Wave29 {
                     |  div 1000000 AS BIGINT)""".stripMargin
       for (_ <- 1 to RakeRounds) {
         val rs = w.groupBy("seg").agg(sum("w").as("sw"))
-        w = w.join(broadcast(rs), "seg").join(broadcast(tseg), "seg")
-          .select(col("seg"), col("reg"), expr(scale).as("w"))
+        w = ckptLeaf(w.join(broadcast(rs), "seg")
+          .join(broadcast(tseg), "seg")
+          .select(col("seg"), col("reg"), expr(scale).as("w")))
         val cs = w.groupBy("reg").agg(sum("w").as("sw"))
-        w = w.join(broadcast(cs), "reg").join(broadcast(treg), "reg")
-          .select(col("seg"), col("reg"), expr(scale).as("w"))
+        w = ckptLeaf(w.join(broadcast(cs), "reg")
+          .join(broadcast(treg), "reg")
+          .select(col("seg"), col("reg"), expr(scale).as("w")))
       }
       w.join(cells, Seq("seg", "reg"))
         .select(col("seg"), col("reg"), col("n"),

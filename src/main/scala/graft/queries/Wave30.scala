@@ -122,14 +122,18 @@ object Wave30 {
             .orderBy(graft.functions.Exact.ms(col("ts")).desc,
               col("event_id").desc)))
         .filter(col("rn") <= AlnLen)
-      def seqOf(rk: Int) = r.filter(col("rk") === rk)
-        .groupBy(col("user_id"))
+      // ONE pass builds both sequences (2 rows), then a trivial eager
+      // checkpoint so the pair crossJoin doesn't re-rank the corpus
+      // once per side
+      val seqs = r.groupBy(col("user_id"), col("rk"))
         .agg(map_from_entries(collect_list(struct(col("rn"), col("event_type"))))
           .as("mw"))
-        .select(col("user_id"),
+        .select(col("user_id"), col("rk"),
           transform(sequence(lit(1), lit(AlnLen)),
             k => element_at(col("mw"),
               (lit(AlnLen + 1) - k).cast("int"))).as("seq"))
+        .localCheckpoint(true)
+      def seqOf(rk: Int) = seqs.filter(col("rk") === rk).drop("rk")
       val nwUdf = udf((a: Seq[String], b: Seq[String]) => {
         val n = a.length
         val dp = Array.ofDim[Long](n + 1, n + 1)
