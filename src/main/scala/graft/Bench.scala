@@ -118,18 +118,21 @@ object Bench {
         gcBeans.map(_.getCollectionCount).sum - gcN0, peakMb)
       name -> (if (ok) sec else -1.0)
     }.toMap
-    // The driver captures only the last ~2000 chars of output and parses
-    // the JSON line out of that tail, so the line must stay SHORT enough
-    // to survive whole (round 3's 9-decimal values pushed it past the
-    // budget and truncated the front of the line). 3 decimals = 1ms
-    // resolution, ~1.75k chars at 70 queries; if the registry grows past
-    // the budget, degrade to 2 decimals rather than risk truncation.
+    // ---- Driver-tail contract: the consumer keeps only the last
+    // ~2000 chars of output and parses the JSON line out of that tail.
+    // ALL cleanup that can log (SharedFrames unpersists emit a ~130-char
+    // WARN each — eight of them crowded r9's line out of the tail) runs
+    // HERE, before the line is built, with logging forced to ERROR.
+    // println(line) is the last thing this process writes to stdout.
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ops.SharedFrames.releaseAll()
+    spark.sharedState.cacheManager.clearCache()
     val total = results.values.filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Driver-environment evidence, visible IN the artifact line: the
     // physical core count this JVM actually sees (local[32] with fewer
-    // real cores inflates barrier-heavy iterative queries the most)
-    // and the suite's total GC wall time.
+    // real cores inflates barrier-heavy iterative queries the most),
+    // the suite's total GC wall time, and gc_hot — any query holding
+    // >20% of that GC time (the q_bootstrap_ci-style bomb detector).
     val cores = Runtime.getRuntime.availableProcessors
     val gcTotalS = gcDetail.values.map(_._1).sum / 1e3
     // Memory evidence for the gc_s investigation (driver recorded 26.1s
@@ -141,39 +144,11 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       .getTotalMemorySize >> 30
     catch { case _: Throwable => -1L }
-    // Locale.ROOT everywhere: a non-English default locale renders %f
-    // with comma decimals and breaks the single-line JSON contract.
-    def fmt(dec: Int, v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    def render(dec: Int): String = {
-      val qs = results
-        .map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
-    }
-    // 1800 chars is the ceiling: the consumer's 2000-char tail must
-    // also hold sbt's trailing "[success] Total time" line (~75), and
-    // r7 measured only 5 chars of headroom at a 1900 ceiling with 137
-    // queries — 1800 keeps ~100 chars of slack as the registry grows.
-    // When the full map no longer fits at 1 decimal, keep 2-decimal
-    // entries for as many of the MOST EXPENSIVE queries as the budget
-    // holds and report how many cheap ones were dropped — the hot
-    // spots survive with real precision instead of the whole map
-    // collapsing. topFit(0) degenerates to a queries-free line (the
-    // total is the headline; full precision always lands in the side
-    // file), so some line always fits.
-    def topN(n: Int): String = {
-      val top = results.toSeq.sortBy { case (k, v) => (-v, k) }.take(n)
-      val qs = top
-        .map { case (k, v) => "\"" + k + "\":" + fmt(2, v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":${fmt(1, gcTotalS)},"queries":$qs,"fast_omitted":${results.size - top.size},"failed":$failedJson,"sf":"$sfDir"}"""
-    }
-    def topFit: String =
-      (results.size to 0 by -1).iterator.map(topN)
-        .find(_.length <= 1800).getOrElse(topN(0))
-    val line = Seq(render(3), render(2), render(1))
-      .find(_.length <= 1800).getOrElse(topFit)
+    // Line construction (length ceiling, decimal degradation, gc_hot)
+    // lives in BenchLine so BenchLineSpec can assert the contract.
+    val line = BenchLine.build(
+      results, gcDetail.map { case (k, (ms, _, _)) => k -> ms }.toMap,
+      failed.toSeq, cores, heapG, ramG, sfDir)
     // Full-precision copy for local profiling (not part of the
     // contract), including per-query GC/heap evidence in timed order.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -181,12 +156,12 @@ object Bench {
     val detailQs = gcDetail.map { case (k, (gcMs, gcN, peakMb)) =>
       s"\"$k\":{\"sec\":${results.getOrElse(k, -1.0)},\"gc_ms\":$gcMs,\"gc_n\":$gcN,\"peak_mb\":$peakMb}"
     }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":$gcTotalS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
-    graft.ops.SharedFrames.releaseAll()
     spark.stop()
   }
 }

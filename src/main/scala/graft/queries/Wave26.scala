@@ -160,6 +160,11 @@ object Wave26 {
     * Shape at 100TB: the pair join is blocked on cell id — quadratic
     * only within a cell neighborhood; the core-set join back is
     * key-partitioned. Cell width = eps is the standard density bound.
+    * Cells use FLOOR division (the integer identity
+    * `x div e - [x<0 and x%e != 0]`, identical in both engines):
+    * truncate-toward-zero would make the origin cell span (-eps, eps)
+    * — 4x the area — and embeddings centered near 0 would concentrate
+    * candidate-pair fan-out exactly there (r9 ADVICE).
     */
   val dbscanCore: Q = {
     val eps = 100L
@@ -170,7 +175,9 @@ object Wave26 {
          |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
          |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
          |  FROM embeddings),
-         |cell AS (SELECT vec_id, x, y, x // $eps AS cx, y // $eps AS cy
+         |cell AS (SELECT vec_id, x, y,
+         |    x // $eps - CASE WHEN x < 0 AND x % $eps <> 0 THEN 1 ELSE 0 END AS cx,
+         |    y // $eps - CASE WHEN y < 0 AND y % $eps <> 0 THEN 1 ELSE 0 END AS cy
          |  FROM pt),
          |ex AS (SELECT c.vec_id, c.x, c.y, c.cx + dx.d AS cx, c.cy + dy.d AS cy
          |  FROM cell c, (SELECT unnest([-1, 0, 1]) AS d) dx,
@@ -206,7 +213,8 @@ object Wave26 {
             .as("y"))
         .persist()
       val cell = pt.select(col("vec_id"), col("x"), col("y"),
-        expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+        expr(s"x div $eps - (CASE WHEN x < 0 AND x % $eps != 0 THEN 1 ELSE 0 END)").as("cx"),
+        expr(s"y div $eps - (CASE WHEN y < 0 AND y % $eps != 0 THEN 1 ELSE 0 END)").as("cy"))
       val ex = cell
         .withColumn("dx", explode(lit(Array(-1, 0, 1))))
         .withColumn("dy", explode(lit(Array(-1, 0, 1))))

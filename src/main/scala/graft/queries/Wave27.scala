@@ -79,7 +79,9 @@ object Wave27 {
          |    CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT) AS x,
          |    CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT) AS y
          |  FROM embeddings),
-         |cell AS (SELECT vec_id, x, y, x // $eps AS cx, y // $eps AS cy
+         |cell AS (SELECT vec_id, x, y,
+         |    x // $eps - CASE WHEN x < 0 AND x % $eps <> 0 THEN 1 ELSE 0 END AS cx,
+         |    y // $eps - CASE WHEN y < 0 AND y % $eps <> 0 THEN 1 ELSE 0 END AS cy
          |  FROM pt),
          |ex AS (SELECT c.vec_id, c.x, c.y, c.cx + dx.d AS cx,
          |    c.cy + dy.d AS cy
@@ -111,7 +113,8 @@ object Wave27 {
             .as("y"))
         .persist()
       val cell = pt.select(col("vec_id"), col("x"), col("y"),
-        expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))
+        expr(s"x div $eps - (CASE WHEN x < 0 AND x % $eps != 0 THEN 1 ELSE 0 END)").as("cx"),
+        expr(s"y div $eps - (CASE WHEN y < 0 AND y % $eps != 0 THEN 1 ELSE 0 END)").as("cy"))
       val ex = cell
         .withColumn("dx", explode(lit(Array(-1, 0, 1))))
         .withColumn("dy", explode(lit(Array(-1, 0, 1))))

@@ -82,9 +82,17 @@ object Wave30 {
         else s"d_${i}_${j - 1}"
       s"d_${i}_$j AS (SELECT *, ${cellExpr(i, j)} AS c_${i}_$j FROM $src)"
     }).mkString(",\n")
+    // Positions past a short sequence's length are padded with a
+    // per-side sentinel ('~1'/'~2') rather than left NULL: the Scala
+    // kernel's a(i)==b(j) treats null==null as a match (+3) while
+    // SQL's CASE WHEN a_i = b_j yields NULL -> ELSE -1, a latent
+    // cross-engine divergence whenever a top-2 user has < AlnLen
+    // events (r9 ADVICE). Distinct sentinels per side keep padding
+    // from ever matching anything — a pad cell always scores the -1
+    // mismatch or a -2 gap, identically in both engines.
     def pivot(col: String, tag: Int) = (1 to AlnLen)
       .map(k =>
-        s"    MAX(CASE WHEN rn = ${AlnLen + 1 - k} THEN event_type END) AS $col$k")
+        s"    COALESCE(MAX(CASE WHEN rn = ${AlnLen + 1 - k} THEN event_type END), '~$tag') AS $col$k")
       .mkString(",\n")
     Q(
       "q_seq_align",
@@ -129,9 +137,11 @@ object Wave30 {
         .agg(map_from_entries(collect_list(struct(col("rn"), col("event_type"))))
           .as("mw"))
         .select(col("user_id"), col("rk"),
+          // same per-side sentinel padding as the oracle pivot
           transform(sequence(lit(1), lit(AlnLen)),
-            k => element_at(col("mw"),
-              (lit(AlnLen + 1) - k).cast("int"))).as("seq"))
+            k => coalesce(element_at(col("mw"),
+              (lit(AlnLen + 1) - k).cast("int")),
+              concat(lit("~"), col("rk").cast("string")))).as("seq"))
         .localCheckpoint(true)
       def seqOf(rk: Int) = seqs.filter(col("rk") === rk).drop("rk")
       val nwUdf = udf((a: Seq[String], b: Seq[String]) => {

@@ -37,10 +37,16 @@ class Wave30Spec extends AnyFunSuite {
     val top2 = ev.groupBy(_._1).toSeq
       .map { case (u, g) => (u, g.length) }
       .sortBy { case (u, n) => (-n, u) }.take(2).map(_._1)
-    def seq(u: Long): Seq[String] =
-      ev.filter(_._1 == u).sortBy(e => (-e._3, -e._4)).take(16)
+    // leading positions of a short sequence carry the per-side
+    // sentinel, mirroring the engine/oracle COALESCE padding (a bare
+    // sa(i-1) would throw IndexOutOfBounds instead of testing the
+    // padding semantics — r9 ADVICE)
+    def seq(u: Long, tag: Int): Seq[String] = {
+      val s = ev.filter(_._1 == u).sortBy(e => (-e._3, -e._4)).take(16)
         .reverse.map(_._2).toSeq
-    val (sa, sb) = (seq(top2(0)), seq(top2(1)))
+      Seq.fill(16 - s.length)(s"~$tag") ++ s
+    }
+    val (sa, sb) = (seq(top2(0), 1), seq(top2(1), 2))
     val n = 16
     val dp = Array.ofDim[Long](n + 1, n + 1)
     for (i <- 0 to n) dp(i)(0) = -2L * i
