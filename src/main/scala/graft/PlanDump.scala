@@ -352,7 +352,30 @@ object PlanDump {
       """Local-max matching: per round two key-partitioned argmax windows
         |(WindowGroupLimit-able), an equi-join for mutuality and two
         |anti-joins retiring matched endpoints; carried frames are
-        |fresh-leaf checkpoints (constant stats across rounds).""".stripMargin)
+        |fresh-leaf checkpoints (constant stats across rounds).""".stripMargin,
+    "q_textrank_chunks" ->
+      """TextRank summarization: the chunk-similarity self-join is an
+        |EQUI-join on (doc_id, tok) — the chunk graph never leaves its
+        |document, so nothing is cross-doc. The symmetric edge list and
+        |chunk frame are persisted ONCE (InMemoryRelation feeding every
+        |unrolled round — the edge build is the data-sized term and must
+        |not multiply by rounds); each round is a doc-partitioned join +
+        |aggregate; the top-2 readout is a doc-partitioned rank
+        |window.""".stripMargin,
+    "q_tree_boost" ->
+      """Histogram GBDT: per round ONE map-side-combined aggregate
+        |collapses the fact scan to 2x32 (feature, bin) histogram rows;
+        |split selection is a 64-row sort/limit; the round-2 residual
+        |update joins the ONE-row best-split frame back via broadcast.
+        |Nothing downstream of the histogram aggregate is data-sized —
+        |the XGBoost data layout.""".stripMargin,
+    "q_bootstrap_ci" ->
+      """Poisson bootstrap: the 200x replica fan-out is Generate(explode)
+        |of a CONSTANT sequence INSIDE the scan's WholeStageCodegen span,
+        |feeding the b-keyed partial aggregate in the same pipeline — no
+        |BroadcastNestedLoopJoin, no materialized fan-out rows (the r9
+        |28GB-heap GC bomb shape). Only (cents, h48) ride the fan-out;
+        |the quantile readout windows over 200 replica rows.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

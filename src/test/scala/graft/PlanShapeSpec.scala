@@ -364,6 +364,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("q_textrank_chunks: the chunk graph is cached once and every " +
+    "join is an equi-join keyed by doc (nothing cross-doc)") {
+    val plan = executed("q_textrank_chunks")
+    assert(plan.contains("InMemoryTableScan"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("q_tree_boost: one histogram aggregate per round, split frames " +
+    "ride broadcasts (no sort-merge join, no cartesian)") {
+    val plan = executed("q_tree_boost")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // every join side past the fact scan is histogram/one-row sized:
+    // a SortMergeJoin would mean a data-sized frame leaked into the
+    // split-selection path
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("HashAggregate"), plan.take(1500))
+  }
+
+  test("q_bootstrap_ci: the 200x fan-out is Generate(explode), joinless " +
+    "until the replica aggregate (the r9 BNLJ GC bomb shape)") {
+    val plan = executed("q_bootstrap_ci")
+    assert(plan.contains("Generate explode"), plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
   test("registry-wide: every WindowExec carries a partition spec (no " +
     "data-sized single-partition windows anywhere)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
