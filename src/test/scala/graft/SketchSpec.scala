@@ -23,6 +23,45 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS at full sf0.01: query true-counts replay exactly, estimates " +
+    "obey the eps*N bound, and merged per-month sketches reproduce the " +
+    "full-table estimates (sketch of union = merge of sketches)") {
+    // Full-table independent recompute (the q_bm25_topk treatment): the
+    // DuckDB oracle can't replay Spark's CMS layout, so the spec
+    // replays everything AROUND the sketch on the whole sf0.01 table
+    // and pins the sketch itself with its two algebraic contracts —
+    // the one-sided eps*N error bound and linear mergeability.
+    val out = graft.queries.Udfs.sketchCms
+      .run(spark, SharedSpark.sf01).collect()
+    assert(out.length == 20)
+    // 1) the probe side (top-20 true counts) replayed sequentially
+    val ev = Tables.load(spark, SharedSpark.sf01, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    val trueCounts = ev.groupBy(identity).map { case (u, g) => u -> g.length.toLong }
+    val top20 = trueCounts.toSeq.sortBy { case (u, n) => (-n, u) }.take(20)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == top20)
+    // 2) estimate bounds at the declared eps = 1e-4, N = |events|
+    val slack = math.max(1L, (3 * 0.0001 * ev.length).toLong)
+    out.foreach { r =>
+      val (t, e) = (r.getLong(1), r.getLong(2))
+      assert(e >= t && e <= t + slack, s"true=$t est=$e slack=$slack")
+    }
+    // 3) mergeability: per-month sketches merged in the spec must give
+    // the SAME estimate per probe as the query's full-table sketch —
+    // the property that makes CMS a valid distributed partial aggregate
+    val monthly = ev.grouped(math.max(1, ev.length / 12)).map { chunk =>
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .create(0.0001, 0.99, 42)
+      chunk.foreach(sk.addLong) // addLong: the same path the SQL aggregate takes for BIGINT
+      sk
+    }.toSeq
+    val merged = monthly.reduce { (a, b) => a.mergeInPlace(b); a }
+    out.foreach { r =>
+      assert(merged.estimateCount(r.getLong(0)) == r.getLong(2),
+        s"merged sketch diverges for key ${r.getLong(0)}")
+    }
+  }
+
   test("approx percentiles fall inside the +-1% rank band of the exact values") {
     val cents = Tables.load(spark, SharedSpark.sf001, "lineitem")
       .select(col("l_returnflag"),
