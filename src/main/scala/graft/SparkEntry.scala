@@ -49,7 +49,8 @@ object SparkEntry {
       graft.queries.Wave34.all ++
       graft.queries.Wave35.all ++
       graft.queries.Wave36.all ++
-      graft.queries.Wave37.all
+      graft.queries.Wave37.all ++
+      graft.queries.Wave38.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
