@@ -260,22 +260,13 @@ object DedupSim {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Hybrid retrieval fusion — reciprocal-rank fusion of the LEXICAL
-    * ranking (exact-integer tf-idf cos², [[TextQueries.sparseSims]])
-    * and the DENSE ranking (embedding cosine, the q_ann_topk
-    * construction) for the shared % 100 probe set, treating document i
-    * and vector i as the text/embedding halves of one item. Each RRF
-    * term is the exact integer 10⁹ // (60 + rank) (the Cormack et al.
-    * k=60 constant), so the fused score is a sum of exact integers
-    * and hash-matches — no float fusion. This is the modern retrieval
-    * stack (BM25/sparse + ANN/dense → RRF) as one query.
-    *
-    * Shape at 100TB: both input rankings are already top-20-per-probe
-    * group limits (tiny frames); the fusion is a full outer join on
-    * (probe, id) and one more group limit. */
-  val hybridRrf: Q = Q(
-    "q_hybrid_rrf",
-    s"""WITH tok AS (SELECT doc_id,
+  /** Shared oracle CTE prefix: the lexical tf-idf top-20 (`s20`) and
+    * dense cosine top-20 (`d20`) rankings for the % 100 probe set —
+    * the SQL mirror of [[RetrievalShared.sparseTop20]] /
+    * [[RetrievalShared.denseTop20]]. q_hybrid_rrf and q_retrieval_rbo
+    * interpolate this one def so their oracles cannot drift apart. */
+  private[queries] def sparseDenseTopSql: String =
+    s"""tok AS (SELECT doc_id,
        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
        |  FROM documents),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -313,7 +304,24 @@ object DedupSim {
        |            AS rd
        |        FROM dots d JOIN norms na ON d.vec_id = na.vec_id
        |                    JOIN norms np ON d.probe_id = np.vec_id),
-       |d20 AS (SELECT probe_id, vec_id, rd FROM drk WHERE rd <= 20),
+       |d20 AS (SELECT probe_id, vec_id, rd FROM drk WHERE rd <= 20)""".stripMargin
+
+  /** Hybrid retrieval fusion — reciprocal-rank fusion of the LEXICAL
+    * ranking (exact-integer tf-idf cos², [[TextQueries.sparseSims]])
+    * and the DENSE ranking (embedding cosine, the q_ann_topk
+    * construction) for the shared % 100 probe set, treating document i
+    * and vector i as the text/embedding halves of one item. Each RRF
+    * term is the exact integer 10⁹ // (60 + rank) (the Cormack et al.
+    * k=60 constant), so the fused score is a sum of exact integers
+    * and hash-matches — no float fusion. This is the modern retrieval
+    * stack (BM25/sparse + ANN/dense → RRF) as one query.
+    *
+    * Shape at 100TB: both input rankings are already top-20-per-probe
+    * group limits (tiny frames); the fusion is a full outer join on
+    * (probe, id) and one more group limit. */
+  val hybridRrf: Q = Q(
+    "q_hybrid_rrf",
+    s"""WITH ${sparseDenseTopSql},
        |fused AS (SELECT COALESCE(s.probe_id, d.probe_id) AS probe_id,
        |            COALESCE(s.doc_id, d.vec_id) AS id,
        |            COALESCE(1000000000 // (60 + s.rs), 0)
