@@ -79,14 +79,21 @@ object Wave11 {
         .withColumn("score", lit(1000000L))
         .localCheckpoint(false)
       var a: DataFrame = null
+      // Score frames are node-set-sized localCheckpoints — stats-less
+      // LogicalRDDs that would otherwise plan as SortMergeJoins and
+      // reshuffle the 500k-row edge cache TWICE per round (the r8b
+      // k-core lesson). Broadcasting them keeps every round's joins
+      // map-side: the s-half pays only its groupBy(s) exchange, and
+      // the c-half is exchange-FREE (the broadcast join preserves the
+      // edge cache's c-partitioning straight into groupBy(c)).
       (1 to HitsRounds).foreach { _ =>
         val araw = ed
-          .join(h.select(col("c"), col("score")), "c")
+          .join(broadcast(h.select(col("c"), col("score"))), "c")
           .groupBy("s").agg(sum(col("score")).as("raw"))
           .localCheckpoint(false)
         a = norm(araw, "s")
         val hraw = ed
-          .join(a.select(col("s"), col("score")), "s")
+          .join(broadcast(a.select(col("s"), col("score"))), "s")
           .groupBy("c").agg(sum(col("score")).as("raw"))
           .localCheckpoint(false)
         h = norm(hraw, "c")
