@@ -53,7 +53,9 @@ object SparkEntry {
       graft.queries.Wave38.all ++
       graft.queries.Wave39.all ++
       graft.queries.Wave40.all ++
-      graft.queries.Wave41.all
+      graft.queries.Wave41.all ++
+      graft.queries.Wave42.all ++
+      graft.queries.Wave43.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
