@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.Wave41.all ++
       graft.queries.Wave42.all ++
       graft.queries.Wave43.all ++
-      graft.queries.Wave44.all
+      graft.queries.Wave44.all ++
+      graft.queries.Wave45.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
