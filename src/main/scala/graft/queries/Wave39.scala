@@ -70,7 +70,7 @@ object Wave39 {
          |            $idiv (${big("n")} * spp - ${big("sp")} * sp)
          |          ELSE 0 END AS BIGINT) AS theta_u,
          |        sp $idiv n AS mp
-         |      FROM mom) t1) t2) t3""".stripMargin
+         |      FROM mom) t1) t2) t3 ORDER BY n_a""".stripMargin
     Q(
       "q_ab_cuped",
       s"""WITH o AS (SELECT o_custkey AS ck, epoch_ms(o_orderdate) AS ems,

@@ -101,7 +101,7 @@ object Wave40 {
       s"""SELECT nt, nc, n_bins, min_p_ppm, max_p_ppm,
          |  CAST(syt $idiv nt - syc $idiv nc AS BIGINT) AS naive_diff_cents,
          |  CAST(swyt $idiv swt - swyc $idiv swc AS BIGINT) AS ipw_ate_cents
-         |FROM agg""".stripMargin
+         |FROM agg ORDER BY nt""".stripMargin
     Q(
       "q_causal_ipw",
       s"""WITH base AS (SELECT

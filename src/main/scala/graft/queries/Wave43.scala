@@ -158,7 +158,7 @@ object Wave43 {
       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM na) AS n_nations,
       |  n_pairs, concordant, discordant, tied,
       |  (concordant - discordant) * 1000000 // n_pairs AS tau_ppm
-      |FROM ag""".stripMargin) { (s, d) =>
+      |FROM ag ORDER BY n_pairs""".stripMargin) { (s, d) =>
     val na = Tables.load(s, d, "orders")
       .join(broadcast(Tables.load(s, d, "customer")),
         col("o_custkey") === col("c_custkey"))
