@@ -84,8 +84,12 @@ object Wave46 {
          |FROM allv a LEFT JOIN sz s ON s.scc = a.scc
          |ORDER BY a.v""".stripMargin) { (s, d) =>
       val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // LAZY checkpoints: compute-once persist semantics per frame,
+      // but the ~20 materializations fold into the final action's DAG
+      // instead of ~20 eagerly scheduled jobs (the q_graph_labelprop
+      // lesson); the fresh-leaf rebuild keeps stats constant.
       def ckptLeaf(df: DataFrame): DataFrame = {
-        val ck = df.localCheckpoint(true)
+        val ck = df.localCheckpoint(false)
         s.createDataFrame(ck.toDF().rdd, ck.schema)
       }
       val inc = Tables.load(s, d, "lineitem")
@@ -101,24 +105,33 @@ object Wave46 {
             (col("lu") === col("lv") && col("u") < col("v"))))
         .groupBy(col("u").as("src"), col("v").as("dst"))
         .agg(count(lit(1)))
-        .select("src", "dst")
-        .repartition(np, col("src")))
+        .select("src", "dst"))
       val vx = ckptLeaf(
         e1.select(col("src").as("v")).unionAll(e1.select(col("dst").as("v")))
           .distinct())
 
+      // One message-template frame per peel: each edge emits an
+      // f-message (dst -> src) and a b-message (src -> dst), each
+      // vertex a self-message carrying both — so every round is ONE
+      // broadcast join + ONE map-side-combinable min aggregate over
+      // the cached template instead of two edge joins and a 3-way
+      // union (isolated sf0.1: 7.9s -> see PLANS.md pin).
       def peel(edges: DataFrame, verts: DataFrame): DataFrame = {
+        val tmpl = ckptLeaf(
+          edges.select(col("dst").as("from"), col("src").as("to"),
+              lit("f").as("dir"))
+            .unionByName(edges.select(col("src").as("from"),
+              col("dst").as("to"), lit("b").as("dir")))
+            .unionByName(verts.select(col("v").as("from"),
+              col("v").as("to"), lit("s").as("dir"))))
         var lab = ckptLeaf(verts.select(col("v"), col("v").as("f"),
           col("v").as("b")))
         for (_ <- 1 to SccRounds) {
-          val fwd = edges.join(broadcast(lab), col("dst") === col("v"))
-            .select(col("src").as("v"), col("f"),
-              lit(null).cast("long").as("b"))
-          val bwd = edges.join(broadcast(lab), col("src") === col("v"))
-            .select(col("dst").as("v"), lit(null).cast("long").as("f"),
-              col("b"))
-          lab = ckptLeaf(lab.unionByName(fwd).unionByName(bwd)
-            .groupBy("v").agg(min("f").as("f"), min("b").as("b")))
+          lab = ckptLeaf(tmpl.join(broadcast(lab), col("from") === col("v"))
+            .groupBy(col("to").as("v"))
+            .agg(
+              min(when(col("dir") =!= "b", col("f"))).as("f"),
+              min(when(col("dir") =!= "f", col("b"))).as("b")))
         }
         lab
       }
