@@ -375,7 +375,16 @@ object PlanDump {
         |feeding the b-keyed partial aggregate in the same pipeline — no
         |BroadcastNestedLoopJoin, no materialized fan-out rows (the r9
         |28GB-heap GC bomb shape). Only (cents, h48) ride the fan-out;
-        |the quantile readout windows over 200 replica rows.""".stripMargin)
+        |the quantile readout windows over 200 replica rows.""".stripMargin,
+    "q_graph_scc" ->
+      """FW-BW SCC peeling: the visible plan is the final assembly over
+        |LAZY-checkpointed RDD leaves (Scan ExistingRDD) — the 12 rounds
+        |live in the RDD lineage, each ONE broadcast join of the cached
+        |message-template frame (f: dst->src, b: src->dst, s: self) into
+        |one map-side min aggregate; the only SortMergeJoin anywhere is
+        |the inc self-join that builds the edge list. Assembly joins
+        |(settled labels, sizes) are all broadcast; no data-sized
+        |collect.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

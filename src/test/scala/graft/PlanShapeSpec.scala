@@ -390,6 +390,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(1500))
   }
 
+  test("q_graph_scc: the assembly plan reads lazy-checkpointed RDD " +
+    "leaves with broadcast-only joins (rounds live in the RDD lineage; " +
+    "no sort-merge join, no cartesian, no nested loop in the assembly)") {
+    val plan = executed("q_graph_scc")
+    assert(plan.contains("ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("registry-wide: every WindowExec carries a partition spec (no " +
     "data-sized single-partition windows anywhere)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
