@@ -63,7 +63,8 @@ object SparkEntry {
       graft.queries.Wave48.all ++
       graft.queries.Wave49.all ++
       graft.queries.Wave50.all ++
-      graft.queries.Wave51.all
+      graft.queries.Wave51.all ++
+      graft.queries.Wave52.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
