@@ -65,7 +65,8 @@ object SparkEntry {
       graft.queries.Wave50.all ++
       graft.queries.Wave51.all ++
       graft.queries.Wave52.all ++
-      graft.queries.Wave53.all
+      graft.queries.Wave53.all ++
+      graft.queries.Wave54.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
