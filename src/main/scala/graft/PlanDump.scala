@@ -376,6 +376,15 @@ object PlanDump {
         |BroadcastNestedLoopJoin, no materialized fan-out rows (the r9
         |28GB-heap GC bomb shape). Only (cents, h48) ride the fan-out;
         |the quantile readout windows over 200 replica rows.""".stripMargin,
+    "q_max_coverage" ->
+      """Greedy max-coverage: the visible plan is the driver-assembled
+        |8-row pick table (the per-round argmax rows are the only driver
+        |values — k-bounded, the codebook posture). Each round's work
+        |lives in the lazy-checkpointed lineage: ONE left-semi broadcast
+        |join of the cached incidence against the shrunk uncovered set,
+        |one part-keyed count, one 1-row argmax; the anti-join excision
+        |is broadcast too. ~0.8s/round at sf0.1 — inherent to k
+        |sequential submodular rounds, nothing data-sized collects.""".stripMargin,
     "q_graph_scc" ->
       """FW-BW SCC peeling: the visible plan is the final assembly over
         |LAZY-checkpointed RDD leaves (Scan ExistingRDD) — the 12 rounds

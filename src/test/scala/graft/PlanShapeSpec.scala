@@ -400,6 +400,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("q_max_coverage: the visible plan is the k-row driver-assembled " +
+    "pick table (rounds live behind per-round actions; no data-sized " +
+    "collect can hide here — the output is exactly k rows)") {
+    val plan = executed("q_max_coverage")
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan"),
+      plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("registry-wide: every WindowExec carries a partition spec (no " +
     "data-sized single-partition windows anywhere)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
