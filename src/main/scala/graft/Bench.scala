@@ -31,6 +31,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     if (!sys.env.contains("SPARK_GRAFT_COLD")) {
+      graft.ops.SharedFrames.setPayer("warmup")
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
@@ -100,6 +101,11 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
       }
       System.gc()
+      // Attribute shared-frame builds triggered inside the timed region
+      // to this query (side-file paid_build field): the FIRST consumer
+      // of a SharedFrames family pays its materialization, and that
+      // must be legible when a reading looks like a regression.
+      graft.ops.SharedFrames.setPayer(name)
       heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
       val gcMs0 = gcBeans.map(_.getCollectionTime).sum
       val gcN0 = gcBeans.map(_.getCollectionCount).sum
@@ -120,11 +126,16 @@ object Bench {
     }.toMap
     // ---- Driver-tail contract: the consumer keeps only the last
     // ~2000 chars of output and parses the JSON line out of that tail.
-    // ALL cleanup that can log (SharedFrames unpersists emit a ~130-char
-    // WARN each — eight of them crowded r9's line out of the tail) runs
-    // HERE, before the line is built, with logging forced to ERROR.
-    // println(line) is the last thing this process writes to stdout.
+    // ORDERING is the protection: ALL cleanup that can log (SharedFrames
+    // unpersists emit a ~130-char WARN each — eight of them crowded r9's
+    // line out of the tail) runs HERE, before the line is built, so any
+    // WARNs land ABOVE println(line) in the tail. (setLogLevel("ERROR")
+    // was observed NOT to suppress these particular WARNs — r10's tail
+    // still carried them — so do not rely on it; it stays only to quiet
+    // whatever it does catch.) println(line) must remain the last thing
+    // this process writes to stdout.
     spark.sparkContext.setLogLevel("ERROR")
+    val paidBuilds = graft.ops.SharedFrames.paidBuilds
     graft.ops.SharedFrames.releaseAll()
     spark.sharedState.cacheManager.clearCache()
     val total = results.values.filter(_ >= 0).sum
@@ -153,8 +164,14 @@ object Bench {
     // contract), including per-query GC/heap evidence in timed order.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // paid_build: shared frames this query's timed region materialized
+    // (VERDICT r10 #4) — an isolated first-consumer reading (e.g.
+    // q_retrieval_rbo paying the retrieval family) is not a regression.
     val detailQs = gcDetail.map { case (k, (gcMs, gcN, peakMb)) =>
-      s"\"$k\":{\"sec\":${results.getOrElse(k, -1.0)},\"gc_ms\":$gcMs,\"gc_n\":$gcN,\"peak_mb\":$peakMb}"
+      val paid = paidBuilds.get(k)
+        .map(_.map("\"" + _ + "\"").mkString(",\"paid_build\":[", ",", "]"))
+        .getOrElse("")
+      s"\"$k\":{\"sec\":${results.getOrElse(k, -1.0)},\"gc_ms\":$gcMs,\"gc_n\":$gcN,\"peak_mb\":$peakMb$paid}"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")

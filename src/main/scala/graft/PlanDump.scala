@@ -138,13 +138,14 @@ object PlanDump {
         |candidate pairs fetch shingle arrays for the exact verify, and
         |the old corpus is scanned once.""".stripMargin,
     "q_dedup_substring" ->
-      """Exact substring dedup: the winnow-anchor index self-joins as a
-        |hinted SMJ on anchor hash (BOTH sides fed from one reused
-        |exchange of the same anchor subtree); candidates aggregate to
-        |(pair, diagonal) groups BEFORE any text moves, and only
-        |support-filtered diagonals join the two doc texts for the
-        |extension walk. No cartesian or nested-loop stage; the pair
-        |blowout is bounded by the anchor df cap.""".stripMargin,
+      """Exact substring dedup: span MINING (the winnow-anchor hinted
+        |SMJ self-join, both sides off one reused exchange, (pair,
+        |diagonal) aggregation before any text moves, df-capped pair
+        |blowout) runs ONCE per suite as the SharedFrames
+        |'substring_spans' checkpoint — its build shape is pinned
+        |fresh in PlanShapeSpec. This consumer (and q_dedup_excise)
+        |must read the checkpointed span frame (Scan ExistingRDD),
+        |never rebuild the pair stage.""".stripMargin,
     "q_ann_ivfpq" ->
       """IVF-ADC: Lloyd state iterates DRIVER-side (the MLlib shape —
         |k·dim centroid collects), so assignment and residuals are
@@ -238,11 +239,15 @@ object PlanDump {
         |aggregate + broadcast build repeats, which is degree-table
         |cost, not edge-scale cost.""".stripMargin,
     "q_graph_labelprop" ->
-      """Sync LPA rounds over a persisted edge cache pre-partitioned on
-        |the neighbor key; the node-sized label table is SHUFFLED into
-        |each round's join (labels are O(V) — never broadcast at scale),
-        |and each round ends in a lazy localCheckpoint so the witness
-        |branch reuses round RDDs instead of re-executing the chain.""".stripMargin,
+      """Sync LPA rounds over the SUITE-SHARED label frames
+        |(SharedFrames 'lpa_eu'/'lpa_l*': the edge cache checkpoints
+        |pre-partitioned on the neighbor key, the node-sized label
+        |table is SHUFFLED into each round's join — labels are O(V),
+        |never broadcast at scale — and each round is an eager
+        |checkpoint). The witness branch reads round RDDs instead of
+        |re-executing the chain, and q_graph_modularity consumes the
+        |SAME frames: one 4-round build per suite (the r10 #1
+        |finding).""".stripMargin,
     "q_hits_scores" ->
       """Integer HITS: the edge list persists pre-partitioned on the hub
         |key and feeds two joins per round; score tables are node-sized
@@ -393,7 +398,77 @@ object PlanDump {
         |one map-side min aggregate; the only SortMergeJoin anywhere is
         |the inc self-join that builds the edge list. Assembly joins
         |(settled labels, sizes) are all broadcast; no data-sized
-        |collect.""".stripMargin)
+        |collect.""".stripMargin,
+    "q_graph_modularity" ->
+      """Modularity over the SUITE-SHARED LPA label frames (one 4-round
+        |build per suite, shared with q_graph_labelprop — before r11
+        |the chain ran twice and this was the #1 driver bench cost).
+        |The plan reads the checkpointed labels and the checkpointed
+        |symmetric edge cache; the within-community count joins labels
+        |once per endpoint; per-community sums are two node-sized
+        |aggregates; m and q_ppm are one-row broadcasts (the only
+        |nested loops, <=2 BNLJs by PlanShapeSpec).""".stripMargin,
+    "q_graph_bfs" ->
+      """Multi-hop BFS over the suite-shared GraphShared edges: each
+        |hop joins the frontier against the cached symmetric closure
+        |plus an anti-join on visited, and per-hop frontiers PERSIST —
+        |an unpersisted hop re-executes every earlier hop's join chain
+        |(6.2s -> 3.6s isolated sf0.1 when the fix landed in r8).
+        |Frontiers are node-set-sized; nothing is all-pairs and no
+        |data-sized value reaches the driver.""".stripMargin,
+    "q_dedup_excise" ->
+      """Span excision consumes the suite-shared 'substring_spans'
+        |checkpoint (one mining pass per suite, shared with
+        |q_dedup_substring). Island merging is a per-doc window over
+        |span rows — tiny relative to the corpus — and only AFFECTED
+        |docs join their text for the stitch: the corpus text is
+        |joined twice by doc_id (pieces + tail), never self-joined,
+        |never all-paired.""".stripMargin,
+    "q_bpe_merges" ->
+      """BPE training artifact off the ONE memoized suite-level train
+        |run (SharedFrames.value 'bpe_trained'; before r11 all three
+        |BPE queries retrained — three corpus shuffles and 3K argmax
+        |rounds per suite). Training itself scans the corpus once into
+        |word counts; each of K rounds collects only the BOUNDED
+        |pair-count table ((alphabet+K)^2 ceiling) for a driver argmax
+        |— the codebook posture. The visible plan is the K-row local
+        |relation.""".stripMargin,
+    "q_bpe_vocab" ->
+      """Vocabulary audit off the same memoized train run: the symbol
+        |aggregate is bounded by construction (<= alphabet+K symbols)
+        |and collects once INSIDE the shared build, so this query's
+        |visible plan is a LocalTableScan; a retrain here would mean
+        |the memo broke (pinned by PlanShapeSpec's reference-equality
+        |test).""".stripMargin,
+    "q_bpe_encode" ->
+      """Tokenizer application: the K learned merges travel in the UDF
+        |closure (broadcast semantics), so encoding is ONE narrow
+        |map-side pass behind the repartition — no join, no shuffle
+        |before the output sort, at any corpus scale. Training is the
+        |shared memoized run, not a rebuild.""".stripMargin,
+    "q_bm25_topk" ->
+      """BM25 lexical scoring: the exploded token stream filters to the
+        |query-term IN-list BEFORE any shuffle; (doc, term) tf
+        |aggregates with map-side combine; df and corpus stats join
+        |back as query-term-sized / one-row BROADCASTS; the final cut
+        |is TakeOrderedAndProject (per-partition heaps, no global sort
+        |materialization). The persisted-index path is text/LexIndex
+        |with file-level pruning.""".stripMargin,
+    "q_retrieval_rbo" ->
+      """RBO consumes the two SUITE-SHARED top-20 rankings
+        |(RetrievalShared checkpoints, 20 rows/probe): one equi-join
+        |on (probe, id) + one probe-keyed aggregate — no corpus scan,
+        |no window. An isolated reading of this query pays the
+        |retrieval family's build (recorded as paid_build in the bench
+        |side file) and must not be mistaken for a regression.""".stripMargin,
+    "q_ann_recall" ->
+      """Recall@10 eval: both rankings derive from driver-side Lloyd
+        |codebooks (k x dim collects only); the ADC side prunes to
+        |probed cells through the broadcast LUT join, the exact side
+        |is one narrow fx-distance corpus scan, and each ranking cuts
+        |via WindowGroupLimit before the (probe)-keyed intersect join
+        |of two k-sized lists. The corpus is never all-paired and
+        |never shuffled for scoring.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

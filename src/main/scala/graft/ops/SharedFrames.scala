@@ -34,6 +34,24 @@ object SharedFrames {
   private val scalarMemo =
     scala.collection.mutable.Map.empty[(String, String), Long]
   private val sharedIds = scala.collection.mutable.Set.empty[Int]
+  // Build attribution for the bench side file: which query was running
+  // when each shared frame actually materialized. An isolated re-measure
+  // of the FIRST consumer (e.g. q_retrieval_rbo at 4.7s) otherwise reads
+  // as a regression when it is really paying the family's build.
+  private val buildLog =
+    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  @volatile private var payerName: String = ""
+
+  /** Harness hook (Bench/Verify): name the query about to run so frame
+    * builds it triggers are attributed to it in [[paidBuilds]]. */
+  def setPayer(name: String): Unit = payerName = name
+
+  /** payer query -> shared frame/scalar names whose build it triggered
+    * (in build order). Survives [[releaseAll]] within the process so the
+    * harness can read it after suite cleanup. */
+  def paidBuilds: Map[String, Seq[String]] = synchronized {
+    buildLog.toSeq.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+  }
 
   /** Is this RDD id one of the shared materializations? (Bench's
     * inter-query unpersist exempts these.) */
@@ -43,6 +61,7 @@ object SharedFrames {
   def frame(dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
       memo.getOrElseUpdate((dir, name), {
+        buildLog += ((payerName, name))
         val df = build
         val sc = df.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
@@ -55,7 +74,26 @@ object SharedFrames {
   /** Memoized driver scalar (e.g. a vocabulary size) computed next to
     * a shared frame. */
   def scalar(dir: String, name: String)(build: => Long): Long =
-    synchronized(scalarMemo.getOrElseUpdate((dir, name), build))
+    synchronized(scalarMemo.getOrElseUpdate((dir, name), {
+      buildLog += ((payerName, name))
+      build
+    }))
+
+  private val valueMemo =
+    scala.collection.mutable.Map.empty[(String, String), Any]
+
+  /** Memoized driver-side value of bounded size (e.g. a learned merge
+    * table, a collected vocabulary aggregate) computed once per suite —
+    * the [[frame]] pattern for results that live on the driver rather
+    * than in executor storage. The build must leave no persisted RDDs
+    * behind (release its own caches): Bench's inter-query cleanup only
+    * exempts [[frame]] checkpoints. */
+  def value[T](dir: String, name: String)(build: => T): T = synchronized {
+    valueMemo.getOrElseUpdate((dir, name), {
+      buildLog += ((payerName, name))
+      build
+    }).asInstanceOf[T]
+  }
 
   /** Unpersist every shared frame and clear the registry. */
   def releaseAll(): Unit = synchronized {
@@ -67,6 +105,7 @@ object SharedFrames {
     }
     memo.clear()
     scalarMemo.clear()
+    valueMemo.clear()
     sharedIds.clear()
   }
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
+import graft.ops.SharedFrames
 import graft.text.Bpe
 
 /** Tokenizer training AND application over `documents` — the BPE steps
@@ -10,13 +11,15 @@ import graft.text.Bpe
   * rounds over the compact vocab with chain depth bounded by
   * materialization, Sennrich et al. arXiv 1508.07909).
   *
-  * All three queries run the same `Bpe.train` and share the same
-  * generated oracle CTE chain, so the learned merges, the resulting
-  * vocabulary and the corpus encoding cannot drift from each other or
-  * from the oracle. Each query releases the training caches once its
-  * result is driver-side (merges/vocab are bounded by construction:
-  * K rows and <= |alphabet|+K symbols), so a Verify run across all
-  * three leaves nothing cached behind.
+  * All three queries consume ONE suite-level `Bpe.train` run
+  * (memoized via [[graft.ops.SharedFrames.value]] — before r11 each
+  * ran its own training, so the corpus shuffle and the K argmax rounds
+  * executed three times per suite) and share the same generated oracle
+  * CTE chain, so the learned merges, the resulting vocabulary and the
+  * corpus encoding cannot drift from each other or from the oracle.
+  * The memoized state is driver-bounded by construction (K merge rows
+  * and <= |alphabet|+K vocab symbols); the training caches are
+  * released inside the build, so nothing persisted outlives it.
   */
 object BpeQueries {
 
@@ -25,14 +28,40 @@ object BpeQueries {
     * `Bpe.train` fails loudly if the corpus ever exhausts pairs. */
   val K = 8
 
+  /** One training run per suite: the learned merges plus the collected
+    * vocabulary aggregate (sym, occurrences, n_words) in its output
+    * order. Both are bounded driver values, so the memo is cheap to
+    * hold; the vocab aggregate collects BEFORE release because the
+    * symbolized vocab relation dies with the training caches. */
+  private def trained(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[Bpe.Merge], Seq[(String, Long, Long)]) =
+    SharedFrames.value(d, "bpe_trained") {
+      val t = Bpe.train(s, d, K)
+      import s.implicits._
+      val vocabRows = t.vocab
+        .select(col("w"), col("freq"), explode(col("syms")).as("sym"))
+        .groupBy("sym")
+        .agg(sum("freq").as("occurrences"),
+          countDistinct("w").as("n_words"))
+        .orderBy(col("occurrences").desc, col("sym").asc)
+        .as[(String, Long, Long)].collect().toSeq
+      t.release()
+      (t.merges, vocabRows)
+    }
+
+  /** Test hook (PlanShapeSpec): exposes the memoized training result so
+    * one-build-per-suite is assertable by reference equality. */
+  private[graft] def trainedForTest(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[Bpe.Merge], Seq[(String, Long, Long)]) = trained(s, d)
+
   /** The learned merge table: (step, x, y, pair count at selection,
     * corpus tokens after applying it) — the tokenizer artifact itself,
     * K rows built from the per-round argmax collects. */
   val bpeMerges: Q = Q("q_bpe_merges", Bpe.mergesOracle(K)) { (s, d) =>
-    val t = Bpe.train(s, d, K)
-    t.release()
+    val (merges, _) = trained(s, d)
     import s.implicits._
-    t.merges.toDF("step", "x", "y", "cnt", "toks").orderBy("step")
+    merges.toDF("step", "x", "y", "cnt", "toks").orderBy("step")
   }
 
   /** The post-training symbol vocabulary with corpus occurrence counts
@@ -41,17 +70,9 @@ object BpeQueries {
     * symbols exist after K merges), so it is collected before the
     * caches are released and returned as a local relation. */
   val bpeVocab: Q = Q("q_bpe_vocab", Bpe.vocabOracle(K)) { (s, d) =>
-    val t = Bpe.train(s, d, K)
+    val (_, vocabRows) = trained(s, d)
     import s.implicits._
-    val rows = t.vocab
-      .select(col("w"), col("freq"), explode(col("syms")).as("sym"))
-      .groupBy("sym")
-      .agg(sum("freq").as("occurrences"),
-        countDistinct("w").as("n_words"))
-      .orderBy(col("occurrences").desc, col("sym").asc)
-      .as[(String, Long, Long)].collect()
-    t.release()
-    rows.toSeq.toDF("sym", "occurrences", "n_words")
+    vocabRows.toDF("sym", "occurrences", "n_words")
   }
 
   /** Tokenizer APPLICATION: encode every document with the learned
@@ -62,9 +83,8 @@ object BpeQueries {
     * filter-surviving words are dropped on both sides (the oracle's
     * inner word join has the same effect). */
   val bpeEncode: Q = Q("q_bpe_encode", Bpe.encodeOracle(K)) { (s, d) =>
-    val t = Bpe.train(s, d, K)
-    t.release() // merges are driver-side; encoding never reads the vocab
-    val enc = Bpe.encodeUdf(t.merges.map(m => (m.x, m.y)))
+    val (merges, _) = trained(s, d)
+    val enc = Bpe.encodeUdf(merges.map(m => (m.x, m.y)))
     Tables.load(s, d, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id"), enc(col("text")).as("e"))

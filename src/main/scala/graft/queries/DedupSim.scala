@@ -1312,6 +1312,24 @@ object DedupSim {
       |    md5(substr(xa, pa - back, back + 8 + fwd)) AS match_md5
       |  FROM ext WHERE back + 8 + fwd >= 25)""".stripMargin
 
+  /** One span-mining pass per suite: q_dedup_substring (the detector
+    * readout) and q_dedup_excise (the action) both consume the same
+    * winnow-anchor span table — before r11 each ran its own mining
+    * join (~3s apiece at sf0.1). Spans are tiny relative to the corpus
+    * (the natural SharedFrames checkpoint size). */
+  private def repeatedSpansShared(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.SharedFrames.frame(d, "substring_spans") {
+      graft.dedup.Substring
+        .repeatedSpans(Tables.load(s, d, "documents"), "doc_id", "text")
+    }
+
+  /** Test hook (PlanShapeSpec): exposes the memoized span frame so the
+    * one-build-per-suite property is assertable by reference equality. */
+  private[graft] def sharedSpansForTest(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    repeatedSpansShared(s, d)
+
   val substringDedup: Q = Q(
     "q_dedup_substring",
     s"""WITH $substringSpansSql
@@ -1321,8 +1339,7 @@ object DedupSim {
     // the oracle above replays Substring.repeatedSpans' DEFAULT
     // constants (k=8, w=4, dfCap=64, minSupport=2, minLen=25) — change
     // one and the other must follow
-    graft.dedup.Substring
-      .repeatedSpans(Tables.load(s, d, "documents"), "doc_id", "text")
+    repeatedSpansShared(s, d)
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 
@@ -1375,7 +1392,7 @@ object DedupSim {
       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
-    val spans = graft.dedup.Substring.repeatedSpans(docs, "doc_id", "text")
+    val spans = repeatedSpansShared(s, d)
     val sp = spans.select(col("doc_b").as("doc_id"), col("start_b").as("s"),
       (col("start_b") + col("match_len") - 1).as("e"))
     val wOrd = Window.partitionBy("doc_id").orderBy("s", "e")

@@ -31,19 +31,24 @@ object Wave38 {
     * canonical distributed Gonzalez.
     */
   val sampleCoreset: Q = {
+    // Every per-round CTE is AS MATERIALIZED: DuckDB otherwise INLINES
+    // each reference, and mm_r / c_r are referenced twice per round —
+    // the 2^R plan-blowup shape (see CLAUDE.md; q_markov_absorption hit
+    // it even at a single reference per round). pts is read 2x per
+    // round and c1 twice overall, so they materialize too.
     def distCte(r: Int, centerCte: String): String =
-      s"""dd$r AS (SELECT p.vec_id, CAST(SUM((p.v - t.v) * (p.v - t.v)) AS BIGINT) AS d2
+      s"""dd$r AS MATERIALIZED (SELECT p.vec_id, CAST(SUM((p.v - t.v) * (p.v - t.v)) AS BIGINT) AS d2
          |  FROM pts p JOIN (SELECT q.i, q.v FROM pts q, $centerCte c
          |    WHERE q.vec_id = c.cid) t ON p.i = t.i
          |  GROUP BY p.vec_id)""".stripMargin
     val rounds = (2 to CoreK).map { r =>
       val mins =
-        if (r == 2) s"mm2 AS (SELECT vec_id, d2 FROM dd2)"
-        else s"""mm$r AS (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2
+        if (r == 2) s"mm2 AS MATERIALIZED (SELECT vec_id, d2 FROM dd2)"
+        else s"""mm$r AS MATERIALIZED (SELECT m.vec_id, LEAST(m.d2, d.d2) AS d2
                 |  FROM mm${r - 1} m JOIN dd$r d USING (vec_id))""".stripMargin
       s"""${distCte(r, if (r == 2) "c1" else s"c$r")},
          |$mins,
-         |c${r + 1} AS (SELECT vec_id AS cid, d2 FROM mm$r
+         |c${r + 1} AS MATERIALIZED (SELECT vec_id AS cid, d2 FROM mm$r
          |  ORDER BY d2 DESC, vec_id LIMIT 1)""".stripMargin
     }.mkString(",\n")
     val readout = (Seq(s"SELECT 1 AS round, cid AS vec_id, d2 FROM c1") ++
@@ -51,10 +56,10 @@ object Wave38 {
       .mkString("\nUNION ALL ")
     Q(
       "q_sample_coreset",
-      s"""WITH pts AS (SELECT vec_id, i,
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, i,
          |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
          |  FROM embeddings, (SELECT unnest(range(1, ${Dim + 1})) AS i) p),
-         |c1 AS (SELECT MIN(vec_id) AS cid, CAST(0 AS BIGINT) AS d2 FROM pts),
+         |c1 AS MATERIALIZED (SELECT MIN(vec_id) AS cid, CAST(0 AS BIGINT) AS d2 FROM pts),
          |$rounds
          |SELECT CAST(round AS BIGINT) AS round, vec_id, d2 FROM (
          |$readout) t ORDER BY round""".stripMargin) { (s, d) =>

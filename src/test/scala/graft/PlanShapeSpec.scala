@@ -95,12 +95,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s.take(1500))
   }
 
-  test("q_dedup_substring: anchor-hash self-join is a hinted SMJ (one " +
-    "reused exchange), never a cartesian or nested-loop pair stage") {
-    val s = executed("q_dedup_substring")
-    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
-    assert(!s.contains("CartesianProduct"), s.take(1500))
-    assert(s.contains("SortMergeJoin"), s.take(1500))
+  test("Substring.repeatedSpans: the one suite-level span build keeps " +
+    "the anchor-hash self-join a hinted SMJ, never a cartesian or " +
+    "nested-loop pair stage") {
+    // build the span-mining PLAN fresh (SharedFrames would hand back
+    // the checkpoint) — same posture as the GraphShared.pairs pin
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s = graft.dedup.Substring
+        .repeatedSpans(Tables.load(spark, SharedSpark.sf001, "documents"),
+          "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+      assert(!s.contains("CartesianProduct"), s.take(1500))
+      assert(s.contains("SortMergeJoin"), s.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_dedup_substring and q_dedup_excise consume ONE suite-shared " +
+    "span frame (checkpoint scan; the mining self-join is not rebuilt)") {
+    val s1 = executed("q_dedup_substring")
+    assert(s1.contains("Scan ExistingRDD"), s1.take(1500))
+    assert(!s1.contains("SortMergeJoin"),
+      "the span-mining join must not be rebuilt per consumer")
+    val s2 = executed("q_dedup_excise")
+    assert(s2.contains("Scan ExistingRDD"), s2.take(1500))
+    // the SharedFrames memo must hand both consumers the same frame
+    val a = graft.queries.DedupSim.sharedSpansForTest(spark, SharedSpark.sf001)
+    val b = graft.queries.DedupSim.sharedSpansForTest(spark, SharedSpark.sf001)
+    assert(a eq b, "repeatedSpansShared must memoize per suite")
   }
 
   test("q_ann_ivfpq: code scoring is a broadcast hash join (the LUT " +
@@ -407,6 +430,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LocalTableScan") || plan.contains("Scan"),
       plan.take(1500))
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("q_graph_modularity: consumes the suite-shared LPA label frames " +
+    "(checkpoint scans) with only the two one-row scalar broadcasts as " +
+    "nested loops — the 4-round chain must not rebuild per consumer") {
+    val plan = staticPlan("q_graph_modularity")
+    val s = plan.toString
+    assert(s.contains("Scan ExistingRDD"), s.take(1500)) // shared labels/eu
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    val bnl = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.size <= 2, s"expected <=2 one-row BNLJs (m, q_ppm), got " +
+      s"${bnl.size}:\n" + s.take(1500))
+    // the SharedFrames memo must hand labelprop and modularity the SAME
+    // label frames (one LPA build per suite — the r10 #1 finding)
+    val a = graft.queries.Wave10.lpaLabels(spark, SharedSpark.sf001)
+    val b = graft.queries.Wave10.lpaLabels(spark, SharedSpark.sf001)
+    assert((a._2 eq b._2) && (a._3 eq b._3) && (a._4 eq b._4),
+      "lpaLabels must memoize eu/labels/prev per suite")
+  }
+
+  test("q_graph_labelprop: reads the suite-shared checkpointed label " +
+    "rounds (no chain re-execution in the witness branch)") {
+    val plan = executed("q_graph_labelprop")
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("BPE: all three registry queries consume ONE memoized training " +
+    "run per suite (merges and vocab come from the same build)") {
+    val a = graft.queries.BpeQueries.trainedForTest(spark, SharedSpark.sf001)
+    val b = graft.queries.BpeQueries.trainedForTest(spark, SharedSpark.sf001)
+    assert(a.asInstanceOf[AnyRef] eq b.asInstanceOf[AnyRef],
+      "Bpe training must memoize per suite")
+    assert(a._1.size == graft.queries.BpeQueries.K)
   }
 
   test("registry-wide: every WindowExec carries a partition spec (no " +
