@@ -161,7 +161,9 @@ object Wave58 {
     * τ = the (K+1)-th priority prices every kept item at
     * ŵ = max(w, τ), whose sum is the (near-)unbiased total estimator
     * the paper proves optimal among threshold schemes. est_total and
-    * the exact corpus total sit side by side in the hash.
+    * the exact corpus total sit side by side in the hash. (ScaleOps'
+    * q_sample_priority is the double-precision top-k DRAW; this is
+    * the exact-integer tau-PRICED estimator — hence the _tau name.)
     *
     * Shape at 100TB: priorities are map-side expressions on the scan;
     * the top-(K+1) is TakeOrdered (per-partition heaps — no global
@@ -169,7 +171,7 @@ object Wave58 {
     * totals are one-row broadcasts.
     */
   val samplePriority: Q = Q(
-    "q_sample_priority",
+    "q_sample_priority_tau",
     s"""WITH w AS (SELECT o_orderkey AS okey,
        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
        |    CAST(('0x' || substr(md5('ps:' || CAST(o_orderkey AS VARCHAR)),

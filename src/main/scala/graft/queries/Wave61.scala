@@ -85,14 +85,16 @@ object Wave61 {
     *           IEEE-exact libm call — the q_sample_temperature rule)
     * Integer weights w_h = N_h·S_h divide the budget by largest
     * remainder (the q_quota_largest_remainder idiom), so allocations
-    * sum to B exactly.
+    * sum to B exactly. (ScaleOps' q_sample_stratified is the
+    * hash-gated row DRAW; this is the allocation DESIGN — hence the
+    * _neyman name.)
     *
     * Shape at 100TB: one customer aggregate, one broadcast dim join,
     * one 5-row segment fold; the ranking window is a BoundedWindow
     * over the segment dictionary.
     */
   val sampleStratified: Q = Q(
-    "q_sample_stratified",
+    "q_sample_neyman",
     s"""WITH cu AS (SELECT o.o_custkey AS ck,
        |    CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) // 100
        |      AS BIGINT) AS dollars

@@ -468,6 +468,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(a._1.size == graft.queries.BpeQueries.K)
   }
 
+  test("q_tpch_q10_returns: dims broadcast, the top-20 is a TakeOrdered " +
+    "(no global sort materialization, no cartesian product)") {
+    val plan = executed("q_tpch_q10_returns")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("q_embed_pca_power: the iteration is a driver-side dictionary " +
+    "solve — the visible plan is the 64-row local relation") {
+    val plan = executed("q_embed_pca_power")
+    assert(plan.contains("LocalTableScan"), plan.take(1500))
+  }
+
   test("registry-wide: every WindowExec carries a partition spec (no " +
     "data-sized single-partition windows anywhere)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
