@@ -152,19 +152,23 @@ object PlanDump {
         |narrow argmin maps over one cached point relation and the
         |codebooks are LocalRelations (broadcasting them costs no job);
         |ALL M residual subspace codebooks still train in one grouped
-        |plan (one cached exploded relation, one partial-agg shuffle
-        |per iteration); scoring is a single broadcast hash join of the
-        |long-form code table against the (probe, cell, subspace) LUT
-        |(the probed-cell prune and the code lookup are the same join)
-        |plus a map-side-partial integer sum, and the final top-k is a
-        |WindowGroupLimit. No full-corpus scan per probe anywhere.""".stripMargin,
+        |plan, and since r11 the WHOLE trained index (codebooks + the
+        |checkpointed long-form code table) is memoized per suite —
+        |q_ann_ivfpq_rerank and q_ann_recall consume the SAME training
+        |run (one-build pin in PlanShapeSpec). Scoring is a single
+        |broadcast hash join of the code table against the
+        |(probe, cell, subspace) LUT (the probed-cell prune and the
+        |code lookup are the same join) plus a map-side-partial integer
+        |sum, and the final top-k is a WindowGroupLimit. No full-corpus
+        |scan per probe anywhere.""".stripMargin,
     "q_ann_ivfpq_rerank" ->
-      """IVFADC-R: the ADC stage is q_ann_ivfpq's plan with R=30; the
-        |refinement is ONE more narrow corpus scan broadcast-joined to
-        |the Q·R candidate list (point lookups at cluster scale), the
-        |exact fx distance via the codegen graft_fxsqdist kernel, and a
-        |WindowGroupLimit cut to the final top-k. The corpus is never
-        |shuffled for the re-rank.""".stripMargin,
+      """IVFADC-R: the ADC stage is q_ann_ivfpq's plan with R=30 over
+        |the suite-shared trained index (one training per suite since
+        |r11); the refinement is ONE more narrow corpus scan
+        |broadcast-joined to the Q·R candidate list (point lookups at
+        |cluster scale), the exact fx distance via the codegen
+        |graft_fxsqdist kernel, and a WindowGroupLimit cut to the final
+        |top-k. The corpus is never shuffled for the re-rank.""".stripMargin,
     "q_sketch_kmv" ->
       """KMV distinct sketch: one map-side-partial distinct on (day,
         |hash), then bottom-k per day via WindowGroupLimit — k rows per
@@ -462,13 +466,13 @@ object PlanDump {
         |retrieval family's build (recorded as paid_build in the bench
         |side file) and must not be mistaken for a regression.""".stripMargin,
     "q_ann_recall" ->
-      """Recall@10 eval: both rankings derive from driver-side Lloyd
-        |codebooks (k x dim collects only); the ADC side prunes to
-        |probed cells through the broadcast LUT join, the exact side
-        |is one narrow fx-distance corpus scan, and each ranking cuts
-        |via WindowGroupLimit before the (probe)-keyed intersect join
-        |of two k-sized lists. The corpus is never all-paired and
-        |never shuffled for scoring.""".stripMargin)
+      """Recall@10 eval: the ADC side reads the suite-shared trained
+        |index (one training per suite since r11) and prunes to probed
+        |cells through the broadcast LUT join; the exact side is one
+        |narrow fx-distance corpus scan; each ranking cuts via
+        |WindowGroupLimit before the (probe)-keyed intersect join of
+        |two k-sized lists. The corpus is never all-paired and never
+        |shuffled for scoring.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

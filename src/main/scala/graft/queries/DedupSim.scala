@@ -862,7 +862,7 @@ object DedupSim {
     graft.ml.Pq.ivfAdcTopK(
       Tables.load(s, d, "embeddings"), "vec_id", "embedding",
       kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
-      probeMod = 100, topK = 10)
+      probeMod = 100, topK = 10, memoKey = Some(d))
   }
 
   /** IVFADC-R (Jégou et al. TPAMI 2011 §VI — FAISS's IVFPQR): the
@@ -881,7 +881,7 @@ object DedupSim {
     graft.ml.Pq.ivfAdcRerankTopK(
       Tables.load(s, d, "embeddings"), "vec_id", "embedding",
       kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
-      probeMod = 100, rerankR = 30, topK = 10)
+      probeMod = 100, rerankR = 30, topK = 10, memoKey = Some(d))
   }
 
   /** Recall@10 of the IVF-ADC index vs exact fx-L2 brute force
@@ -900,7 +900,7 @@ object DedupSim {
     graft.ml.Pq.ivfRecall(
       Tables.load(s, d, "embeddings"), "vec_id", "embedding",
       kc = 8, nprobe = 2, m = 4, subDim = 16, k = 16, iters = 2,
-      probeMod = 100, topK = 10)
+      probeMod = 100, topK = 10, memoKey = Some(d))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv

@@ -482,6 +482,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LocalTableScan"), plan.take(1500))
   }
 
+  test("IVF-PQ: the ANN family consumes ONE memoized trained index per " +
+    "suite (codebooks and code table come from the same build)") {
+    val emb = Tables.load(spark, SharedSpark.sf001, "embeddings")
+    val a = graft.ml.Pq.ivfPartsForTest(emb, "vec_id", "embedding",
+      kc = 8, m = 4, subDim = 16, k = 16, iters = 2,
+      memoKey = Some(SharedSpark.sf001))
+    val b = graft.ml.Pq.ivfPartsForTest(emb, "vec_id", "embedding",
+      kc = 8, m = 4, subDim = 16, k = 16, iters = 2,
+      memoKey = Some(SharedSpark.sf001))
+    assert((a._1 eq b._1) && (a._2 eq b._2) && (a._3 eq b._3),
+      "ivfParts must memoize per (dir, params)")
+  }
+
   test("registry-wide: every WindowExec carries a partition spec (no " +
     "data-sized single-partition windows anywhere)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
