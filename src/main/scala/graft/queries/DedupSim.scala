@@ -821,7 +821,7 @@ object DedupSim {
     graft.ml.Pq.oracleSql(m = 4, subDim = 16, k = 16, iters = 2)) { (s, d) =>
     graft.ml.Pq.encode(
       Tables.load(s, d, "embeddings"), "vec_id", "embedding",
-      m = 4, subDim = 16, k = 16, iters = 2)
+      m = 4, subDim = 16, k = 16, iters = 2, memoKey = Some(d))
       .orderBy("vec_id")
   }
 
@@ -840,7 +840,8 @@ object DedupSim {
     (s, d) =>
       graft.ml.Pq.adcTopK(
         Tables.load(s, d, "embeddings"), "vec_id", "embedding",
-        m = 4, subDim = 16, k = 16, iters = 2, probeMod = 100, topK = 10)
+        m = 4, subDim = 16, k = 16, iters = 2, probeMod = 100, topK = 10,
+        memoKey = Some(d))
   }
 
   /** IVF-ADC search (Jégou et al. TPAMI 2011 §V — the FAISS IVFADC
