@@ -31,6 +31,26 @@ object IngestDemo {
     spark.sparkContext.setLogLevel("ERROR")
     new File(outDir).mkdirs()
 
+    // Idempotency on a REUSED outDir (r11 verdict #2): MemoryStream-
+    // backed streaming checkpoints can never replay across processes —
+    // the committed offsets outlive the in-memory source rows, so a
+    // restart dies with `AssertionError: sliceStart: 0 sliceEnd: -1`
+    // before any stage runs. Start every streaming surface fresh:
+    // drop the checkpoint dirs AND their sink tables (a stale sink
+    // pointer against a restarted batch-0 would corrupt the replay
+    // protocol), plus the accumulating rotated-Avro dirs (each write
+    // appends uniquely-suffixed files, so counts would double).
+    // Batch parquet surfaces already write mode("overwrite").
+    def rmrf(f: File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmrf)
+      f.delete(); ()
+    }
+    Seq("chk", "stream_in", "stream_avro", "upsert_ckpt", "upsert_table",
+      "scd2_ckpt", "scd2_table", "sdedup_ckpt", "sdedup_out",
+      "avro", "blocks_avro")
+      .foreach(nm => rmrf(new File(outDir, nm)))
+
     // 1. batch rotated Avro sink (R7): events -> daily container files
     val ev = Tables.load(spark, sfDir, "events")
       .withColumn("ts_ms", unix_millis(col("ts")))

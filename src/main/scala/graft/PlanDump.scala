@@ -30,8 +30,11 @@ object PlanDump {
       """MinHash LSH: the full 8-min signature is ONE narrow compiled-UDF
         |pass over the repartitioned doc scan (no signature shuffle);
         |candidates come from an equi-join on (band, bkey); verification
-        |joins only the broadcast candidate set back to the per-doc
-        |shingle arrays (array_intersect, no shingle explode).""".stripMargin,
+        |joins only the candidate set back to the per-doc shingle arrays
+        |(array_intersect, no shingle explode). The candidate side is
+        |un-hinted since r12 — it is corpus-scaled, so stats/AQE
+        |broadcast it while it fits and degrade to a shuffle past the
+        |8GB broadcast limit.""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       """All-pairs baseline: the df-cap window and BOTH self-join sides
         |must feed from one ReusedExchange over the shingle frame; the
@@ -132,9 +135,10 @@ object PlanDump {
         |WindowGroupLimit top-k per probe. The corpus is never shuffled
         |or all-paired.""".stripMargin,
     "q_dedup_incremental" ->
-      """Incremental dedup: the NEW batch's band keys broadcast onto the
-        |old side's band index (equi-join on (band, bkey), no
-        |corpus-vs-corpus self-join anywhere); only band-matched
+      """Incremental dedup: the NEW batch's band keys join the old
+        |side's band index (equi-join on (band, bkey), no
+        |corpus-vs-corpus self-join anywhere; the batch side is
+        |un-hinted — AQE broadcasts it while it fits); only band-matched
         |candidate pairs fetch shingle arrays for the exact verify, and
         |the old corpus is scanned once.""".stripMargin,
     "q_dedup_substring" ->
@@ -206,7 +210,8 @@ object PlanDump {
       """End-to-end curation: fingerprints and the quality gate are
         |map-side behind one repartition; the near-dup stage is the
         |df-capped hinted-SMJ shingle self-join (one ReusedExchange);
-        |eval 13-grams broadcast for decontamination; the verdict is a
+        |eval 13-grams join un-hinted for decontamination (AQE
+        |broadcasts the gram set while it fits); the verdict is a
         |chain of key-local left joins. No cartesian product anywhere —
         |each stage keeps the scale shape its standalone query
         |pinned.""".stripMargin,

@@ -66,13 +66,13 @@ object Incremental {
       sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band"), col("bk.bkey"))
     }
-    val cand = broadcast(bands(nw)
-        .select(col("doc_id").as("new_id"), col("band"), col("bkey")))
+    val cand = bands(nw)
+        .select(col("doc_id").as("new_id"), col("band"), col("bkey"))
       .join(bands(old)
         .select(col("doc_id").as("old_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select("new_id", "old_id").distinct()
-    val near = broadcast(cand)
+    val near = cand
       .join(nw.filter(size(col("shs")) > 0)
         .select(col("doc_id").as("new_id"), col("shs").as("sa")), Seq("new_id"))
       .join(old.filter(size(col("shs")) > 0)

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   * `ingest_prices.sh:32`): apply a batch of full-row changes — upserts
   * and deletes — in one pass, keyed by the warehouse key.
   *
-  * Shape at 100TB: the changes batch is tiny next to the warehouse (a
-  * day's CDC against a years-deep table), so only the DISTINCT change
-  * KEYS are broadcast for the anti-join — the warehouse side never
-  * shuffles and untouched rows stream straight through. The classic
-  * full-outer-join formulation would hash-shuffle the entire warehouse
-  * on every merge; this one scans it once with a broadcast probe.
+  * Shape at 100TB: only the DISTINCT change KEYS probe the warehouse
+  * anti-join, and the broadcast decision is left to planner stats/AQE
+  * rather than forced — a cadence-bounded CDC batch (a day's changes
+  * against a years-deep table) broadcasts and the warehouse never
+  * shuffles, while a batch that has grown comparable to the warehouse
+  * degrades to a shuffled anti-join instead of hard-failing Spark's
+  * 8GB broadcast limit. The classic full-outer-join formulation would
+  * hash-shuffle the entire warehouse on every merge regardless.
   */
 object Merge {
 
@@ -22,16 +24,18 @@ object Merge {
     * {"upsert","delete"}. Returns target rows whose key has no change,
     * plus the upsert rows (delete rows simply vanish).
     *
-    * `broadcastKeys = false` for the rare changes-batch-comparable-to-
-    * warehouse case, where a shuffled anti-join is the right plan (AQE
-    * still picks broadcast back up if the key set turns out small).
+    * `broadcastKeys = true` pins the broadcast for callers that KNOW
+    * the batch is bounded; the default lets stats/AQE decide (they
+    * pick broadcast whenever the key set is actually small, and a
+    * warehouse-sized batch degrades to a shuffled anti-join instead
+    * of hard-failing the broadcast size limit).
     */
   def upsert(
       target: DataFrame,
       changes: DataFrame,
       key: String,
       opCol: String = "op",
-      broadcastKeys: Boolean = true): DataFrame = {
+      broadcastKeys: Boolean = false): DataFrame = {
     val keys0 = changes.select(key).distinct()
     val keys = if (broadcastKeys) broadcast(keys0) else keys0
     target

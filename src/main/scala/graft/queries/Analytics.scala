@@ -629,7 +629,7 @@ object Analytics {
     val cust = Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
     val cells = Tables.load(s, d, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("nationkey"),
         (graft.functions.Exact.bucket(
           graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L),
@@ -1106,7 +1106,7 @@ object Analytics {
     val cust = Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("nationkey"))
     val r = Tables.load(s, d, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("nationkey", "o_custkey")
       .agg(sum(floor(dec(col("o_totalprice"))).cast("long")).as("x"))
     r.withColumn("i", row_number().over(byNation).cast("long"))
@@ -1155,7 +1155,7 @@ object Analytics {
     val cust = Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
     val j = Tables.load(s, d, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("seg"), col("o_orderpriority").as("prio"))
       .agg(count(lit(1)).as("obs"))
     val rm = j.groupBy("seg").agg(sum(col("obs")).as("rn"))

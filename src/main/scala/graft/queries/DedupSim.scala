@@ -89,8 +89,8 @@ object DedupSim {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), Seq("doc_b"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("common").cast(DoubleType) / (col("n_a") + col("n_b") - col("common")))
       .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
@@ -144,8 +144,11 @@ object DedupSim {
     // CPU-bound and the source is a single parquet file — without the
     // repartition the whole signature stage runs on one core.
     // Candidates come from the banded equi-join; verification joins the
-    // (broadcast) candidate pairs back to the per-doc shingle ARRAYS and
-    // intersects them — the shingle frame is never exploded or shuffled.
+    // candidate pairs back to the per-doc shingle ARRAYS and intersects
+    // them — the shingle frame is never exploded or shuffled. The
+    // candidate side carries NO broadcast hint: it is corpus-scaled
+    // (grows with the dup rate), so stats/AQE broadcast it while it
+    // fits and degrade to a shuffled join past the 8GB limit.
     val docs = Tables.load(s, d, "documents")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id"), Text.shingleSetUdf(3)(col("text")).as("shs"))
@@ -164,9 +167,10 @@ object DedupSim {
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
     val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // Verify ONLY the candidate pairs — never the all-pairs Jaccard. At
-    // scale the candidate set is tiny; the exact check stays cheap.
-    val common = broadcast(cand)
+    // Verify ONLY the candidate pairs — never the all-pairs Jaccard.
+    // The candidate set is sparse (≪ corpus) but still corpus-scaled,
+    // so no forced broadcast — AQE picks the strategy by actual size.
+    val common = cand
       .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -240,7 +244,7 @@ object DedupSim {
       .map(i => when(element_at(col("siga"), i) === element_at(col("sigb"), i),
         1L).otherwise(0L))
       .reduce(_ + _)
-    broadcast(cand)
+    cand
       .join(withSig.select(col("doc_id").as("doc_a"), col("sig").as("siga")),
         Seq("doc_a"))
       .join(withSig.select(col("doc_id").as("doc_b"), col("sig").as("sigb")),
@@ -720,7 +724,7 @@ object DedupSim {
       .select(explode(sh4(col("text"))).as("sh")).distinct()
     val train = docs.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), explode(sh4(col("text"))).as("sh"))
-    train.join(broadcast(bench), "sh")
+    train.join(bench, "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min(col("sh")).as("first_hit"))
       .orderBy("doc_id")
@@ -871,7 +875,7 @@ object DedupSim {
     * EXACT fx probe↔vector distance and cut to top-10 — the
     * refinement pass that buys back the PQ approximation error by
     * touching only Q·R full vectors. The exact pass is one narrow
-    * corpus scan against the broadcast candidate list (point lookups
+    * corpus scan against the candidate list (point lookups
     * at cluster scale); the oracle replays ADC ranking AND the exact
     * re-rank over the same full-dim fx points CTE. */
   val annIvfPqRerank: Q = Q(
@@ -1037,7 +1041,8 @@ object DedupSim {
     *
     * Shape at 100TB: the old side's fingerprint + band index is a
     * write-once artifact (bucketed by band key); the daily batch is
-    * small, broadcasts to the band join, and only verified candidates
+    * small, joins the band index (AQE broadcasts it while it fits;
+    * no forced hint), and only verified candidates
     * fetch shingle arrays — the old corpus is never rescanned, never
     * self-joined, and nothing quadratic leaves a band bucket. */
   val dedupIncremental: Q = Q(
@@ -1151,7 +1156,7 @@ object DedupSim {
     * trusted.
     *
     * Shape at 100TB: identical to [[minhashLsh]] (banded candidates,
-    * broadcast verify) plus a map-side split gate — the audit costs
+    * size-adaptive verify join) plus a map-side split gate — the audit costs
     * one extra projection over the dedup pass you already run. */
   val splitLeakage: Q = Q(
     "q_split_leakage",
@@ -1198,7 +1203,7 @@ object DedupSim {
       .select("doc_a", "doc_b").distinct()
     def isTrain(c: org.apache.spark.sql.Column) =
       md5(c.cast("string").cast("binary")) < "cc"
-    broadcast(cand)
+    cand
       .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),

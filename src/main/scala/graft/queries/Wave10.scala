@@ -684,7 +684,7 @@ object Wave10 {
     val cust = Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
     val cells = Tables.load(s, d, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("seg"), col("o_orderpriority").as("pri"))
       .agg(count(lit(1)).as("n_sp"))
     val ms = cells.groupBy("seg").agg(sum(col("n_sp")).as("n_s"))

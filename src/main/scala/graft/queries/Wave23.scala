@@ -22,7 +22,8 @@ object Wave23 {
     * (b1*m1y + b2*m2y) // 1e6 against myy. Cross products run in
     * DECIMAL(38)/HUGEINT; every division is truncating.
     *
-    * Shape at 100TB: one broadcast join (part is the small dim), one
+    * Shape at 100TB: one un-hinted dim join (part is data-sized —
+    * stats/AQE broadcast while it fits), one
     * group-keyed aggregate to 3 moment rows, scalar math on those
     * rows. Nothing after the aggregate is data-sized.
     */
@@ -85,7 +86,7 @@ object Wave23 {
       val part = Tables.load(s, d, "part")
         .select(col("p_partkey").as("l_partkey"),
           col("p_size").cast("long").as("x1"))
-      val base = li.join(broadcast(part), "l_partkey")
+      val base = li.join(part, "l_partkey")
         .select(col("l_returnflag").as("flag"), col("x1"),
           expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("x2"),
           expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("y"))

@@ -79,7 +79,7 @@ object Wave24 {
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey").as("nk"))
       val nm = Tables.load(s, d, "orders").repartition(np)
         .filter(year(col("o_orderdate")) === DtwYear)
-        .join(broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
         .groupBy(col("nk"), month(col("o_orderdate")).as("mo"))
         .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) div 100"))
           .as("rev"))

@@ -44,7 +44,7 @@ object Wave27 {
     val part = Tables.load(s, d, "part")
       .select(col("p_partkey").as("l_partkey"), col("p_name").as("name"))
     val rev = Tables.load(s, d, "lineitem").repartition(np)
-      .join(broadcast(part), "l_partkey")
+      .join(part, "l_partkey")
       .groupBy("name")
       .agg(sum(expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
         .as("rev_c"))

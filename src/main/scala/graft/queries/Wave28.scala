@@ -132,7 +132,7 @@ object Wave28 {
       .select(col("c_custkey").as("o_custkey"),
         col("c_nationkey").cast("long").as("nk"))
     val r = Tables.load(s, d, "orders")
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .groupBy("nk")
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
         .as("rev"))

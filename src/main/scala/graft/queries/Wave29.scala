@@ -20,7 +20,8 @@ object Wave29 {
     * DECIMAL(38)/HUGEINT — the n-scaled form overflows at scale
     * (the q_ols_multi lesson).
     *
-    * Shape at 100TB: one broadcast dim join, one group-keyed moment
+    * Shape at 100TB: one un-hinted dim join (part is data-sized —
+    * stats/AQE broadcast while it fits), one group-keyed moment
     * aggregate, scalar math on 3 rows.
     */
   val causalIv: Q = {
@@ -62,7 +63,7 @@ object Wave29 {
         .select(col("p_partkey").as("l_partkey"),
           col("p_size").cast("long").as("z"))
       val mom = Tables.load(s, d, "lineitem").repartition(np)
-        .join(broadcast(part), "l_partkey")
+        .join(part, "l_partkey")
         .select(col("l_returnflag").as("flag"), col("z"),
           expr("CAST(ROUND(l_quantity, 0) AS BIGINT)").as("x"),
           expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)").as("y"))
@@ -153,7 +154,7 @@ object Wave29 {
       val cells = cust.groupBy("seg", "reg").agg(count(lit(1)).as("n"))
       val tot = cells.agg(sum("n").as("nt"))
       val rev = Tables.load(s, d, "orders")
-        .join(broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
         .groupBy("seg", "reg")
         .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
           .as("rv"))

@@ -19,9 +19,12 @@ object Wave33 {
     * orderpriority) revenue, top-10 by revenue. The classic "most
     * valuable unshipped orders" screen.
     *
-    * Shape at 100TB: customer is the broadcast dim; orders->lineitem
-    * is the one big equi-join; the global top-10 is ORDER BY + LIMIT
-    * — a TakeOrdered, never a full sort.
+    * Shape at 100TB: customer is data-sized (scales with SF), so it
+    * carries NO broadcast hint — stats/AQE broadcast it while it fits
+    * and degrade to a shuffled equi-join past the 8GB limit (the r11
+    * verdict's one weak component); orders->lineitem is the one big
+    * equi-join; the global top-10 is ORDER BY + LIMIT — a TakeOrdered,
+    * never a full sort.
     */
   val tpchQ3: Q = Q(
     "q_tpch_q3_priority",
@@ -45,7 +48,7 @@ object Wave33 {
       .select(col("c_custkey").as("o_custkey"))
     val ord = Tables.load(s, d, "orders")
       .filter(col("o_orderdate") < lit(Q3Cut).cast("timestamp"))
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .select(col("o_orderkey").as("l_orderkey"),
         graft.functions.Exact.ms(col("o_orderdate")).as("odate_ms"),
         col("o_orderpriority"))
@@ -67,10 +70,13 @@ object Wave33 {
     * "local supplier volume" snowflake — 6 relations), for orders in
     * calendar 1997.
     *
-    * Shape at 100TB: region/nation/customer/supplier are broadcast
-    * dims; orders->lineitem is the only fact-fact equi-join; the
-    * local-supplier condition is a residual equality on the two
-    * nation keys. Output is nation-dictionary-sized.
+    * Shape at 100TB: region/nation are pinned broadcast dims
+    * (bounded); customer and supplier scale with SF, so they carry NO
+    * hint — stats/AQE broadcast them while they fit and degrade to
+    * shuffled equi-joins at cluster scale. orders->lineitem is the
+    * only fact-fact equi-join; the local-supplier condition is a
+    * residual equality on the two nation keys. Output is
+    * nation-dictionary-sized.
     */
   val tpchQ5: Q = Q(
     "q_tpch_q5_local",
@@ -103,13 +109,13 @@ object Wave33 {
         col("c_nationkey").as("cnat"), col("n_name"))
     val ord = Tables.load(s, d, "orders")
       .filter(year(col("o_orderdate")) === 1997)
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .select(col("o_orderkey").as("l_orderkey"), col("cnat"), col("n_name"))
     val supp = Tables.load(s, d, "supplier")
       .select(col("s_suppkey").as("l_suppkey"),
         col("s_nationkey").cast("long").as("snat"))
     Tables.load(s, d, "lineitem").repartition(np)
-      .join(broadcast(supp), "l_suppkey")
+      .join(supp, "l_suppkey")
       .join(ord, "l_orderkey")
       .filter(col("snat") === col("cnat").cast("long"))
       .groupBy("n_name")

@@ -61,7 +61,7 @@ object Wave34 {
       .select(col("c_custkey").as("o_custkey"),
         col("c_nationkey").cast("long").as("nk"))
     val dem = Tables.load(s, d, "orders")
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .groupBy("nk").agg(count(lit(1)).as("dem"))
     val t = dem.agg(sum("dem").as("td"),
       expr("CAST(SUM(dem) div 2 AS BIGINT)").as("cap"),

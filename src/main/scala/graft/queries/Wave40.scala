@@ -91,7 +91,8 @@ object Wave40 {
     * Bins where treatment or control is empty are excluded (no
     * overlap -> no identification), reported via n_bins.
     *
-    * Shape at 100TB: one broadcast dim join, one bin-keyed aggregate
+    * Shape at 100TB: one un-hinted dim join (customer is data-sized
+    * — stats/AQE broadcast while it fits), one bin-keyed aggregate
     * for propensities (broadcast back — segment-sized), one global
     * aggregate of weighted sums in DECIMAL(38)/HUGEINT. Nothing after
     * the first aggregate is data-sized.
@@ -138,7 +139,7 @@ object Wave40 {
         .select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment").as("bin"))
       val base = Tables.load(s, d, "orders").repartition(np)
-        .join(broadcast(cust), "o_custkey")
+        .join(cust, "o_custkey")
         .select(
           when(substring(col("o_orderpriority"), 1, 1).isin("1", "2"), 1L)
             .otherwise(0L).as("t"),

@@ -130,7 +130,7 @@ object Wave43 {
     * discordant / tied by the sign of the cross-difference product.
     *
     * Shape at 100TB: one fact aggregate to the 25-row nation
-    * dictionary (customer and nation dims broadcast into the fact
+    * dictionary (nation broadcast pinned; customer un-hinted into the fact
     * scan), then a broadcast self-join over dictionary pairs —
     * the O(n^2) lives entirely in dictionary space.
     */
@@ -160,7 +160,7 @@ object Wave43 {
       |  (concordant - discordant) * 1000000 // n_pairs AS tau_ppm
       |FROM ag ORDER BY n_pairs""".stripMargin) { (s, d) =>
     val na = Tables.load(s, d, "orders")
-      .join(broadcast(Tables.load(s, d, "customer")),
+      .join(Tables.load(s, d, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nk"))
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))

@@ -39,7 +39,7 @@ object Wave44 {
       |  ((s + 2) * 1000000 - 2000 * isq) // (n + 4) AS lcb_ppm
       |FROM w ORDER BY lcb_ppm DESC, brand""".stripMargin) { (s, d) =>
     val b = Tables.load(s, d, "lineitem")
-      .join(broadcast(Tables.load(s, d, "part")),
+      .join(Tables.load(s, d, "part"),
         col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(count(lit(1)).as("n"),

@@ -44,7 +44,7 @@ object Wave45 {
       |    (t.n * t.sxy - t.sx * t.sy) < 0 THEN 1 ELSE 0 END AS flipped
       |FROM m, t ORDER BY m.brand""".stripMargin) { (s, d) =>
     val m = Tables.load(s, d, "lineitem")
-      .join(broadcast(Tables.load(s, d, "part")),
+      .join(Tables.load(s, d, "part"),
         col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(count(lit(1)).as("n"),
@@ -120,7 +120,7 @@ object Wave45 {
          |$cmJoins
          |ORDER BY f.nk, f.mon""".stripMargin) { (s, d) =>
       val cells = Tables.load(s, d, "orders")
-        .join(broadcast(Tables.load(s, d, "customer")),
+        .join(Tables.load(s, d, "customer"),
           col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_nationkey").cast("long").as("nk"),
           month(col("o_orderdate")).cast("long").as("mon"))

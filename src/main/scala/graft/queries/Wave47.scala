@@ -79,7 +79,7 @@ object Wave47 {
     * integer sqrt. Reports order count D//EOQ and cycle length
     * 365*EOQ//D alongside.
     *
-    * Shape at 100TB: one part-keyed fact aggregate + a broadcast dim
+    * Shape at 100TB: one part-keyed fact aggregate + an un-hinted dim
     * join; arithmetic after is row-local.
     */
   val eoq: Q = Q(
@@ -101,7 +101,7 @@ object Wave47 {
     val dem = Tables.load(s, d, "lineitem")
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("demand"))
-    dem.join(broadcast(Tables.load(s, d, "part")),
+    dem.join(Tables.load(s, d, "part"),
         col("p_partkey") === col("pk"))
       .select(col("pk"), col("demand"),
         expr("CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)").as("hold_c"))

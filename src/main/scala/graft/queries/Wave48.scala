@@ -51,8 +51,8 @@ object Wave48 {
       .groupBy(col("o_custkey").as("ck"))
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
         .as("cents"))
-    val seg = cu.join(broadcast(Tables.load(s, d, "customer")
-        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))),
+    val seg = cu.join(Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")),
       Seq("ck"))
     val ranked = RankedPrefix.rankedCumsum(
       seg, RankedPrefix.logBucket(col("cents")), bucketDesc = false,
@@ -113,7 +113,7 @@ object Wave48 {
       |FROM rj, t ORDER BY rj.nk""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val nm = Tables.load(s, d, "orders")
-      .join(broadcast(Tables.load(s, d, "customer")),
+      .join(Tables.load(s, d, "customer"),
         col("c_custkey") === col("o_custkey"))
       .groupBy(col("c_nationkey").cast("long").as("nk"),
         month(col("o_orderdate")).cast("long").as("mon"))

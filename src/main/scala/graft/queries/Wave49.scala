@@ -56,9 +56,9 @@ object Wave49 {
     (s, d) =>
     import graft.ops.RankedPrefix
     val cu = Tables.load(s, d, "orders")
-      .join(broadcast(Tables.load(s, d, "customer")
+      .join(Tables.load(s, d, "customer")
         .filter(col("c_mktsegment").isin(SegA, SegB))
-        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))),
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")),
         col("o_custkey") === col("ck"))
       .groupBy("ck")
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))

@@ -44,7 +44,7 @@ object Wave50 {
       .groupBy(col("l_partkey").as("pk"))
       .agg(sum(expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
         .as("value_c"))
-      .join(broadcast(Tables.load(s, d, "part")),
+      .join(Tables.load(s, d, "part"),
         col("p_partkey") === col("pk"))
       .select(col("pk"), col("value_c"),
         col("p_size").cast("long").as("w"),

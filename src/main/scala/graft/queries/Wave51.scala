@@ -107,7 +107,7 @@ object Wave51 {
       |    THEN 1 ELSE 0 END AS concentrated
       |FROM n ORDER BY nationkey""".stripMargin) { (s, d) =>
     val sr = Tables.load(s, d, "lineitem")
-      .join(broadcast(Tables.load(s, d, "supplier")),
+      .join(Tables.load(s, d, "supplier"),
         col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
       .agg(sum(expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))

@@ -18,7 +18,7 @@ object Wave54 {
     * percentile), mean in milli (truncating), and the share of lines
     * breaching the $SlaDays-day SLA in ppm.
     *
-    * Shape at 100TB: one broadcast dim join (orders' date+priority
+    * Shape at 100TB: one un-hinted dim join (orders' date+priority
     * onto lineitem — at scale both fact-sized, a bucketed co-located
     * join), one priority-partitioned rank window, one aggregate.
     */
@@ -43,9 +43,9 @@ object Wave54 {
        |    // MAX(n) AS BIGINT) AS breach_ppm
        |FROM r GROUP BY pri ORDER BY priority""".stripMargin) { (s, d) =>
     val dd = Tables.load(s, d, "lineitem")
-      .join(broadcast(Tables.load(s, d, "orders")
+      .join(Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
-          col("o_orderdate"))),
+          col("o_orderdate")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("pri"),
         expr("""(unix_millis(CAST(l_shipdate AS TIMESTAMP))
@@ -108,7 +108,7 @@ object Wave54 {
       |    ELSE 0 END AS BIGINT) AS direction
       |FROM m, t ORDER BY m.brand""".stripMargin) { (s, d) =>
     val m = Tables.load(s, d, "lineitem")
-      .join(broadcast(Tables.load(s, d, "part")),
+      .join(Tables.load(s, d, "part"),
         col("p_partkey") === col("l_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))

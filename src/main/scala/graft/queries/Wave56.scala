@@ -56,9 +56,9 @@ object Wave56 {
     import graft.ops.BoundedWindow
     import org.apache.spark.sql.expressions.Window
     val cu = Tables.load(s, d, "orders")
-      .join(broadcast(Tables.load(s, d, "customer")
+      .join(Tables.load(s, d, "customer")
         .filter(col("c_mktsegment").isin(SegA, SegB))
-        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))),
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")),
         col("o_custkey") === col("ck"))
       .groupBy("ck")
       .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))

@@ -110,8 +110,8 @@ object Wave57 {
       |GROUP BY q.seg, q.n, q.q1, q.q3 ORDER BY segment""".stripMargin) {
     (s, d) =>
     val cu = Tables.load(s, d, "orders")
-      .join(broadcast(Tables.load(s, d, "customer")
-        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))),
+      .join(Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")),
         col("o_custkey") === col("ck"))
       .groupBy("ck")
       .agg(min("seg").as("seg"),

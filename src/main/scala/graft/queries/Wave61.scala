@@ -20,11 +20,13 @@ object Wave61 {
     * exact integer micro form cents·(10000−bps), top 20 with their
     * nation and account balance in cents.
     *
-    * Shape at 100TB: customer⋈nation broadcasts into the quarter-
-    * filtered orders (partition-prunable predicate), orders→lineitem
-    * is the one big equi-join with the returnflag filter pushed to
-    * the lineitem scan, and the global top-20 is ORDER BY + LIMIT —
-    * a TakeOrdered, never a full sort.
+    * Shape at 100TB: nation is the only pinned broadcast; customer
+    * is data-sized, so customer⋈nation joins into the quarter-
+    * filtered orders (partition-prunable predicate) with NO hint —
+    * stats/AQE broadcast it while it fits, degrade to a shuffle past
+    * the 8GB limit. orders→lineitem is the one big equi-join with the
+    * returnflag filter pushed to the lineitem scan, and the global
+    * top-20 is ORDER BY + LIMIT — a TakeOrdered, never a full sort.
     */
   val tpchQ10: Q = Q(
     "q_tpch_q10_returns",
@@ -55,7 +57,7 @@ object Wave61 {
     val ord = Tables.load(s, d, "orders")
       .filter(col("o_orderdate") >= lit(Q10Lo).cast("timestamp") &&
         col("o_orderdate") < lit(Q10Hi).cast("timestamp"))
-      .join(broadcast(cust), "o_custkey")
+      .join(cust, "o_custkey")
       .select(col("o_orderkey").as("l_orderkey"),
         col("o_custkey").as("c_custkey"), col("c_name"),
         col("acctbal_cents"), col("n_name"))
@@ -130,8 +132,8 @@ object Wave61 {
       .groupBy(col("o_custkey").as("ck"))
       .agg(expr("""CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                   |  div 100 AS BIGINT)""".stripMargin).as("dollars"))
-    val cs = cu.join(broadcast(Tables.load(s, d, "customer")
-      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg"))),
+    val cs = cu.join(Tables.load(s, d, "customer")
+      .select(col("c_custkey").as("ck"), col("c_mktsegment").as("seg")),
       "ck")
     val st = cs.groupBy("seg")
       .agg(count(lit(1)).as("nh"), sum(col("dollars")).as("sx"),

@@ -148,7 +148,7 @@ object Wave64 {
     * literals.
     *
     * Shape at 100TB: the median is one RankedPrefix rank-selection;
-    * each feature is one broadcast-dim join + one map-side-combined
+    * each feature is one un-hinted dim join + one map-side-combined
     * (bin, y) count; the log runs on ≤ 4·bins distinct integers.
     */
   val featureWoeIv: Q = {
@@ -218,7 +218,7 @@ object Wave64 {
       val seg = Tables.load(s, d, "customer")
         .select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment").as("bin"))
-      val f1 = ob.join(broadcast(seg), "o_custkey")
+      val f1 = ob.join(seg, "o_custkey")
         .groupBy(lit("mktsegment").as("feature"), col("bin"))
         .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("good"),
           sum(when(col("y") === 0L, 1L).otherwise(0L)).as("bad"))

@@ -138,7 +138,7 @@ object Wave9 {
     val cust = Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_mktsegment").as("seg"))
     val o = Tables.load(s, d, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("seg"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
     val segStats = o.groupBy("seg")
@@ -559,7 +559,7 @@ object Wave9 {
     val cust = Tables.load(s, d, "customer")
       .select(col("c_custkey"), col("c_nationkey").as("nk"))
     val m = Tables.load(s, d, "orders")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("nk"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mo"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
@@ -898,9 +898,9 @@ object Wave9 {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     val near = pairs
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))),
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))),
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
         Seq("doc_b"))
       .filter(expr("common * 1000000 div (na + nb - common) >= 200000"))
       .select(col("doc_b").as("doc_id")).distinct()
@@ -909,7 +909,7 @@ object Wave9 {
       explode(Text.shingleSetUdf(13)(col("text"))).as("g"))
     val evg = g13.filter(col("doc_id") % 97 === 3).select("g").distinct()
     val contam = g13.join(s3, Seq("doc_id"), "left_semi")
-      .join(broadcast(evg), "g")
+      .join(evg, "g")
       .select("doc_id").distinct()
     q.join(ex.filter(col("doc_id") =!= col("keeper")), Seq("doc_id"), "left")
       .join(near.withColumn("is_near", lit(true)), Seq("doc_id"), "left")

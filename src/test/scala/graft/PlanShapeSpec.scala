@@ -468,10 +468,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(a._1.size == graft.queries.BpeQueries.K)
   }
 
-  test("q_tpch_q10_returns: dims broadcast, the top-20 is a TakeOrdered " +
+  test("q_tpch_q10_returns: nation broadcast pinned, customer un-hinted " +
+    "(stats/AQE decide — the scale-safe shape), top-20 is a TakeOrdered " +
     "(no global sort materialization, no cartesian product)") {
     val plan = executed("q_tpch_q10_returns")
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    // the bounded nation dim still rides a BroadcastExchange; customer
+    // no longer carries a hint (covered by the registry-wide tripwire)
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
@@ -510,5 +513,59 @@ class PlanShapeSpec extends AnyFunSuite {
           "Packing for data-sized ones)")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("registry-wide: no broadcast hint pins a data-sized base-table " +
+    "scan (a dim that scales with SF must be free to degrade to a " +
+    "shuffle join at cluster scale instead of hard-failing Spark's 8GB " +
+    "broadcast limit; bounded dims — nation/region — and aggregated/" +
+    "limited frames may stay pinned)") {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // Tables whose row count scales with SF: force-broadcasting any of
+    // them (un-aggregated) is exactly the 100TB hard-fail the r11
+    // verdict flagged. nation (25) / region (5) are bounded and exempt.
+    val dataSized =
+      Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")
+    // Workload-bounded probe panels: a fixed set of ANN/kNN query
+    // vectors is the *query workload*, not a data dim — its size is an
+    // operating parameter, independent of corpus growth.
+    val probePanels = Set(
+      "q_ann_bruteforce", "q_ann_ivf", "q_ann_ivfpq", "q_ann_ivfpq_rerank",
+      "q_ann_lsh", "q_ann_pq", "q_ann_recall", "q_ann_topk",
+      "q_knn_classify", "q_knn_shapley", "q_label_noise",
+      "q_contrastive_negatives",
+      "q_retrieval_mmr", "q_retrieval_ndcg", "q_retrieval_rbo",
+      "q_embed_knn_shapley",
+      // the broadcast-join OPERATOR surface itself (SURVEY §2.B):
+      // invoking it is the user's assertion that the dim fits
+      "q_join_broadcast")
+    // Subtrees that provably bound their output regardless of input
+    // cardinality (heuristic: an aggregate's grain here is always a
+    // bounded dictionary — segment/priority/nation/top-N — audited per
+    // wave when the query lands).
+    def unboundedScans(p: LogicalPlan): Seq[String] = p match {
+      case _: Aggregate | _: GlobalLimit => Nil
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          val path = h.location.rootPaths.mkString(",")
+          dataSized.filter(t => path.contains(s"$t.parquet"))
+        case _ => Nil
+      }
+      case other => other.children.flatMap(unboundedScans)
+    }
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, f) if probePanels(name) => Nil
+      case (name, f) =>
+        val plan = f(spark, SharedSpark.sf001).queryExecution.analyzed
+        plan.collectWithSubqueries {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+            unboundedScans(h.child).map(t => s"$name: broadcast over $t")
+        }.flatten
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} forced broadcasts of data-sized scans:\n" +
+        bad.distinct.mkString("\n"))
   }
 }

@@ -256,7 +256,10 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0)))
   }
 
-  test("Merge.upsert anti-join broadcasts the change keys (no target shuffle)") {
+  test("Merge.upsert: stats pick a broadcast anti-join for a bounded " +
+    "batch WITHOUT a forced hint (no target shuffle; a warehouse-sized " +
+    "batch would degrade to a shuffled anti-join instead of hard-" +
+    "failing the 8GB broadcast limit)") {
     val target = Tables.load(spark, SharedSpark.sf001, "orders")
     val changes = target.limit(10).withColumn("op", lit("delete"))
     val merged = graft.ops.Merge.upsert(target, changes, "o_orderkey")
