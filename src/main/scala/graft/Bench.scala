@@ -45,6 +45,10 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
         }
     }
+    // Attribution epoch: drop the warm-up's build entries (sf0.001
+    // frames share names with the timed SF's — a stale log would alias
+    // them in paid_build; r11 ADVICE). The memo itself is untouched.
+    graft.ops.SharedFrames.clearBuildLog()
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }

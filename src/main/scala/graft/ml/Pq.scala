@@ -51,7 +51,11 @@ object Pq {
       m: Int, subDim: Int, k: Int, iters: Int,
       memoKey: Option[String]): (DataFrame, DataFrame) = memoKey match {
     case Some(dir) =>
-      val key = s"pqraw_${m}_${subDim}_${k}_$iters"
+      // key carries the INPUT identity (id/vec columns) alongside the
+      // hyperparams: two callers training on different columns with the
+      // same params in the same dir must not share a fit (r11 ADVICE —
+      // the registry-name-shadowing bug class).
+      val key = s"pqraw_${idCol}_${vecCol}_${m}_${subDim}_${k}_$iters"
       graft.ops.SharedFrames.value(dir, key) {
         val (a, cb) = KMeansFx.fitFxGrouped(
           subspacePoints(emb, idCol, vecCol, m, subDim), k, iters)
@@ -284,7 +288,8 @@ object Pq {
     // SharedFrames so it survives Bench's inter-query cache clear.
     // Hash-invariant: the fits are deterministic fixed-point Lloyd.
     case Some(dir) =>
-      val key = s"ivfpq_${kc}_${m}_${subDim}_${k}_$iters"
+      // input identity in the key — see rawFit (r11 ADVICE)
+      val key = s"ivfpq_${idCol}_${vecCol}_${kc}_${m}_${subDim}_${k}_$iters"
       graft.ops.SharedFrames.value(dir, key) {
         val (a, b, c) = ivfParts(emb, idCol, vecCol, kc, m, subDim, k, iters)
         (a, b, graft.ops.SharedFrames.frame(dir, s"${key}_codes")(c))

@@ -39,7 +39,7 @@ object SharedFrames {
   // of the FIRST consumer (e.g. q_retrieval_rbo at 4.7s) otherwise reads
   // as a regression when it is really paying the family's build.
   private val buildLog =
-    scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
   @volatile private var payerName: String = ""
 
   /** Harness hook (Bench/Verify): name the query about to run so frame
@@ -47,11 +47,26 @@ object SharedFrames {
   def setPayer(name: String): Unit = payerName = name
 
   /** payer query -> shared frame/scalar names whose build it triggered
-    * (in build order). Survives [[releaseAll]] within the process so the
-    * harness can read it after suite cleanup. */
+    * (in build order), across every dir built since the last
+    * [[clearBuildLog]]. Survives [[releaseAll]] within the process so
+    * the harness can read it after suite cleanup. */
   def paidBuilds: Map[String, Seq[String]] = synchronized {
-    buildLog.toSeq.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
+    buildLog.toSeq.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3) }
   }
+
+  /** As [[paidBuilds]], with the (dir, name) pair per entry — lets a
+    * harness that warms up at one SF and times at another separate the
+    * two epochs without clearing. */
+  def paidBuildsByDir: Map[String, Seq[(String, String)]] = synchronized {
+    buildLog.toSeq.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(x => (x._2, x._3)) }
+  }
+
+  /** Reset build attribution (NOT the memo itself). A long-lived
+    * process running multiple suites calls this at the start of each
+    * timed run so warm-up builds at another SF don't alias the timed
+    * SF's frame names in [[paidBuilds]] (r11 ADVICE). */
+  def clearBuildLog(): Unit = synchronized(buildLog.clear())
 
   /** Is this RDD id one of the shared materializations? (Bench's
     * inter-query unpersist exempts these.) */
@@ -61,7 +76,7 @@ object SharedFrames {
   def frame(dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
       memo.getOrElseUpdate((dir, name), {
-        buildLog += ((payerName, name))
+        buildLog += ((payerName, dir, name))
         val df = build
         val sc = df.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
@@ -75,24 +90,41 @@ object SharedFrames {
     * a shared frame. */
   def scalar(dir: String, name: String)(build: => Long): Long =
     synchronized(scalarMemo.getOrElseUpdate((dir, name), {
-      buildLog += ((payerName, name))
+      buildLog += ((payerName, dir, name))
       build
     }))
 
   private val valueMemo =
-    scala.collection.mutable.Map.empty[(String, String), Any]
+    scala.collection.mutable.Map.empty[(String, String), (Any, String)]
 
   /** Memoized driver-side value of bounded size (e.g. a learned merge
     * table, a collected vocabulary aggregate) computed once per suite —
     * the [[frame]] pattern for results that live on the driver rather
     * than in executor storage. The build must leave no persisted RDDs
     * behind (release its own caches): Bench's inter-query cleanup only
-    * exempts [[frame]] checkpoints. */
-  def value[T](dir: String, name: String)(build: => T): T = synchronized {
-    valueMemo.getOrElseUpdate((dir, name), {
-      buildLog += ((payerName, name))
-      build
-    }).asInstanceOf[T]
+    * exempts [[frame]] checkpoints.
+    *
+    * The builder's payer name and runtime class are recorded so a
+    * (dir, name) key collision between two call sites expecting
+    * different types fails FAST at the second call site, naming the
+    * first builder — not as a remote ClassCastException at an
+    * innocent consumer (r11 ADVICE). Erasure caveat: two generic
+    * types with the same runtime class (e.g. two Tuple2 shapes) still
+    * pass this guard — the key contract (include the hyperparams and
+    * input columns in `name`) is the real defense. */
+  def value[T](dir: String, name: String)(build: => T)(
+      implicit ct: scala.reflect.ClassTag[T]): T = synchronized {
+    val (v, builtBy) = valueMemo.getOrElseUpdate((dir, name), {
+      buildLog += ((payerName, dir, name))
+      (build, payerName)
+    })
+    require(v == null || ct.runtimeClass.isInstance(v) ||
+      ct.runtimeClass.isPrimitive,
+      s"SharedFrames.value key collision on ($dir, $name): stored " +
+        s"${v.getClass.getName} (built by '$builtBy'), requested " +
+        s"${ct.runtimeClass.getName} (payer '$payerName') — disambiguate " +
+        "the name")
+    v.asInstanceOf[T]
   }
 
   /** Unpersist every shared frame and clear the registry. */

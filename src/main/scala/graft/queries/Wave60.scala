@@ -21,8 +21,10 @@ object Wave60 {
 
   /** KMV/theta sketch intersection (Beyer et al. SIGMOD'07; the
     * DataSketches theta-sketch set-op shape): cohorts A = 1995
-    * customers, B = 1996 customers, each summarized by its bottom-K
-    * md5-u48 hash set; the combined bottom-K L prices the union as
+    * customers, B = 1996 customers, each summarized by the bottom-K
+    * of its DISTINCT md5-u48 hash values (dedup before the bottom-K
+    * keeps the estimator collision-robust — r11 ADVICE); the combined
+    * bottom-K L prices the union as
     * U = (K−1)·2^48 div max(L), and the intersection estimate is
     * |L ∩ S_A ∩ S_B| · U div K (the Jaccard-times-union identity).
     * The EXACT distinct union/intersection ride along as witnesses,
@@ -42,9 +44,10 @@ object Wave60 {
        |    CAST(('0x' || substr(md5('th:' || CAST(ck AS VARCHAR)), 1, 12))
        |      AS BIGINT) AS hv
        |  FROM m),
+       |hd AS (SELECT DISTINCT yr, hv FROM h),
        |r AS (SELECT yr, hv,
-       |    ROW_NUMBER() OVER (PARTITION BY yr ORDER BY hv, ck) AS rn
-       |  FROM h),
+       |    ROW_NUMBER() OVER (PARTITION BY yr ORDER BY hv) AS rn
+       |  FROM hd),
        |sa AS (SELECT hv FROM r WHERE yr = 1995 AND rn <= $SketchK),
        |sb AS (SELECT hv FROM r WHERE yr = 1996 AND rn <= $SketchK),
        |lu AS (SELECT DISTINCT hv FROM (SELECT hv FROM sa
@@ -78,9 +81,15 @@ object Wave60 {
     val h = m.withColumn("hv",
       conv(substring(md5(concat(lit("th:"), col("ck").cast("string"))),
         1, 12), 16, 10).cast("long"))
-    val r = graft.ops.TopK.perGroup(h,
+    // KMV sketches hold DISTINCT hash values: dedup hv within each
+    // cohort BEFORE the bottom-K, so a 48-bit collision between two
+    // custkeys cannot double-count in the l⋈sa⋈sb intersection (r11
+    // ADVICE — both engines agreed, but the estimator and Wave60Spec's
+    // set-based recompute would have diverged at the first collision).
+    val hd = h.select(col("yr"), col("hv")).distinct()
+    val r = graft.ops.TopK.perGroup(hd,
       partitionBy = Seq(col("yr")),
-      orderBy = Seq(col("hv").asc, col("ck").asc), k = SketchK)
+      orderBy = Seq(col("hv").asc), k = SketchK)
     val sa = r.filter(col("yr") === 1995).select("hv")
     val sb = r.filter(col("yr") === 1996).select("hv")
     val l = sa.unionAll(sb).distinct().orderBy("hv").limit(SketchK)

@@ -31,9 +31,11 @@ class Wave60Spec extends AnyFunSuite {
         "o_custkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .filter(t => t._1 == 1995L || t._1 == 1996L).distinct
+    // mirror the engine: DISTINCT hash values first, then bottom-K —
+    // a pair-sorted take(K) would under-fill the sketch on a collision
     def sketch(yr: Long): Seq[Long] =
-      m.filter(_._1 == yr).map(t => (u48(s"th:${t._2}"), t._2))
-        .sortBy(identity).take(K).map(_._1).toSeq
+      m.filter(_._1 == yr).iterator.map(t => u48(s"th:${t._2}"))
+        .toSeq.distinct.sorted.take(K)
     val sa = sketch(1995L).toSet
     val sb = sketch(1996L).toSet
     val l = (sa ++ sb).toSeq.sorted.take(K)
