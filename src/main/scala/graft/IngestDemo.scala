@@ -318,6 +318,28 @@ object IngestDemo {
     println(s"[demo] stream-anomaly: (n, flagged)=${anRows.mkString(",")} " +
       "— the planted 5000-cent outlier trips the |z|>3 gate")
 
+    // 7f. streaming as-of price enrichment: the price lane's live
+    //     consumer (R18 x s_stream) — quotes fold into a bounded ring
+    //     per exchange, trades emit with the latest quote at or before
+    //     their event time (LOCF), late trades price off ring history
+    val pxIn = MemoryStream[(String, String, Long, Long, Long)]
+    val pq2 = streaming.Streams.runToMemory(
+      streaming.StatefulPriceAsOf.enrich(
+        spark, pxIn.toDF().toDF("exchange", "kind", "ms", "id", "v")).toDF(),
+      "demo_pxasof", "update")
+    pxIn.addData(("cb", "Q", 1000L, 1L, 500L), ("cb", "Q", 2000L, 2L, 520L),
+      ("cb", "T", 1500L, 1L, 3L))
+    pq2.processAllAvailable()
+    pxIn.addData(("cb", "Q", 3000L, 3L, 540L),
+      ("cb", "T", 1200L, 2L, 2L), ("cb", "T", 3500L, 3L, 4L))
+    pq2.processAllAvailable()
+    pq2.stop()
+    val pxRows = spark.table("demo_pxasof").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(5)))
+    println(s"[demo] stream-price-asof: (trade,t_ms,px)=" +
+      s"${pxRows.sortBy(_._1).mkString(",")} — late trade 2 priced off " +
+      "ring history")
+
     // 8. streaming PQ encode: new vectors quantized map-side against a
     //    frozen batch-trained codebook (the FAISS `add` path;
     //    stream codes ≡ batch codes, pinned by StreamingSpec)

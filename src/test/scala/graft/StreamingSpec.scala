@@ -642,4 +642,57 @@ class StreamingSpec extends AnyFunSuite {
       assert(expect(Seq(b1))._4 == 0L)
     } finally q.stop()
   }
+
+  test("s_stream_price_asof: every trade is enriched with the exact " +
+    "batch as-of quote (same-batch quotes visible, late trades LOCF " +
+    "from the ring, pre-history trades unpriced) and the pure fold is " +
+    "order-insensitive within a batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.StatefulPriceAsOf
+    val mem = MemoryStream[(String, String, Long, Long, Long)]
+    val ds = StatefulPriceAsOf.enrich(
+      spark, mem.toDF().toDF("exchange", "kind", "ms", "id", "v"))
+    val q = Streams.runToMemory(ds.toDF(), "pxasof", "update")
+    try {
+      // batch 1: trades listed BEFORE the quotes that price them —
+      // the fold must apply quotes first (batch as-of semantics)
+      mem.addData(
+        ("cb", "T", 1500L, 1L, 3L), ("cb", "T", 2500L, 2L, 7L),
+        ("cb", "Q", 1000L, 1L, 500L), ("cb", "Q", 2000L, 2L, 520L))
+      q.processAllAvailable()
+      val g1 = spark.table("pxasof").collect()
+        .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5), r.getBoolean(6)))
+        .toMap
+      assert(g1(1L) == ((1000L, 500L, true)), s"t1 got ${g1(1L)}")
+      assert(g1(2L) == ((2000L, 520L, true)), s"t2 got ${g1(2L)}")
+      // batch 2: a late trade prices off the RETAINED ring (LOCF),
+      // a fresh trade sees the new quote, a pre-history trade reports
+      // priced = false
+      mem.addData(
+        ("cb", "Q", 3000L, 3L, 540L),
+        ("cb", "T", 1200L, 3L, 2L), ("cb", "T", 3500L, 4L, 4L),
+        ("cb", "T", 500L, 5L, 1L))
+      q.processAllAvailable()
+      val g2 = spark.table("pxasof").collect()
+        .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5), r.getBoolean(6)))
+        .toMap
+      assert(g2(3L) == ((1000L, 500L, true)), s"late t3 got ${g2(3L)}")
+      assert(g2(4L) == ((3000L, 540L, true)), s"t4 got ${g2(4L)}")
+      assert(g2(5L) == ((-1L, 0L, false)), s"pre-history t5 got ${g2(5L)}")
+      // pure-fold properties: within-batch order insensitivity and
+      // newest-cap eviction refusing to mis-price an evicted lookback
+      val quotes = Seq((1000L, 1L, 500L), (2000L, 2L, 520L))
+      val trades = Seq((1500L, 1L, 3L), (2500L, 2L, 7L))
+      val a = StatefulPriceAsOf.fold(Vector.empty, quotes, trades)
+      val b = StatefulPriceAsOf.fold(Vector.empty, quotes.reverse, trades.reverse)
+      assert(a == b, "fold must be order-insensitive within a batch")
+      val (ring, out) = StatefulPriceAsOf.fold(
+        Vector.empty, (1 to 5).map(i => (i * 1000L, i.toLong, 100L + i)),
+        Seq((1500L, 9L, 1L)), cap = 2)
+      assert(ring.map(_._1) == Vector(4000L, 5000L), "evict oldest")
+      assert(out.head._6 == false,
+        "a trade older than the surviving ring must be unpriced, not " +
+          "matched to a newer quote")
+    } finally q.stop()
+  }
 }
