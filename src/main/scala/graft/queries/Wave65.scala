@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{Q, Tables}
+import graft.text.Text
+
+/** Wave 65 — prefix-filtered EXACT set-similarity join (PPJoin-lite:
+  * Chaudhuri/Ganti/Kaushik ICDE'06 SSJoin; Xiao et al. WWW'08): the
+  * third candidate-generation strategy in the dedup family, next to
+  * the all-pairs baseline (q_dedup_ngram_jaccard) and MinHash-LSH
+  * banding (q_dedup_minhash). Unlike banding it is EXACT — zero false
+  * negatives by the prefix-filter theorem — while still never
+  * comparing all pairs.
+  */
+object Wave65 {
+
+  /** Jaccard threshold 1/2 (exact binary fraction — the keep test is
+    * the cross-multiplied rational `2·common >= n_a + n_b − common`,
+    * never a truncated ppm compare). */
+  private val TNumer = 1
+  private val TDenom = 2
+
+  /** q_dedup_prefixfilter: order every doc's 3-gram shingles by global
+    * rarity (df asc, shingle asc — one deterministic total order in
+    * both engines), keep each doc's first p = n − ceil(t·n) + 1
+    * shingles as its PREFIX, and generate candidates only from pairs
+    * sharing a prefix shingle. The prefix-filter theorem: two sets
+    * with Jaccard >= t must overlap in at least ceil(t·n) elements of
+    * either set, so skipping a set's last ceil(t·n) − 1 elements can
+    * never skip ALL shared elements — every qualifying pair survives
+    * (Wave65Spec proves completeness against a brute-force recompute).
+    * Candidates verify with the exact intersection and the
+    * cross-multiplied rational threshold; containment_ppm
+    * (|A∩B| / min(|A|,|B|)) rides along as the quote-inclusion
+    * reading.
+    *
+    * Shape at 100TB: df is one map-side-combined aggregate; the rank
+    * window partitions by doc_id; pair generation touches only PREFIX
+    * rows — rare-first ordering makes hot boilerplate shingles land in
+    * nobody's prefix, so the quadratic term is bounded by the rare-
+    * shingle df distribution, not the corpus; verification joins the
+    * (un-hinted, AQE-sized) candidate set back to the per-doc shingle
+    * arrays — the minhash verify posture. No broadcast hints anywhere:
+    * every frame here scales with the corpus.
+    */
+  val dedupPrefixFilter: Q = Q(
+    "q_dedup_prefixfilter",
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |pos AS (SELECT unnest(range(1,
+       |  (SELECT COALESCE(MAX(len(toks)), 0) + 1 FROM t))) AS i),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |  FROM t, pos WHERE i <= len(toks) - 2),
+       |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |rk AS (SELECT s.doc_id, s.shingle, z.n,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id
+       |      ORDER BY d.df, s.shingle) AS rk
+       |  FROM sh s JOIN df d USING (shingle) JOIN sz z USING (doc_id)),
+       |pre AS (SELECT doc_id, shingle FROM rk
+       |  WHERE rk <= n - ($TNumer * n + $TDenom - 1) // $TDenom + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pre a JOIN pre b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |cm AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.doc_a
+       |  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+       |  GROUP BY 1, 2)
+       |SELECT cm.doc_a, cm.doc_b, cm.common,
+       |  sa.n AS n_a, sb.n AS n_b,
+       |  cm.common * 1000000 // (sa.n + sb.n - cm.common) AS jaccard_ppm,
+       |  cm.common * 1000000 // LEAST(sa.n, sb.n) AS containment_ppm
+       |FROM cm JOIN sz sa ON cm.doc_a = sa.doc_id
+       |        JOIN sz sb ON cm.doc_b = sb.doc_id
+       |WHERE $TDenom * cm.common >= $TNumer * (sa.n + sb.n - cm.common)
+       |ORDER BY cm.doc_a, cm.doc_b""".stripMargin) { (s, d) =>
+    val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = Tables.load(s, d, "documents")
+      .repartition(np)
+      .select(col("doc_id"), Text.shingleSetUdf(3)(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val sh = docs.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // both windows ride ONE doc_id exchange (same partition key)
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(
+        byDoc.orderBy(col("df"), col("shingle"))))
+    val pre = ranked
+      .filter(col("rk") <=
+        col("n") - expr(s"($TNumer * n + $TDenom - 1) div $TDenom") + 1)
+      .select("doc_id", "shingle")
+    val cand = pre.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shs").as("sa")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shs").as("sb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+          .as("common"),
+        size(col("sa")).cast(LongType).as("n_a"),
+        size(col("sb")).cast(LongType).as("n_b"))
+      .filter(lit(TDenom) * col("common") >=
+        lit(TNumer) * (col("n_a") + col("n_b") - col("common")))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+        col("n_b"),
+        expr("common * 1000000 div (n_a + n_b - common)").as("jaccard_ppm"),
+        expr("common * 1000000 div least(n_a, n_b)").as("containment_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Q] = Seq(dedupPrefixFilter)
+}
