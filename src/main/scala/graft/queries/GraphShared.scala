@@ -38,10 +38,14 @@ object GraphShared {
       val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val li = Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
+      // a-priori prefilter: parts on >= 2 order lines. Part-grain
+      // (data-sized), so NO broadcast hint — stats/AQE broadcast it
+      // while it fits and degrade to a shuffled semi-join at cluster
+      // scale (r12, the broadcast-purge invariant).
       val hot = Tables.load(s, d, "lineitem").groupBy("l_partkey")
         .agg(count(lit(1)).as("n_raw")).filter(col("n_raw") >= 2)
         .select("l_partkey")
-      val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
+      val lih = li.join(hot, Seq("l_partkey"), "left_semi")
       val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
         .hint("merge")
       val b = lih.select(col("l_orderkey").as("okey_b"),

@@ -310,7 +310,8 @@ class PlanShapeSpec extends AnyFunSuite {
         .filter(org.apache.spark.sql.functions.col("n_raw") >= 2)
         .select("l_partkey")
       import org.apache.spark.sql.functions._
-      val lih = li.join(broadcast(hot), Seq("l_partkey"), "left_semi")
+      // un-hinted since r12: hot is part-grain (data-sized)
+      val lih = li.join(hot, Seq("l_partkey"), "left_semi")
       val a = lih.select(col("l_orderkey"), col("l_partkey").as("u"))
         .hint("merge")
       val b = lih.select(col("l_orderkey").as("okey_b"),
