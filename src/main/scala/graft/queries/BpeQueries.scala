@@ -94,5 +94,47 @@ object BpeQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(bpeMerges, bpeVocab, bpeEncode)
+  /** Per-language tokenizer fertility (tokens-per-word) — the
+    * tokenizer-quality audit run before committing a vocab to a
+    * training corpus: high fertility on a language means the learned
+    * merges under-serve it (its text costs more tokens per word).
+    * n_single / single_tok_ppm is the share of word occurrences the
+    * merge table compresses to ONE token — the coverage reading.
+    * Consumes the same ONE suite-level training; the engine encodes
+    * each DISTINCT word once (the oracle's wt construction) and joins
+    * word occurrences back, so nothing re-runs the merge loop per row.
+    *
+    * Shape at 100TB: the distinct-word encode is vocabulary-sized;
+    * word occurrences aggregate per (doc, lang) with map-side
+    * combine; output is the language dictionary. */
+  val bpeFertility: Q = Q("q_bpe_fertility", Bpe.fertilityOracle(K)) {
+    (s, d) =>
+    val (merges, _) = trained(s, d)
+    val enc = Bpe.encodeUdf(merges.map(m => (m.x, m.y)))
+    val docs = Tables.load(s, d, "documents")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val words = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") &&
+        length(col("w")) <= Bpe.MaxWordLen)
+    val wt = words.select("w").distinct()
+      .withColumn("e", enc(col("w")))
+      .select(col("w"), col("e._2").as("ntoks"))
+    words.join(wt, "w")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("ntoks")).as("n_tokens"),
+        sum(when(col("ntoks") === 1L, 1L).otherwise(0L))
+          .as("n_single_tok_words"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_single_tok_words"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_single_tok_words * 1000000 div n_words")
+          .as("single_tok_ppm"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(bpeMerges, bpeVocab, bpeEncode, bpeFertility)
 }

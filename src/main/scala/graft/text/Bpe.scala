@@ -267,7 +267,11 @@ object Bpe {
     * documents' word occurrences (in order) against it. One extra CTE
     * step over the same generated chain: engine and oracle share K,
     * the word filter and the tie-break by construction. */
-  def encodeOracle(k: Int): String =
+  /** Shared CTE prefix for corpus encoding: per-word symbolization
+    * from the trained chain plus the in-order document word list —
+    * consumed by [[encodeOracle]] and [[fertilityOracle]] so the two
+    * cannot drift. */
+  private def encodeCtes(k: Int): String =
     s"""${chainSql(k)},
        |wt AS MATERIALIZED (SELECT word,
        |  string_agg(sym, ' ' ORDER BY pos) AS wtoks, COUNT(*) AS ntoks
@@ -278,10 +282,36 @@ object Bpe {
        |dw AS (SELECT doc_id, i, ws[i] AS w
        |  FROM dt, (SELECT unnest(range(1,
        |    (SELECT COALESCE(MAX(len(ws)), 0) + 1 FROM dt))) AS i) p
-       |  WHERE i <= len(ws))
+       |  WHERE i <= len(ws))""".stripMargin
+
+  def encodeOracle(k: Int): String =
+    s"""${encodeCtes(k)}
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(wt.ntoks) AS BIGINT) AS n_tokens,
        |  string_agg(wt.wtoks, ' ' ORDER BY i) AS toks
        |FROM dw JOIN wt ON dw.w = wt.word
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for per-language tokenizer fertility (tokens per word):
+    * the per-doc encode totals of [[encodeOracle]] re-aggregated to
+    * the language dictionary, with the single-token (never-merged)
+    * word share as the vocabulary-coverage reading. */
+  def fertilityOracle(k: Int): String =
+    s"""${encodeCtes(k)},
+       |pd AS (SELECT dw.doc_id, COUNT(*) AS nw,
+       |    CAST(SUM(wt.ntoks) AS BIGINT) AS nt,
+       |    CAST(SUM(CASE WHEN wt.ntoks = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_single
+       |  FROM dw JOIN wt ON dw.w = wt.word
+       |  GROUP BY 1)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pd.nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(pd.nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(pd.n_single) AS BIGINT) AS n_single_tok_words,
+       |  CAST(SUM(pd.nt) * 1000000 // SUM(pd.nw) AS BIGINT)
+       |    AS fertility_ppm,
+       |  CAST(SUM(pd.n_single) * 1000000 // SUM(pd.nw) AS BIGINT)
+       |    AS single_tok_ppm
+       |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 }

@@ -93,4 +93,33 @@ class BpeSpec extends AnyFunSuite {
     }
     t.release()
   }
+
+  test("q_bpe_fertility equals a word-by-word tokenizeWord recompute " +
+    "per language, and every word costs at least one token") {
+    val dir = SharedSpark.sf001
+    val (merges, _) = graft.queries.BpeQueries.trainedForTest(spark, dir)
+    val ms = merges.map(m => (m.x, m.y))
+    val docs = Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perLang = docs.flatMap { case (id, lang, text) =>
+      text.toLowerCase.split(" ")
+        .filter(w => w.matches("^[a-z]+$") && w.length <= Bpe.MaxWordLen)
+        .map(w => (lang, id, Bpe.tokenizeWord(w, ms).length.toLong))
+    }
+    val expect = perLang.groupBy(_._1).map { case (lang, xs) =>
+      val nw = xs.length.toLong
+      val nt = xs.map(_._3).sum
+      val ns = xs.count(_._3 == 1L).toLong
+      lang -> (xs.map(_._2).distinct.length.toLong, nw, nt, ns,
+        nt * 1000000L / nw, ns * 1000000L / nw)
+    }
+    val got = SparkEntry.queries("q_bpe_fertility")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == expect, s"fertility drift: $got vs $expect")
+    got.values.foreach { case (_, nw, nt, ns, f, _) =>
+      assert(nt >= nw && f >= 1000000L && ns <= nw)
+    }
+  }
 }
