@@ -477,7 +477,17 @@ object PlanDump {
         |narrow fx-distance corpus scan; each ranking cuts via
         |WindowGroupLimit before the (probe)-keyed intersect join of
         |two k-sized lists. The corpus is never all-paired and never
-        |shuffled for scoring.""".stripMargin)
+        |shuffled for scoring.""".stripMargin,
+    "q_dedup_prefixfilter" ->
+      """PPJoin-lite prefix filtering (r12): df is one map-side-combined
+        |aggregate; the rarity rank and size windows share ONE doc_id
+        |exchange; pair generation joins PREFIX rows only (rare-first
+        |ordering keeps boilerplate shingles out of every prefix, so the
+        |quadratic term is bounded by the rare-shingle df distribution);
+        |the exact verify joins the un-hinted candidate set back to the
+        |per-doc shingle arrays — stats/AQE pick its strategy, never a
+        |forced broadcast. No cartesian product anywhere; zero false
+        |negatives by the prefix-filter theorem (Wave65Spec).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

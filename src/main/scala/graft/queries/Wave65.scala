@@ -97,8 +97,14 @@ object Wave65 {
       .filter(col("rk") <=
         col("n") - expr(s"($TNumer * n + $TDenom - 1) div $TDenom") + 1)
       .select("doc_id", "shingle")
+    // merge-hint both sides: without it the planner broadcasts one
+    // side and RECOMPUTES the whole shingle+df+window chain per side;
+    // the hinted SMJ feeds both sides from ONE ReusedExchange (the
+    // jaccardPairs posture — r6 lore)
     val cand = pre.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(pre.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .hint("merge")
+      .join(pre.select(col("doc_id").as("doc_b"), col("shingle"))
+        .hint("merge"), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand

@@ -516,6 +516,22 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q_dedup_prefixfilter: rank and size windows share one doc_id " +
+    "exchange; no cartesian product, no broadcast nested loop") {
+    val plan = staticPlan("q_dedup_prefixfilter")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.take(1500))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(1500))
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the merge-hinted candidate self-join must feed both sides from
+    // ONE reused exchange, so the shingle+df+window chain (and its 2
+    // WindowExec) plans exactly once — not once per join side
+    assert(windows.size == 2, s"expected 2 WindowExec, got ${windows.size}")
+    assert(s.contains("ReusedExchange"), s.take(1500))
+  }
+
   test("registry-wide: no broadcast hint pins a data-sized base-table " +
     "scan (a dim that scales with SF must be free to degrade to a " +
     "shuffle join at cluster scale instead of hard-failing Spark's 8GB " +
