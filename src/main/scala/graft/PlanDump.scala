@@ -484,10 +484,12 @@ object PlanDump {
         |exchange; pair generation joins PREFIX rows only (rare-first
         |ordering keeps boilerplate shingles out of every prefix, so the
         |quadratic term is bounded by the rare-shingle df distribution);
-        |the exact verify joins the un-hinted candidate set back to the
-        |per-doc shingle arrays — stats/AQE pick its strategy, never a
-        |forced broadcast. No cartesian product anywhere; zero false
-        |negatives by the prefix-filter theorem (Wave65Spec).""".stripMargin)
+        |the exact verify is a grouped COUNT join semi-pruned to
+        |candidate DOCS then to candidate PAIRS (codegen hash agg —
+        |measured 2x over per-pair array_intersect), all joins
+        |un-hinted or merge-hinted, never a forced broadcast. No
+        |cartesian product anywhere; zero false negatives by the
+        |prefix-filter theorem (Wave65Spec).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
