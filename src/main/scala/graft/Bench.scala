@@ -55,13 +55,15 @@ object Bench {
     // SPARK_GRAFT_FIRST=q_a,q_b promotes named queries to the front of
     // the suite — the A/B harness for the driver-side inflation
     // investigation (does q_kmeans_fx read its isolated time when no
-    // heavy neighbor precedes it?). Default order is registry order.
+    // heavy neighbor precedes it?). Everything else runs NAME-SORTED
+    // (BenchLine.order, spec-pinned): the registry Map's hash order
+    // moved paid_build attribution between rounds and produced false
+    // driver-side regressions (r12 VERDICT #2).
     val firstNames = sys.env.get("SPARK_GRAFT_FIRST")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
     val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      firstNames.flatMap(n => selected.get(n).map(n -> _)) ++
-        selected.toSeq.filterNot { case (n, _) => firstNames.contains(n) }
+      BenchLine.order(selected.keys, firstNames).map(n => n -> selected(n))
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // Per-query JVM memory evidence for the driver-inflation
     // investigation (VERDICT r6 #1): GC wall time + collection count

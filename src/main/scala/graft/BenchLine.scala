@@ -36,6 +36,21 @@ object BenchLine {
   private def fmt(dec: Int, v: Double): String =
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
 
+  /** Deterministic bench execution order (r12 VERDICT #2): the registry
+    * is a Map, so "registry order" was hash order — WHICH family member
+    * paid a SharedFrames build moved between rounds whenever the
+    * registry grew, producing false driver-side regressions (r12:
+    * q_copurchase_lift read 5.68s paying graph_pairs_ge2 vs 2.23s
+    * isolated). Name-sorted order makes paid_build attribution stable
+    * round-over-round: the alphabetically-first family member always
+    * pays. SPARK_GRAFT_FIRST promotions (the A/B harness) stay at the
+    * front in their given order; the rest sort by name. */
+  def order(names: Iterable[String], first: Seq[String] = Seq.empty): Seq[String] = {
+    val nameSet = names.toSet
+    val promoted = first.filter(nameSet.contains).distinct
+    promoted ++ names.toSeq.distinct.filterNot(promoted.contains).sorted
+  }
+
   /** Renders the artifact line, degrading per-query precision
     * (3 -> 2 -> 1 decimals), then falling back to the most-expensive-N
     * queries at 2 decimals plus a fast_omitted count, so SOME line

@@ -305,6 +305,17 @@ object PlanDump {
         |uncached variant re-ran the self-join per consumer and
         |measured 3x slower — the seed must stay a lazy checkpoint
         |below the cache.""".stripMargin,
+    "q_pagerank_bipartite" ->
+      """Fixed-point PageRank over the lineitem part/supplier bipartite
+        |graph, 4 power rounds. The degree-joined edge list is hash-
+        |partitioned by src ONCE (repartition), and every round's rank
+        |join carries the IDENTICAL repartition subtree — rounds 2..4
+        |read it back as ReusedExchange, so the |E|-sized build runs
+        |once and only the |V|-sized rank table moves per round. The
+        |node-count scalar is an explicit one-row broadcast; no
+        |cartesian product anywhere. (The explicit .persist variant was
+        |tried twice and REVERTED: storage leak or an eager checkpoint
+        |that split the DAG, 1.5s -> 8.3s.)""".stripMargin,
     "q_tree_split" ->
       """GBDT histogram split search: the lineitem scan explodes to the
         |3-feature long form and aggregates STRAIGHT to (feature, bin)

@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  /** Larger than any key at sf0.1 (max o_orderkey ~ 1.5e5) and small
-    * enough that rep*Stride + key stays far under 2^53 for the exact
-    * integer kernels. */
+  /** Larger than any key at sf0.1 — TPC-H orderkeys are SPARSELY
+    * numbered (max o_orderkey ≈ 4× the order count ≈ 6e5 at sf0.1,
+    * not the 1.5e5 row count), so the margin is Stride/6e5 ≈ 1.7e3 —
+    * and small enough that rep*Stride + key stays far under 2^53 for
+    * the exact integer kernels: K*1e9 + 6e5 < 2^53 holds for any
+    * K ≤ ~9e6 replicas (r12 ADVICE: size future K against the sparse
+    * maximum, not the row count). */
   val Stride = 1000000000L
 
   def main(args: Array[String]): Unit = {

@@ -118,8 +118,23 @@ object SharedFrames {
       buildLog += ((payerName, dir, name))
       (build, payerName)
     })
-    require(v == null || ct.runtimeClass.isInstance(v) ||
-      ct.runtimeClass.isPrimitive,
+    // A primitive ClassTag (Long/Int/…) must check against the BOXED
+    // class — stored values are boxed, and an unconditional primitive
+    // pass-through would let a type collision sail past the guard and
+    // resurface as the remote ClassCastException this require exists
+    // to prevent (r12 ADVICE).
+    val expected: Class[_] = ct.runtimeClass match {
+      case java.lang.Long.TYPE      => classOf[java.lang.Long]
+      case java.lang.Integer.TYPE   => classOf[java.lang.Integer]
+      case java.lang.Double.TYPE    => classOf[java.lang.Double]
+      case java.lang.Float.TYPE     => classOf[java.lang.Float]
+      case java.lang.Boolean.TYPE   => classOf[java.lang.Boolean]
+      case java.lang.Short.TYPE     => classOf[java.lang.Short]
+      case java.lang.Byte.TYPE      => classOf[java.lang.Byte]
+      case java.lang.Character.TYPE => classOf[java.lang.Character]
+      case c                        => c
+    }
+    require(v == null || expected.isInstance(v),
       s"SharedFrames.value key collision on ($dir, $name): stored " +
         s"${v.getClass.getName} (built by '$builtBy'), requested " +
         s"${ct.runtimeClass.getName} (payer '$payerName') — disambiguate " +

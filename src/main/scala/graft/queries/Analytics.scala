@@ -1272,8 +1272,9 @@ object Analytics {
     * the threshold replayable.
     *
     * Shape at 100TB: the pair frame is the already-pruned support
-    * join; item counts are one tiny aggregate broadcast twice (one
-    * shared BroadcastExchange — the canonicalization lore). */
+    * join; item counts are a part-grain aggregate joined twice —
+    * stats/AQE-decided (broadcast while small, one shared exchange by
+    * canonicalization; shuffled equi-join past the 8GB limit). */
   val copurchaseLift: Q = Q(
     "q_copurchase_lift",
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -1302,11 +1303,15 @@ object Analytics {
     val pair = GraphShared.pairs(s, d).filter(col("n") >= 3)
       .select(col("u").as("part_a"), col("v").as("part_b"),
         col("n").as("n_ab"))
+    // item counts are part-grain (corpus-scaling): stats/AQE decide —
+    // locally both sides still broadcast (and the two identical
+    // subtrees still share ONE exchange via canonicalization); at
+    // cluster scale they degrade to shuffled equi-joins
     pair
-      .join(broadcast(item.select(col("l_partkey").as("part_a"),
-        col("n_i").as("na"))), Seq("part_a"))
-      .join(broadcast(item.select(col("l_partkey").as("part_b"),
-        col("n_i").as("nb"))), Seq("part_b"))
+      .join(item.select(col("l_partkey").as("part_a"),
+        col("n_i").as("na")), Seq("part_a"))
+      .join(item.select(col("l_partkey").as("part_b"),
+        col("n_i").as("nb")), Seq("part_b"))
       .crossJoin(broadcast(n))
       .select(col("part_a"), col("part_b"), col("n_ab"),
         expr("n_ab * 1000000 div na").as("conf_ab_e6"),

@@ -263,7 +263,9 @@ object Wave12 {
       explode(split(col("phrase"), " ")).as("w"))
     val ws = wo.groupBy("w")
       .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
-    val osc = wo.join(broadcast(ws), "w")
+    // word deg/freq scores are vocabulary-grain (corpus-scaling):
+    // stats/AQE decide the build side
+    val osc = wo.join(ws, "w")
       .groupBy("doc_id", "pid")
       .agg(sum(expr("deg * 1000000 div freq")).as("score_ppm"))
     occ.join(osc, Seq("doc_id", "pid"))

@@ -76,9 +76,12 @@ object Wave15 {
         split(col("bg"), " ").getItem(1).as("w2"), col("n2"))
     val nt = c1.agg(sum(col("n1")).as("n_tok"))
     val nb = c2.agg(sum(col("n2")).as("n_big"))
+    // unigram counts are VOCABULARY-grain (Heaps-law corpus-scaling),
+    // so the hint is stats/AQE-decided: broadcast while it fits, a
+    // shuffled equi-join on w past the 8GB limit (r12 purge policy)
     c2.filter(col("n2") >= 5)
-      .join(broadcast(c1.toDF("w1", "n1_w1")), "w1")
-      .join(broadcast(c1.toDF("w2", "n1_w2")), "w2")
+      .join(c1.toDF("w1", "n1_w1"), "w1")
+      .join(c1.toDF("w2", "n1_w2"), "w2")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("n2"), col("n1_w1"), col("n1_w2"),
         (fxlog(col("n2")) + lit(2) * fxlog(col("n_tok"))
@@ -177,9 +180,11 @@ object Wave15 {
       .select(col("u").as("i"), col("v").as("j"), col("n").as("n_ij"))
     val sym = pr.select("i", "j", "n_ij")
       .unionAll(pr.select(col("j").as("i"), col("i").as("j"), col("n_ij")))
+    // item counts are part-grain (corpus-scaling): stats/AQE-decided —
+    // broadcast while small, shuffled equi-join at cluster scale
     val sc = sym
-      .join(broadcast(ic.toDF("i", "n_i_i")), "i")
-      .join(broadcast(ic.toDF("j", "n_i_j")), "j")
+      .join(ic.toDF("i", "n_i_i"), "i")
+      .join(ic.toDF("j", "n_i_j"), "j")
       .select(col("i").as("item"), col("j").as("rec"), col("n_ij"),
         expr("""CAST(CAST(n_ij AS DECIMAL(38,0)) * n_ij * 1000000
                |     div (n_i_i * n_i_j) AS BIGINT)""".stripMargin)

@@ -104,7 +104,10 @@ object Wave17 {
         explode(Text.tokens(col("text"))).as("w"))
     val terms = tt.crossJoin(broadcast(cls.select(col("lang").as("clang"),
         col("denom"))))
-      .join(broadcast(cw.withColumnRenamed("lang", "clang")),
+      // the (lang, word) model is VOCABULARY-grain (corpus-scaling):
+      // stats/AQE decide — broadcast while it fits, shuffled
+      // (clang, w) equi-join past the 8GB limit
+      .join(cw.withColumnRenamed("lang", "clang"),
         Seq("clang", "w"), "left")
       .select(col("doc_id"), col("true_lang"), col("clang"),
         (fxlog(coalesce(col("n_cw"), lit(0L)) + 1)

@@ -59,8 +59,10 @@ object Wave51 {
         expr("rev_u div q").as("p_u"))
     val base = pm.filter(col("mon") === 1)
       .select(col("pk"), col("q").as("q1"), col("p_u").as("p1"))
+    // the January basket is part-grain (corpus-scaling): stats/AQE
+    // decide — broadcast while small, shuffled pk equi-join at scale
     val j = pm.filter(col("mon") =!= 1)
-      .join(broadcast(base), Seq("pk"))
+      .join(base, Seq("pk"))
     j.groupBy("mon")
       .agg(count(lit(1)).as("n_parts"),
         sum(expr("CAST(p_u AS DECIMAL(38,0)) * q1")).as("l_num"),

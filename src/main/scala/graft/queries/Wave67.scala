@@ -24,10 +24,19 @@ object Wave67 {
     * for BOTH engines (identical integer SQL — the compSql idiom), so
     * estimator and oracle cannot drift. `1e6 − Πfail·1e6 div Πall`,
     * with the product zeroed when fewer than k failures exist
-    * (pass@k = 1 exactly). */
-  private def passkSql(k: Int): String = {
-    val failProd = (0 until k).map(i => s"(n - c - $i)").mkString(" * ")
-    val allProd = (0 until k).map(i => s"(n - $i)").mkString(" * ")
+    * (pass@k = 1 exactly). The products run in the 38-digit lane
+    * (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT, the Wave66 alpha_micro
+    * pattern): a BIGINT product of k=5 factors times 1e6 overflows
+    * Long once a task has n ≈ 970 attempts, and Spark (ansi off)
+    * would wrap silently while DuckDB raises — the engines diverging
+    * instead of failing together (r12 ADVICE). Headroom now ~1e6
+    * attempts per task (5 factors ≈ 1e30, ×1e6 ≈ 1e36 < both engines'
+    * 38-digit ceilings). */
+  private def passkSql(k: Int, big: String = "DECIMAL(38,0)"): String = {
+    val failProd = (s"CAST((n - c) AS $big)" +:
+      (1 until k).map(i => s"(n - c - $i)")).mkString(" * ")
+    val allProd = (s"CAST(n AS $big)" +:
+      (1 until k).map(i => s"(n - $i)")).mkString(" * ")
     s"""CASE WHEN n - c < $k THEN 1000000
        |  ELSE 1000000 - ($failProd) * 1000000 div ($allProd) END"""
       .stripMargin
@@ -51,8 +60,8 @@ object Wave67 {
        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
        |  GROUP BY 1, 2),
        |e AS (SELECT brand, n, c,
-       |    ${passkSql(1).replace("div", "//")} AS p1_ppm,
-       |    ${passkSql(KDeep).replace("div", "//")} AS p5_ppm
+       |    ${passkSql(1, "HUGEINT").replace("div", "//")} AS p1_ppm,
+       |    ${passkSql(KDeep, "HUGEINT").replace("div", "//")} AS p5_ppm
        |  FROM t WHERE n >= $KDeep)
        |SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_tasks,
        |  CAST(SUM(n) AS BIGINT) AS n_attempts,

@@ -1248,7 +1248,11 @@ object Wave9 {
     def u32(parts: org.apache.spark.sql.Column*) =
       conv(substring(md5(concat_ws(":", parts: _*).cast("binary")), 1, 8),
         16, 10).cast("long")
-    val kept = tok.join(broadcast(keepp), "w")
+    // subsample gate is vocabulary-grain (corpus-scaling): the equi-
+    // join on w is stats/AQE-decided (the RANGE join against negc
+    // below stays hinted — broadcast is the only physical strategy
+    // for a non-equi join short of a cartesian product)
+    val kept = tok.join(keepp, "w")
       .filter((u32(col("doc_id").cast("string"), col("i").cast("string"))
         + lit(1)) / lit(4294967296.0) < col("p_keep"))
       .select(col("doc_id"), col("i"), col("w"))

@@ -60,6 +60,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= BenchLine.MaxLen)
   }
 
+  test("execution order is name-sorted with FIRST promotions up front (r12 VERDICT #2)") {
+    // A Map's iteration order is hash order — the very instability the
+    // sort kills — so feed names through a Map to prove independence.
+    val names = Map("q_zeta" -> 1, "q_alpha" -> 2, "q_mid" -> 3, "q_beta" -> 4).keys
+    assert(BenchLine.order(names) == Seq("q_alpha", "q_beta", "q_mid", "q_zeta"))
+    // Promotions keep their GIVEN order, unknown/duplicate names drop.
+    assert(BenchLine.order(names, Seq("q_mid", "q_nope", "q_zeta", "q_mid")) ==
+      Seq("q_mid", "q_zeta", "q_alpha", "q_beta"))
+  }
+
+  test("order is deterministic on the real registry and covers it exactly") {
+    val names = SparkEntry.queries.keys
+    val o1 = BenchLine.order(names)
+    assert(o1 == BenchLine.order(names))
+    assert(o1.sorted == names.toSeq.sorted)
+    assert(o1 == o1.sorted, "default order must be the name sort itself")
+  }
+
   test("empty results still render a parseable line") {
     val line = BenchLine.build(Map.empty, Map.empty, Seq.empty, 32, 79, 123, "sf")
     assert(mapper.readTree(line).get("value").asDouble() == 0.0)

@@ -225,6 +225,23 @@ class PlanShapeSpec extends AnyFunSuite {
       plan.toString.take(1500))
   }
 
+  test("q_pagerank_bipartite: the degree-joined edge cache materializes " +
+    "once and rounds 2..4 read it back as ReusedExchange; no cartesian " +
+    "product") {
+    val plan = staticPlan("q_pagerank_bipartite")
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    val reused = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    // the src-repartitioned edge+degree subtree is identical per round:
+    // 4 rounds must plan it ONCE and reuse it >= 3 times (a drop to 0
+    // means the edge build recomputes per round — the 100TB killer)
+    assert(reused.size >= 3,
+      s"expected >=3 ReusedExchange (rounds 2..4 reading the edge " +
+        s"cache), got ${reused.size}:\n${s.take(2000)}")
+  }
+
   test("q_curation_pipeline: the near-dup pair join reuses one shingle " +
     "exchange (hinted SMJ -> ReusedExchange) and no cartesian product " +
     "appears anywhere") {
@@ -555,15 +572,63 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_contrastive_negatives",
       "q_retrieval_mmr", "q_retrieval_ndcg", "q_retrieval_rbo",
       "q_embed_knn_shapley",
+      // BM25's df/idf tables look term-grain but are filtered to the
+      // QUERY terms before the aggregate — bounded by the probe panel,
+      // not the corpus
+      "q_bm25_fx", "q_bm25_topk",
+      // skipgram's negative-sampling table is vocabulary-grain but its
+      // consumer is a RANGE join (u in [lo, hi)) — broadcast is the
+      // only physical strategy short of a cartesian product, which is
+      // a strictly worse scale posture; the equi-join sites in the
+      // same query are un-hinted
+      "q_skipgram_pairs",
       // the broadcast-join OPERATOR surface itself (SURVEY §2.B):
       // invoking it is the user's assertion that the dim fits
       "q_join_broadcast")
+    // Columns whose distinct cardinality is schema-bounded (TPC-H enum
+    // dictionaries + the bounded synthetic dims): an aggregate whose
+    // grain is built ONLY from these can never outgrow the dictionary
+    // product, regardless of corpus size.
+    val boundedCols = Set(
+      "n_nationkey", "n_name", "n_regionkey", "r_regionkey", "r_name",
+      "c_mktsegment", "o_orderpriority", "o_orderstatus",
+      "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+      "p_brand", "p_mfgr", "p_container", "p_size", "p_type",
+      "lang", "event_type", "channel",
+      // nationkey FKs resolve to the 25-nation dictionary
+      "c_nationkey", "s_nationkey",
+      // TPC-H dates span a FIXED 1992-1998 window at every SF: a
+      // date-grain aggregate is bounded (~2,400 rows) regardless of
+      // corpus size
+      "o_orderdate", "l_shipdate", "l_receiptdate", "l_commitdate",
+      // Audited derived grains (aliases our own queries coin; each
+      // verified bounded-by-construction when its query landed):
+      // seg/s1/s2 = mktsegment/terciles, prio/pri = orderpriority,
+      // bin/bkt/b = fixed-count buckets (32-bin histograms, %1024 /
+      // %B feature hashing, decile/grid cells), feature = the 3-wide
+      // feature list, dow/mon/yr/n_mon = calendar dictionaries,
+      // i/dim = embedding dimension index (64), source = the crawl
+      // source dictionary, ctx = user_id % 4 policy contexts,
+      // from_type/to_type = event-type pairs, nk = nationkey alias
+      "seg", "s1", "s2", "prio", "pri", "bin", "bkt", "b", "feature",
+      "dow", "mon", "yr", "n_mon", "i", "dim", "source", "ctx",
+      "from_type", "to_type", "nk")
     // Subtrees that provably bound their output regardless of input
-    // cardinality (heuristic: an aggregate's grain here is always a
-    // bounded dictionary — segment/priority/nation/top-N — audited per
-    // wave when the query lands).
+    // cardinality: a GLOBAL aggregate (one row), an aggregate whose
+    // grouping keys reference only dictionary-bounded columns, or an
+    // explicit limit. A data-sized-grain aggregate (groupBy doc_id /
+    // custkey / partkey …) is NOT exempt — its output scales with the
+    // corpus and a forced broadcast over it still hard-fails the 8GB
+    // limit at cluster scale (r12 ADVICE tightened this; the old rule
+    // exempted ANY Aggregate).
     def unboundedScans(p: LogicalPlan): Seq[String] = p match {
-      case _: Aggregate | _: GlobalLimit => Nil
+      case a: Aggregate =>
+        val keys = a.groupingExpressions.flatMap(_.references.map(_.name))
+        if (keys.forall(boundedCols)) Nil
+        else a.children.flatMap(unboundedScans)
+          .map(t => s"$t (under a data-grain aggregate on " +
+            s"${keys.distinct.mkString(",")})")
+      case _: GlobalLimit => Nil
       case l: LogicalRelation => l.relation match {
         case h: HadoopFsRelation =>
           val path = h.location.rootPaths.mkString(",")
