@@ -412,13 +412,19 @@ object PlanDump {
         |sequential submodular rounds, nothing data-sized collects.""".stripMargin,
     "q_graph_scc" ->
       """FW-BW SCC peeling: the visible plan is the final assembly over
-        |LAZY-checkpointed RDD leaves (Scan ExistingRDD) — the 12 rounds
-        |live in the RDD lineage, each ONE broadcast join of the cached
-        |message-template frame (f: dst->src, b: src->dst, s: self) into
-        |one map-side min aggregate; the only SortMergeJoin anywhere is
-        |the inc self-join that builds the edge list. Assembly joins
-        |(settled labels, sizes) are all broadcast; no data-sized
-        |collect.""".stripMargin,
+        |checkpointed RDD leaves (Scan ExistingRDD) — rounds run EAGERLY
+        |with a monotone-sum fixed-point test (early exit; peel 2 is
+        |skipped when peel 1 settles everything), each round ONE
+        |broadcast join of the cached message-template frame
+        |(f: dst->src, b: src->dst, s: self) into one map-side min
+        |aggregate; the only SortMergeJoin anywhere is the inc self-join
+        |that builds the edge list. Leaves are PLAIN localCheckpoint
+        |(InternalRows) — the fresh-leaf createDataFrame rebuild paid an
+        |UnsafeRow->Row->re-encode round-trip per read and was the sf1
+        |GC bomb (SCALING.md Addendum 2: 49.5s -> 18.9s at sf1).
+        |Assembly joins (settled labels, sizes) are all broadcast; no
+        |data-sized collect (the convergence probe reads ONE aggregated
+        |row per round).""".stripMargin,
     "q_graph_modularity" ->
       """Modularity over the SUITE-SHARED LPA label frames (one 4-round
         |build per suite, shared with q_graph_labelprop — before r11

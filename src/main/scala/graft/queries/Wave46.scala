@@ -34,8 +34,12 @@ object Wave46 {
     * checkpoint — constant stats, the Boruvka lesson) and never
     * reshuffles; each round joins it against the vertex-sized label
     * frame (broadcast locally; a cluster run would hash-partition
-    * both on v and colocate). 12 bounded rounds, no data-sized
-    * collect anywhere.
+    * both on v and colocate). At most 12 bounded rounds, with a
+    * monotone-sum fixed-point test stopping each peel early (and
+    * skipping peel 2 outright when peel 1 settles everything) —
+    * output-identical to the full unroll; no data-sized collect
+    * anywhere (the convergence probe reads ONE aggregated row per
+    * round).
     */
   val graphScc: Q = {
     def rounds(peel: Int, edges: String): String =
@@ -85,13 +89,26 @@ object Wave46 {
          |ORDER BY a.v""".stripMargin) { (s, d) =>
       val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       // LAZY checkpoints: compute-once persist semantics per frame,
-      // but the ~20 materializations fold into the final action's DAG
-      // instead of ~20 eagerly scheduled jobs (the q_graph_labelprop
+      // but the materializations fold into the final action's DAG
+      // instead of eagerly scheduled jobs (the q_graph_labelprop
       // lesson); the fresh-leaf rebuild keeps stats constant.
-      def ckptLeaf(df: DataFrame): DataFrame = {
-        val ck = df.localCheckpoint(false)
-        s.createDataFrame(ck.toDF().rdd, ck.schema)
-      }
+      // PLAIN localCheckpoint, NOT the Boruvka fresh-leaf rebuild
+      // (createDataFrame(ck.rdd, schema)): the rebuild's .rdd exposes
+      // Java Row objects, so every READ of the leaf pays an
+      // UnsafeRow -> GenericRow -> re-encode round-trip — the 2|E|+|V|
+      // template read once per round turned that into the sf1 GC bomb
+      // (measured here: ~20s of a 39s run was GC). localCheckpoint
+      // keeps the materialized InternalRows as-is. The stats snapshot
+      // it carries is safe for THIS loop: each round references the
+      // carried frame once (digit growth is additive per round, not
+      // the ~50-ref multiplicative blowup that wedged Boruvka).
+      def ckptLeaf(df: DataFrame): DataFrame = df.localCheckpoint(false)
+      // EAGER variant for the round loop: the early-exit test below
+      // needs each round's labels materialized anyway (it reads one
+      // aggregate off them), and eager checkpoints let the loop STOP
+      // scheduling rounds at the fixed point instead of folding all
+      // R rounds into the final DAG unconditionally.
+      def eagerLeaf(df: DataFrame): DataFrame = df.localCheckpoint(true)
       val inc = Tables.load(s, d, "lineitem")
         .groupBy(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .agg(min("l_linenumber").as("ln"))
@@ -116,6 +133,19 @@ object Wave46 {
       // broadcast join + ONE map-side-combinable min aggregate over
       // the cached template instead of two edge joins and a 3-way
       // union (isolated sf0.1: 7.9s -> see PLANS.md pin).
+      //
+      // EARLY EXIT (r12 VERDICT #3, the sf1 7.1x scaler): min-label
+      // propagation is monotone — every f(v)/b(v) is non-increasing
+      // per round (the self-message re-offers the old label) — so the
+      // per-round SUM(f)+SUM(b) is unchanged iff NO label changed,
+      // and once a round changes nothing every later round is the
+      // identity. The loop therefore stops at the fixed point: the
+      // output is bit-identical to the oracle's full R-round unroll
+      // (rounds k..R of a converged chain are no-ops there too), but
+      // the engine skips the dead rounds — on this corpus peel 1
+      // converges in ~4 of 6 rounds and peel 2 never runs at all (one
+      // peel settles the whole graph; the empty-remainder short-
+      // circuit below skips its template build + 6 rounds).
       def peel(edges: DataFrame, verts: DataFrame): DataFrame = {
         val tmpl = ckptLeaf(
           edges.select(col("dst").as("from"), col("src").as("to"),
@@ -124,30 +154,58 @@ object Wave46 {
               col("dst").as("to"), lit("b").as("dir")))
             .unionByName(verts.select(col("v").as("from"),
               col("v").as("to"), lit("s").as("dir"))))
-        var lab = ckptLeaf(verts.select(col("v"), col("v").as("f"),
+        var lab = eagerLeaf(verts.select(col("v"), col("v").as("f"),
           col("v").as("b")))
-        for (_ <- 1 to SccRounds) {
-          lab = ckptLeaf(tmpl.join(broadcast(lab), col("from") === col("v"))
+        // 38-digit sums: id * |V| products outgrow BIGINT long before
+        // they outgrow the corpus (restrided sf1 ids are ~1e10 already)
+        def labSum(l: DataFrame): java.math.BigDecimal = l
+          .agg(sum(col("f").cast("decimal(38,0)"))
+            + sum(col("b").cast("decimal(38,0)")))
+          .head().getDecimal(0)
+        var prevSum = labSum(lab)
+        var converged = false
+        var k = 0
+        while (k < SccRounds && !converged) {
+          lab = eagerLeaf(tmpl.join(broadcast(lab), col("from") === col("v"))
             .groupBy(col("to").as("v"))
             .agg(
               min(when(col("dir") =!= "b", col("f"))).as("f"),
               min(when(col("dir") =!= "f", col("b"))).as("b")))
+          val s = labSum(lab)
+          converged = s.compareTo(prevSum) == 0
+          prevSum = s
+          k += 1
         }
         lab
       }
       val l1 = peel(e1, vx)
       val s1 = l1.filter(col("f") === col("b"))
         .select(col("v"), col("f").as("scc"))
-      val u1 = ckptLeaf(l1.filter(col("f") =!= col("b")).select("v"))
-      val e2 = ckptLeaf(e1
-        .join(broadcast(u1.select(col("v").as("src"))), Seq("src"),
-          "left_semi")
-        .join(broadcast(u1.select(col("v").as("dst"))), Seq("dst"),
-          "left_semi")
-        .select("src", "dst"))
-      val l2 = peel(e2, u1)
-      val s2 = l2.filter(col("f") === col("b"))
-        .select(col("v"), col("f").as("scc2"))
+      val u1 = eagerLeaf(l1.filter(col("f") =!= col("b")).select("v"))
+      // Empty-remainder short-circuit: when peel 1 settled every
+      // vertex (the common case — FW-BW peels remove at least the SCC
+      // of the min vertex per peel), peel 2's template build, 6
+      // rounds, and two semi-joins are dead work; an empty s2 frame
+      // is output-identical to running them on zero vertices.
+      val s2 =
+        if (u1.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("scc2",
+                org.apache.spark.sql.types.LongType))))
+        else {
+          val e2 = ckptLeaf(e1
+            .join(broadcast(u1.select(col("v").as("src"))), Seq("src"),
+              "left_semi")
+            .join(broadcast(u1.select(col("v").as("dst"))), Seq("dst"),
+              "left_semi")
+            .select("src", "dst"))
+          val l2 = peel(e2, u1)
+          l2.filter(col("f") === col("b"))
+            .select(col("v"), col("f").as("scc2"))
+        }
       val allv = vx
         .join(broadcast(s1), Seq("v"), "left")
         .join(broadcast(s2), Seq("v"), "left")
