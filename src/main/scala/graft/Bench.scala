@@ -142,6 +142,7 @@ object Bench {
     // this process writes to stdout.
     spark.sparkContext.setLogLevel("ERROR")
     val paidBuilds = graft.ops.SharedFrames.paidBuilds
+    val paidBuildS = graft.ops.SharedFrames.paidBuildSeconds
     graft.ops.SharedFrames.releaseAll()
     spark.sharedState.cacheManager.clearCache()
     val total = results.values.filter(_ >= 0).sum
@@ -173,11 +174,17 @@ object Bench {
     // paid_build: shared frames this query's timed region materialized
     // (VERDICT r10 #4) — an isolated first-consumer reading (e.g.
     // q_retrieval_rbo paying the retrieval family) is not a regression.
+    // build_s: wall seconds of this query's timed region spent inside
+    // shared-frame builds (r12 VERDICT #8) — subtract it to compare a
+    // build-paying family member against a non-paying round's reading.
     val detailQs = gcDetail.map { case (k, (gcMs, gcN, peakMb)) =>
       val paid = paidBuilds.get(k)
         .map(_.map("\"" + _ + "\"").mkString(",\"paid_build\":[", ",", "]"))
         .getOrElse("")
-      s"\"$k\":{\"sec\":${results.getOrElse(k, -1.0)},\"gc_ms\":$gcMs,\"gc_n\":$gcN,\"peak_mb\":$peakMb$paid}"
+      val buildS = paidBuildS.get(k) // Locale.ROOT: no comma decimals
+        .map(s => ",\"build_s\":" + String.format(java.util.Locale.ROOT,
+          "%.3f", Double.box(s))).getOrElse("")
+      s"\"$k\":{\"sec\":${results.getOrElse(k, -1.0)},\"gc_ms\":$gcMs,\"gc_n\":$gcN,\"peak_mb\":$peakMb$paid$buildS}"
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")

@@ -46,9 +46,9 @@ object IngestDemo {
         Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rmrf)
       f.delete(); ()
     }
-    Seq("chk", "stream_in", "stream_avro", "upsert_ckpt", "upsert_table",
-      "scd2_ckpt", "scd2_table", "sdedup_ckpt", "sdedup_out",
-      "avro", "blocks_avro")
+    Seq("chk", "chk_bp", "stream_in", "stream_avro", "upsert_ckpt",
+      "upsert_table", "scd2_ckpt", "scd2_table", "sdedup_ckpt",
+      "sdedup_out", "avro", "blocks_avro")
       .foreach(nm => rmrf(new File(outDir, nm)))
 
     // 1. batch rotated Avro sink (R7): events -> daily container files
@@ -83,6 +83,19 @@ object IngestDemo {
     q.stop()
     val sRows = ingest.AvroSink.readAll(s"$outDir/stream_avro").size
     println(s"[demo] stream-sink: $sRows rows via micro-batch")
+
+    // 3a. backpressure-bounded backlog drain (R9's unbounded-queue
+    // analog, ThreadHelpers.java:21): a 12-file backlog drained at
+    // maxFilesPerTrigger=3 must arrive as >=4 bounded micro-batches,
+    // not one giant epoch, and completely.
+    val bpIn = s"$outDir/backlog_in"
+    ev.limit(600).repartition(12).write.mode("overwrite").parquet(bpIn)
+    val ledger = streaming.Streams.drainWithBackpressure(
+      spark, ev.schema, bpIn, maxFilesPerTrigger = 3, s"$outDir/chk_bp")
+    val bpTotal = ledger.map(_._2).sum
+    val bpMax = if (ledger.isEmpty) 0L else ledger.map(_._2).max
+    println(s"[demo] backpressure: ${ledger.size} micro-batches, " +
+      s"max $bpMax rows/batch, $bpTotal total (complete=${bpTotal == 600})")
 
     // 3b. built-in session windows over a file stream
     Tables.load(spark, sfDir, "events").limit(500)

@@ -39,7 +39,7 @@ object SharedFrames {
   // of the FIRST consumer (e.g. q_retrieval_rbo at 4.7s) otherwise reads
   // as a regression when it is really paying the family's build.
   private val buildLog =
-    scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Double)]
   @volatile private var payerName: String = ""
 
   /** Harness hook (Bench/Verify): name the query about to run so frame
@@ -52,6 +52,14 @@ object SharedFrames {
     * the harness can read it after suite cleanup. */
   def paidBuilds: Map[String, Seq[String]] = synchronized {
     buildLog.toSeq.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3) }
+  }
+
+  /** payer query -> total wall seconds its timed region spent inside
+    * shared builds (r12 VERDICT #8): lets round-over-round comparisons
+    * subtract build cost mechanically instead of by lore. */
+  def paidBuildSeconds: Map[String, Double] = synchronized {
+    buildLog.toSeq.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(_._4).sum }
   }
 
   /** As [[paidBuilds]], with the (dir, name) pair per entry — lets a
@@ -76,12 +84,13 @@ object SharedFrames {
   def frame(dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
       memo.getOrElseUpdate((dir, name), {
-        buildLog += ((payerName, dir, name))
+        val t0 = System.nanoTime()
         val df = build
         val sc = df.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
         val out = df.localCheckpoint(true)
         sharedIds ++= (sc.getPersistentRDDs.keySet -- before)
+        buildLog += ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
         out
       })
     }
@@ -90,8 +99,10 @@ object SharedFrames {
     * a shared frame. */
   def scalar(dir: String, name: String)(build: => Long): Long =
     synchronized(scalarMemo.getOrElseUpdate((dir, name), {
-      buildLog += ((payerName, dir, name))
-      build
+      val t0 = System.nanoTime()
+      val v = build
+      buildLog += ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
+      v
     }))
 
   private val valueMemo =
@@ -115,8 +126,10 @@ object SharedFrames {
   def value[T](dir: String, name: String)(build: => T)(
       implicit ct: scala.reflect.ClassTag[T]): T = synchronized {
     val (v, builtBy) = valueMemo.getOrElseUpdate((dir, name), {
-      buildLog += ((payerName, dir, name))
-      (build, payerName)
+      val t0 = System.nanoTime()
+      val built = build
+      buildLog += ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
+      (built, payerName)
     })
     // A primitive ClassTag (Long/Int/…) must check against the BOXED
     // class — stored values are boxed, and an unconditional primitive

@@ -303,6 +303,39 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outDir/b$batchId")
       }
 
+  /** Backpressure-bounded backlog drain — the operational analog of
+    * the reference's unbounded work queue (`ThreadHelpers.java:21`
+    * grows without limit when the sink falls behind; R9/VERDICT r12
+    * #7). `maxFilesPerTrigger` caps each micro-batch's intake, so a
+    * large backlog drains as a sequence of bounded-memory batches
+    * instead of one giant batch: at 100TB a restart against a day of
+    * backlog must not try to fit the day into one epoch. Returns the
+    * observed (batchId, rowCount) ledger after the backlog is fully
+    * drained — the caller asserts boundedness and completeness. */
+  def drainWithBackpressure(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      dir: String,
+      maxFilesPerTrigger: Int,
+      checkpoint: String): Seq[(Long, Long)] = {
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val n = df.count()
+        batches.synchronized { batches += ((id, n)) }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches.synchronized(batches.toSeq.sortBy(_._1))
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 }

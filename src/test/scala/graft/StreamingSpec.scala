@@ -58,6 +58,24 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("s_stream_backpressure: a file backlog drains as bounded " +
+    "micro-batches under maxFilesPerTrigger, completely and in order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-bpchk").toString
+    // 12 files x 50 rows of backlog
+    val in = spark.range(600).select(col("id"), (col("id") % 7).as("k"))
+    in.repartition(12).write.mode("overwrite").parquet(s"$dir/in")
+    val ledger = Streams.drainWithBackpressure(
+      spark, in.schema, s"$dir/in", maxFilesPerTrigger = 3, chk)
+    // bounded: 12 files / 3 per trigger -> at least 4 batches, none
+    // carrying the whole backlog
+    assert(ledger.size >= 4, ledger.toString)
+    assert(ledger.map(_._2).max < 600, ledger.toString)
+    // complete + in epoch order
+    assert(ledger.map(_._2).sum == 600, ledger.toString)
+    assert(ledger.map(_._1) == ledger.map(_._1).sorted, ledger.toString)
+  }
+
   test("s_stream_session_window: built-in session windows merge within gap") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
