@@ -81,7 +81,8 @@ object SparkEntry {
       graft.queries.Wave66.all ++
       graft.queries.Wave67.all ++
       graft.queries.Wave68.all ++
-      graft.queries.Wave69.all
+      graft.queries.Wave69.all ++
+      graft.queries.Wave70.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
