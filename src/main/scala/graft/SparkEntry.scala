@@ -82,7 +82,8 @@ object SparkEntry {
       graft.queries.Wave67.all ++
       graft.queries.Wave68.all ++
       graft.queries.Wave69.all ++
-      graft.queries.Wave70.all
+      graft.queries.Wave70.all ++
+      graft.queries.Wave71.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

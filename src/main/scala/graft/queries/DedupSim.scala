@@ -32,7 +32,7 @@ object DedupSim {
       .select(col("doc_id"),
         explode(Text.shingleSetUdf(3)(col("text"))).as("shingle"))
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     """t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
       |      FROM documents),
       |pos AS (SELECT unnest(range(1,
@@ -56,7 +56,7 @@ object DedupSim {
     * to bound the quadratic term. 50 exceeds every df in the driver
     * corpora (max 25 at sf0.1), so results are unchanged there while
     * the blowup is capped at 100TB. */
-  private val ShingleDfCap = 50
+  private[queries] val ShingleDfCap = 50
 
   /** Exact shingle-set Jaccard over pairs sharing >= 1 rare shingle.
     *
@@ -67,7 +67,7 @@ object DedupSim {
     * small-corpus baseline: at 100TB you never run all-pairs directly —
     * minhashLsh generates a sparse candidate set first and verifies
     * only that. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     // one exchange on `shingle` feeds the df-cap window AND both join
