@@ -63,10 +63,12 @@ object Wave28 {
          |  AND e0.p = mm.p
          |ORDER BY e0.s, e0.p""".stripMargin) { (s, d) =>
       val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      def ckptLeaf(df: DataFrame): DataFrame = {
-        val ck = df.localCheckpoint(true)
-        s.createDataFrame(ck.toDF().rdd, ck.schema)
-      }
+      // PLAIN localCheckpoint (r13, the q_graph_scc lesson): the
+      // fresh-leaf rebuild's per-read Row round-trip taxes the
+      // edge-sized frame once per matching round; per-round refs are
+      // few, so snapshot-stats growth stays additive (no Boruvka
+      // wedge).
+      def ckptLeaf(df: DataFrame): DataFrame = df.localCheckpoint(true)
       val e0 = ckptLeaf(Tables.load(s, d, "lineitem").repartition(np)
         .groupBy(col("l_suppkey").as("s"), col("l_partkey").as("p"))
         .agg(sum(expr("CAST(ROUND(l_quantity, 0) AS BIGINT)")).as("a")))

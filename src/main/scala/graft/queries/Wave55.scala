@@ -54,10 +54,13 @@ object Wave55 {
          |SELECT r.round, r.pk AS partkey, r.gain, r.covered,
          |  r.covered * 1000000 // t.n AS coverage_ppm
          |FROM run r, tot t ORDER BY r.round""".stripMargin) { (s, d) =>
-      def ckptLeaf(df: DataFrame): DataFrame = {
-        val ck = df.localCheckpoint(false)
-        s.createDataFrame(ck.toDF().rdd, ck.schema)
-      }
+      // PLAIN localCheckpoint (r13, the q_graph_scc lesson): the
+      // fresh-leaf createDataFrame rebuild pays an UnsafeRow -> Row ->
+      // re-encode round-trip on every read, and the EDGE-sized
+      // incidence frame is read once per greedy round; round refs are
+      // few, so the snapshot-stats growth that wedged Boruvka does not
+      // apply.
+      def ckptLeaf(df: DataFrame): DataFrame = df.localCheckpoint(false)
       val inc = ckptLeaf(Tables.load(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct())
