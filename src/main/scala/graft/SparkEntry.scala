@@ -85,7 +85,8 @@ object SparkEntry {
       graft.queries.Wave70.all ++
       graft.queries.Wave71.all ++
       graft.queries.Wave72.all ++
-      graft.queries.Wave73.all
+      graft.queries.Wave73.all ++
+      graft.queries.Wave74.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
