@@ -56,7 +56,12 @@ object SharedFrames {
 
   /** payer query -> total wall seconds its timed region spent inside
     * shared builds (r12 VERDICT #8): lets round-over-round comparisons
-    * subtract build cost mechanically instead of by lore. */
+    * subtract build cost mechanically instead of by lore. Caveat: a
+    * build that calls [[frame]]/[[scalar]]/[[value]] INSIDE its body
+    * (e.g. sparse_top20 building docvecs) is timed by both the inner
+    * and the outer entry, so the per-payer sum can exceed the query's
+    * own wall seconds — read it as "build involvement", not exclusive
+    * time. */
   def paidBuildSeconds: Map[String, Double] = synchronized {
     buildLog.toSeq.groupBy(_._1)
       .map { case (p, xs) => p -> xs.map(_._4).sum }
