@@ -86,7 +86,8 @@ object SparkEntry {
       graft.queries.Wave71.all ++
       graft.queries.Wave72.all ++
       graft.queries.Wave73.all ++
-      graft.queries.Wave74.all
+      graft.queries.Wave74.all ++
+      graft.queries.Wave75.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
