@@ -49,6 +49,31 @@ object Bench {
     // frames share names with the timed SF's — a stale log would alias
     // them in paid_build; r11 ADVICE). The memo itself is untouched.
     graft.ops.SharedFrames.clearBuildLog()
+    // Calibration canary (r13 VERDICT #1): a FIXED, registry- and
+    // SF-independent synthetic workload (seeded range -> xxhash64 ->
+    // shuffle aggregate) timed after warm-up. Cross-round driver-env
+    // speed differences (r13 ran uniformly 1.29x slower and
+    // manufactured ten false per-query regressions) normalize out by
+    // dividing per-query readings by the canary ratio. One untimed run
+    // JITs the canary's own codegen; the median of 3 timed runs
+    // absorbs this VM's 10-30% single-shot noise.
+    val canaryS = {
+      def run(): Double = {
+        System.gc()
+        val t0 = System.nanoTime()
+        spark.range(0L, 24L * 1000 * 1000, 1L, 32)
+          .selectExpr("id % 9973 AS k", "xxhash64(id) AS h",
+            "xxhash64(id + 1) % 1000 AS v")
+          .groupBy("k")
+          .agg(org.apache.spark.sql.functions.sum("h"),
+            org.apache.spark.sql.functions.sum("v"),
+            org.apache.spark.sql.functions.count("*"))
+          .agg(org.apache.spark.sql.functions.count("*")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run() // untimed JIT pass
+      Seq(run(), run(), run()).sorted.apply(1)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only.contains(n) }
@@ -166,7 +191,7 @@ object Bench {
     // lives in BenchLine so BenchLineSpec can assert the contract.
     val line = BenchLine.build(
       results, gcDetail.map { case (k, (ms, _, _)) => k -> ms }.toMap,
-      failed.toSeq, cores, heapG, ramG, sfDir)
+      failed.toSeq, cores, heapG, ramG, sfDir, canaryS)
     // Full-precision copy for local profiling (not part of the
     // contract), including per-query GC/heap evidence in timed order.
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -189,7 +214,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench-full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":$gcTotalS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":$gcTotalS,"canary_s":$canaryS,"queries":$fullQs,"detail":$detailQs,"failed":$failedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -60,6 +60,10 @@ object BenchLine {
     * @param results  query -> wall seconds (-1.0 for a failed query)
     * @param gcMs     query -> GC wall ms measured across its timed region
     */
+  /** @param canaryS median wall seconds of the fixed calibration
+    *   workload (registry/SF-independent; Bench.main) — the driver-env
+    *   speed normalizer. Negative means "not measured" and is omitted,
+    *   keeping pre-canary consumers working (r13 VERDICT #1). */
   def build(
       results: Map[String, Double],
       gcMs: Map[String, Long],
@@ -67,7 +71,8 @@ object BenchLine {
       cores: Int,
       heapG: Long,
       ramG: Long,
-      sfDir: String): String = {
+      sfDir: String,
+      canaryS: Double = -1.0): String = {
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val gcTotalS = gcMs.values.sum / 1e3
@@ -80,8 +85,10 @@ object BenchLine {
     val gcHotJson =
       if (gcHot.isEmpty) ""
       else gcHot.map("\"" + _ + "\"").mkString(",\"gc_hot\":[", ",", "]")
+    val canaryJson =
+      if (canaryS < 0) "" else s""","canary_s":${fmt(2, canaryS)}"""
     def head =
-      s""""metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":${fmt(1, gcTotalS)}$gcHotJson"""
+      s""""metric":"total","value":${fmt(3, total)},"unit":"sec","cores":$cores,"heap_g":$heapG,"ram_g":$ramG,"gc_s":${fmt(1, gcTotalS)}$canaryJson$gcHotJson"""
     def tail = s""""failed":$failedJson,"sf":"$sfDir""""
     def render(dec: Int): String = {
       val qs = results

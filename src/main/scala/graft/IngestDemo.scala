@@ -94,8 +94,15 @@ object IngestDemo {
       spark, ev.schema, bpIn, maxFilesPerTrigger = 3, s"$outDir/chk_bp")
     val bpTotal = ledger.map(_._2).sum
     val bpMax = if (ledger.isEmpty) 0L else ledger.map(_._2).max
+    // completeness is judged against the rows actually WRITTEN, not the
+    // literal limit(600): at an SF where events has fewer than 600 rows
+    // the drain is still complete (r13 ADVICE)
+    val bpWritten = spark.read.parquet(bpIn).count()
+    assert(bpTotal == bpWritten,
+      s"backpressure drain incomplete: $bpTotal of $bpWritten rows")
     println(s"[demo] backpressure: ${ledger.size} micro-batches, " +
-      s"max $bpMax rows/batch, $bpTotal total (complete=${bpTotal == 600})")
+      s"max $bpMax rows/batch, $bpTotal total " +
+      s"(complete=${bpTotal == bpWritten})")
 
     // 3b. built-in session windows over a file stream
     Tables.load(spark, sfDir, "events").limit(500)

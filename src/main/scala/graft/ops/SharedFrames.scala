@@ -85,17 +85,30 @@ object SharedFrames {
     * inter-query unpersist exempts these.) */
   def isShared(rddId: Int): Boolean = synchronized(sharedIds.contains(rddId))
 
+  /** Attribution wrapper: the (payer, dir, name) entry is appended
+    * BEFORE the build runs and its duration patched in a finally — a
+    * build that throws mid-bench still attributes the failed query
+    * that half-paid it, with the elapsed time up to the throw (r13
+    * ADVICE; the post-hoc append lost exactly that evidence). Callers
+    * hold the object lock, so the index-patch is race-free. */
+  private def logged[T](dir: String, name: String)(build: => T): T = {
+    val idx = buildLog.length
+    buildLog += ((payerName, dir, name, -1.0))
+    val t0 = System.nanoTime()
+    try build
+    finally buildLog(idx) =
+      ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
+  }
+
   /** Memoized eager localCheckpoint of `build`, keyed by (dir, name). */
   def frame(dir: String, name: String)(build: => DataFrame): DataFrame =
     synchronized {
-      memo.getOrElseUpdate((dir, name), {
-        val t0 = System.nanoTime()
+      memo.getOrElseUpdate((dir, name), logged(dir, name) {
         val df = build
         val sc = df.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
         val out = df.localCheckpoint(true)
         sharedIds ++= (sc.getPersistentRDDs.keySet -- before)
-        buildLog += ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
         out
       })
     }
@@ -103,12 +116,8 @@ object SharedFrames {
   /** Memoized driver scalar (e.g. a vocabulary size) computed next to
     * a shared frame. */
   def scalar(dir: String, name: String)(build: => Long): Long =
-    synchronized(scalarMemo.getOrElseUpdate((dir, name), {
-      val t0 = System.nanoTime()
-      val v = build
-      buildLog += ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
-      v
-    }))
+    synchronized(scalarMemo.getOrElseUpdate((dir, name),
+      logged(dir, name)(build)))
 
   private val valueMemo =
     scala.collection.mutable.Map.empty[(String, String), (Any, String)]
@@ -130,12 +139,8 @@ object SharedFrames {
     * input columns in `name`) is the real defense. */
   def value[T](dir: String, name: String)(build: => T)(
       implicit ct: scala.reflect.ClassTag[T]): T = synchronized {
-    val (v, builtBy) = valueMemo.getOrElseUpdate((dir, name), {
-      val t0 = System.nanoTime()
-      val built = build
-      buildLog += ((payerName, dir, name, (System.nanoTime() - t0) / 1e9))
-      (built, payerName)
-    })
+    val (v, builtBy) = valueMemo.getOrElseUpdate((dir, name),
+      logged(dir, name)((build, payerName)))
     // A primitive ClassTag (Long/Int/…) must check against the BOXED
     // class — stored values are boxed, and an unconditional primitive
     // pass-through would let a type collision sail past the guard and

@@ -31,14 +31,24 @@ object Wave69 {
     * round replayable bit-for-bit. */
   /** The exact-integer MM recursion (the oracle's unrolled rounds in
     * BigInt — HUGEINT's mirror). Exposed for Wave69Spec's axiom tests. */
+  /** The single derivation of the player set and opponent map from the
+    * match matrix — shared by [[btFixedPoint]] and the query readout so
+    * the reported n_matches/rnk can never drift from the ratings the
+    * recursion produced (r13 ADVICE). */
+  private[graft] def btPlayersOpp(nij: Map[(String, String), Long])
+      : (Seq[String], Map[String, Seq[String]]) = {
+    val players = nij.keys.map(_._1).toSeq.distinct.sorted
+    val opp: Map[String, Seq[String]] = players
+      .map(i => i -> players.filter(j => nij.contains((i, j)))).toMap
+    (players, opp)
+  }
+
   private[graft] def btFixedPoint(
       nij: Map[(String, String), Long],
       wins: Map[String, Long],
       rounds: Int): Map[String, BigInt] = {
     val E12b = BigInt(1000000000000L)
-    val players = nij.keys.map(_._1).toSeq.distinct.sorted
-    val opp: Map[String, Seq[String]] = players
-      .map(i => i -> players.filter(j => nij.contains((i, j)))).toMap
+    val (players, opp) = btPlayersOpp(nij)
     var g: Map[String, BigInt] = players.map(_ -> BigInt(1000000)).toMap
     for (_ <- 1 to rounds) {
       g = players.map { i =>
@@ -145,9 +155,7 @@ object Wave69 {
         .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
       val wins = pair.toSeq.groupBy(_._1._1)
         .map { case (w, xs) => w -> xs.map(_._2).sum }
-      val players = nij.keys.map(_._1).toSeq.distinct.sorted
-      val opp: Map[String, Seq[String]] = players
-        .map(i => i -> players.filter(j => nij.contains((i, j)))).toMap
+      val (players, opp) = btPlayersOpp(nij)
       val g = btFixedPoint(nij, wins, BtRounds)
       val ranked = players
         .map(i => (i, opp(i).map(j => nij((i, j))).sum,

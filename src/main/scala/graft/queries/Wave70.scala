@@ -165,8 +165,11 @@ object Wave70 {
     "q_eval_rouge",
     s"""WITH $pairStatsSql
        |SELECT cid AS cand_id, rid AS ref_id, clip1, clip2,
-       |  clip1 * 1000000 // r_len AS rouge1_recall_ppm,
-       |  2 * clip1 * 1000000 // (c_len + r_len) AS rouge1_f1_ppm,
+       |  CASE WHEN r_len > 0
+       |       THEN clip1 * 1000000 // r_len END AS rouge1_recall_ppm,
+       |  CASE WHEN c_len + r_len > 0
+       |       THEN 2 * clip1 * 1000000 // (c_len + r_len)
+       |  END AS rouge1_f1_ppm,
        |  CASE WHEN r_len - 1 > 0
        |       THEN clip2 * 1000000 // (r_len - 1) END AS rouge2_recall_ppm,
        |  CASE WHEN c_len + r_len - 2 > 0
@@ -176,9 +179,12 @@ object Wave70 {
     pairStats(s, d)
       .select(col("cid").as("cand_id"), col("rid").as("ref_id"),
         col("clip1"), col("clip2"),
-        expr("clip1 * 1000000 div r_len").as("rouge1_recall_ppm"),
-        expr("2 * clip1 * 1000000 div (c_len + r_len)")
-          .as("rouge1_f1_ppm"),
+        expr("""CASE WHEN r_len > 0
+               |THEN clip1 * 1000000 div r_len END""".stripMargin)
+          .as("rouge1_recall_ppm"),
+        expr("""CASE WHEN c_len + r_len > 0
+               |THEN 2 * clip1 * 1000000 div (c_len + r_len)
+               |END""".stripMargin).as("rouge1_f1_ppm"),
         expr("""CASE WHEN r_len - 1 > 0
                |THEN clip2 * 1000000 div (r_len - 1) END""".stripMargin)
           .as("rouge2_recall_ppm"),

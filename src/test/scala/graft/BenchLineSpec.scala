@@ -18,18 +18,28 @@ class BenchLineSpec extends AnyFunSuite {
     for (n <- Seq(50, 259, 520)) {
       val res = mkResults(n)
       val gc = res.keys.map(_ -> 10L).toMap
-      val line = BenchLine.build(res, gc, Seq.empty, 32, 79, 123, "/root/testdata/sf0.1")
+      val line = BenchLine.build(res, gc, Seq.empty, 32, 79, 123,
+        "/root/testdata/sf0.1", canaryS = 1.234)
       assert(line.length <= BenchLine.MaxLen, s"n=$n length=${line.length}")
       val node = mapper.readTree(line)
       assert(node.get("metric").asText() == "total")
       assert(node.get("value").asDouble() > 0)
       assert(node.get("unit").asText() == "sec")
       assert(node.has("queries"))
+      // the calibration canary survives every degradation rung: it is
+      // the cross-round env normalizer (r13 VERDICT #1)
+      assert(node.get("canary_s").asDouble() == 1.23, s"n=$n canary")
       // whatever survives degradation, the most expensive query must
       // be present by name with its time
       val mostExpensive = res.maxBy { case (k, v) => (v, k) }._1
       assert(node.get("queries").has(mostExpensive), s"n=$n dropped $mostExpensive")
     }
+  }
+
+  test("canary_s omitted when not measured (negative sentinel)") {
+    val line = BenchLine.build(mkResults(10),
+      mkResults(10).keys.map(_ -> 1L).toMap, Seq.empty, 32, 79, 123, "sf")
+    assert(!mapper.readTree(line).has("canary_s"))
   }
 
   test("gc_hot lists a query holding >20% of a >=2s suite GC total") {

@@ -601,18 +601,35 @@ class PlanShapeSpec extends AnyFunSuite {
       // date-grain aggregate is bounded (~2,400 rows) regardless of
       // corpus size
       "o_orderdate", "l_shipdate", "l_receiptdate", "l_commitdate",
-      // Audited derived grains (aliases our own queries coin; each
-      // verified bounded-by-construction when its query landed):
-      // seg/s1/s2 = mktsegment/terciles, prio/pri = orderpriority,
-      // bin/bkt/b = fixed-count buckets (32-bin histograms, %1024 /
-      // %B feature hashing, decile/grid cells), feature = the 3-wide
-      // feature list, dow/mon/yr/n_mon = calendar dictionaries,
-      // i/dim = embedding dimension index (64), source = the crawl
-      // source dictionary, ctx = user_id % 4 policy contexts,
+      // Audited derived grains with SELF-DESCRIBING names (aliases our
+      // own queries coin; each verified bounded-by-construction when
+      // its query landed): seg = mktsegment, prio/pri = orderpriority,
+      // feature = the 3-wide feature list, dow/mon/yr/n_mon = calendar
+      // dictionaries, dim = embedding dimension index (64), source =
+      // the crawl source dictionary, ctx = user_id % 4 policy contexts,
       // from_type/to_type = event-type pairs, nk = nationkey alias
-      "seg", "s1", "s2", "prio", "pri", "bin", "bkt", "b", "feature",
-      "dow", "mon", "yr", "n_mon", "i", "dim", "source", "ctx",
+      "seg", "prio", "pri", "feature",
+      "dow", "mon", "yr", "n_mon", "dim", "source", "ctx",
       "from_type", "to_type", "nk")
+    // GENERIC one-letter/short aliases (b, i, s1, s2, bin, bkt) are NOT
+    // globally exempt: a future data-grain aggregate whose key happens
+    // to be aliased "b" must not silently bypass the tripwire (r13
+    // ADVICE). Each generic alias is exempted ONLY for the audited
+    // query that coined it, with the bounding argument inline:
+    val scopedBoundedCols: Map[String, Set[String]] = Map(
+      // bin = c_mktsegment aliased (5-segment dictionary)
+      "q_causal_ipw" -> Set("bin"),
+      // b = md5-u32 % 1024 feature-hash buckets (fixed bucket count)
+      "q_dsir_weight" -> Set("b"),
+      // b = md5-u32 % B feature-hash buckets (fixed B)
+      "q_quality_classifier" -> Set("b"),
+      // i = embedding dimension index 1..64 (schema-fixed width)
+      "q_embed_quantize" -> Set("i"),
+      // s1/s2 = 0/1 early/late-window indicator flags ({0,1}^2 grain)
+      "q_segment_migration" -> Set("s1", "s2"),
+      // bkt = fixed-width price buckets over TPC-H's schema-fixed
+      // 900..1900 p_retailprice range (~25 buckets at every SF)
+      "q_skyline_pareto" -> Set("bkt"))
     // Subtrees that provably bound their output regardless of input
     // cardinality: a GLOBAL aggregate (one row), an aggregate whose
     // grouping keys reference only dictionary-bounded columns, or an
@@ -621,29 +638,33 @@ class PlanShapeSpec extends AnyFunSuite {
     // corpus and a forced broadcast over it still hard-fails the 8GB
     // limit at cluster scale (r12 ADVICE tightened this; the old rule
     // exempted ANY Aggregate).
-    def unboundedScans(p: LogicalPlan): Seq[String] = p match {
-      case a: Aggregate =>
-        val keys = a.groupingExpressions.flatMap(_.references.map(_.name))
-        if (keys.forall(boundedCols)) Nil
-        else a.children.flatMap(unboundedScans)
-          .map(t => s"$t (under a data-grain aggregate on " +
-            s"${keys.distinct.mkString(",")})")
-      case _: GlobalLimit => Nil
-      case l: LogicalRelation => l.relation match {
-        case h: HadoopFsRelation =>
-          val path = h.location.rootPaths.mkString(",")
-          dataSized.filter(t => path.contains(s"$t.parquet"))
-        case _ => Nil
+    def unboundedScans(p: LogicalPlan, bounded: Set[String]): Seq[String] =
+      p match {
+        case a: Aggregate =>
+          val keys = a.groupingExpressions.flatMap(_.references.map(_.name))
+          if (keys.forall(bounded)) Nil
+          else a.children.flatMap(unboundedScans(_, bounded))
+            .map(t => s"$t (under a data-grain aggregate on " +
+              s"${keys.distinct.mkString(",")})")
+        case _: GlobalLimit => Nil
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation =>
+            val path = h.location.rootPaths.mkString(",")
+            dataSized.filter(t => path.contains(s"$t.parquet"))
+          case _ => Nil
+        }
+        case other => other.children.flatMap(unboundedScans(_, bounded))
       }
-      case other => other.children.flatMap(unboundedScans)
-    }
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, f) if probePanels(name) => Nil
       case (name, f) =>
+        val bounded =
+          boundedCols ++ scopedBoundedCols.getOrElse(name, Set.empty)
         val plan = f(spark, SharedSpark.sf001).queryExecution.analyzed
         plan.collectWithSubqueries {
           case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
-            unboundedScans(h.child).map(t => s"$name: broadcast over $t")
+            unboundedScans(h.child, bounded)
+              .map(t => s"$name: broadcast over $t")
         }.flatten
     }
     assert(bad.isEmpty,
