@@ -495,6 +495,25 @@ object PlanDump {
         |WindowGroupLimit before the (probe)-keyed intersect join of
         |two k-sized lists. The corpus is never all-paired and never
         |shuffled for scoring.""".stripMargin,
+    "q_eval_mrr" ->
+      """MRR consumes the SUITE-SHARED sparse/dense top-20 rankings
+        |(RetrievalShared checkpoints — 'Scan ExistingRDD' below, never
+        |a parquet rescan): the hit join is a (probe, doc) equi-join
+        |over two probe-bounded frames and the readout one probe-keyed
+        |min. A multi-second bench reading here is the retrieval
+        |family's shared BUILD landing on the alphabetically-first
+        |member under name-sorted order (paid_build in the side file),
+        |not this query's own cost. Pinned by PlanShapeSpec.""".stripMargin,
+    "q_eval_bradley_terry" ->
+      """Arena-style Bradley-Terry ratings: the data-sized work is one
+        |(order, brand) micro-spend aggregate and one merge-hinted
+        |self-join on the order key (per-order fan-out bounded by
+        |brands^2); the (w, l) match-count aggregate collapses to the
+        |<= 25x25 brand dictionary BEFORE the driver collect, and the
+        |MM recursion runs on that matrix like a learned model — the
+        |visible plan is the LocalTableScan readout, never a data-grain
+        |join-back. Pinned by PlanShapeSpec (output <= brand
+        |dictionary).""".stripMargin,
     "q_dedup_prefixfilter" ->
       """PPJoin-lite prefix filtering (r12): df is one map-side-combined
         |aggregate; the rarity rank and size windows share ONE doc_id

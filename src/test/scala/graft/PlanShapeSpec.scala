@@ -242,6 +242,46 @@ class PlanShapeSpec extends AnyFunSuite {
         s"cache), got ${reused.size}:\n${s.take(2000)}")
   }
 
+  test("q_eval_mrr: consumes the suite-shared retrieval top-20 frames " +
+    "(checkpointed RDD scans) and plans probe-bounded equi-joins only") {
+    val plan = staticPlan("q_eval_mrr")
+    val s = plan.toString
+    // both inputs must arrive as the RetrievalShared materializations —
+    // a raw parquet scan here would mean the query rebuilt the index
+    // instead of reading the family's shared build (the 3.72s driver
+    // reading is the SHARED build landing on the alphabetically-first
+    // family member, not this query's own work)
+    assert(s.contains("Scan ExistingRDD"), s.take(2000))
+    assert(!s.contains("Scan parquet"),
+      s"q_eval_mrr must not rescan base tables:\n${s.take(2000)}")
+    // the hit join is a (probe, doc) equi-join over top-20-per-probe
+    // group limits; nothing may degenerate to a product
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
+      s.take(2000))
+  }
+
+  test("q_eval_bradley_terry: the collected match matrix stays brand-" +
+    "dictionary-bounded and the readout is a driver-solved local " +
+    "relation (no data-grain join-back)") {
+    val df = SparkEntry.queries("q_eval_bradley_terry")(spark, SharedSpark.sf001)
+    // the MM recursion runs on the driver over the <= brands^2 match
+    // matrix; its readout therefore plans as a LocalTableScan — a scan
+    // of anything data-sized here would mean the model joined back at
+    // corpus grain
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LocalTableScan"), s.take(1500))
+    assert(!s.contains("Scan parquet"), s.take(1500))
+    // the output (and so the collected matrix's player set) is bounded
+    // by the p_brand dictionary, which is schema-fixed at every SF
+    val brands = spark.read
+      .parquet(s"${SharedSpark.sf001}/part.parquet")
+      .select("p_brand").distinct().count()
+    assert(df.count() <= brands,
+      s"bradley-terry output exceeds the $brands-brand dictionary")
+  }
+
   test("q_curation_pipeline: the near-dup pair join reuses one shingle " +
     "exchange (hinted SMJ -> ReusedExchange) and no cartesian product " +
     "appears anywhere") {
