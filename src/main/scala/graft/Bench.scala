@@ -55,13 +55,15 @@ object Bench {
     // speed differences (r13 ran uniformly 1.29x slower and
     // manufactured ten false per-query regressions) normalize out by
     // dividing per-query readings by the canary ratio. One untimed run
-    // JITs the canary's own codegen; the median of 3 timed runs
-    // absorbs this VM's 10-30% single-shot noise.
+    // JITs the canary's own codegen; the median of 5 timed runs of a
+    // ~1.5s workload absorbs this VM's noise (a 24M-row/median-of-3
+    // first cut read 0.31-0.69s across one session — too jittery to
+    // normalize anything; longer runs amortize scheduler/GC jitter).
     val canaryS = {
       def run(): Double = {
         System.gc()
         val t0 = System.nanoTime()
-        spark.range(0L, 24L * 1000 * 1000, 1L, 32)
+        spark.range(0L, 96L * 1000 * 1000, 1L, 32)
           .selectExpr("id % 9973 AS k", "xxhash64(id) AS h",
             "xxhash64(id + 1) % 1000 AS v")
           .groupBy("k")
@@ -72,7 +74,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       run() // untimed JIT pass
-      Seq(run(), run(), run()).sorted.apply(1)
+      Seq.fill(5)(run()).sorted.apply(2)
     }
     val selected =
       if (only.isEmpty) SparkEntry.queries

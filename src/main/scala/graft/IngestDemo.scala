@@ -104,6 +104,29 @@ object IngestDemo {
       s"max $bpMax rows/batch, $bpTotal total " +
       s"(complete=${bpTotal == bpWritten})")
 
+    // 3a2. SUSTAINED backpressure (r13 VERDICT #8): the producer keeps
+    // appending 50-row files while the query drains. In-flight intake
+    // must stay capped at maxFilesPerTrigger=2 files (<= 100 rows per
+    // batch) across every trigger, pressure or not, and the ledger
+    // must still account for every row written.
+    val bpsIn = s"$outDir/backlog_sustained"
+    ev.limit(300).repartition(6).write.mode("overwrite").parquet(bpsIn)
+    val ledger2 = streaming.Streams.sustainedDrainWithBackpressure(
+      spark, ev.schema, bpsIn, maxFilesPerTrigger = 2,
+      s"$outDir/chk_bps", waves = 3) { _ =>
+      ev.limit(100).repartition(2).write.mode("append").parquet(bpsIn)
+    }
+    val bpsTotal = ledger2.map(_._2).sum
+    val bpsMaxB = if (ledger2.isEmpty) 0L else ledger2.map(_._2).max
+    val bpsWritten = spark.read.parquet(bpsIn).count()
+    assert(bpsTotal == bpsWritten,
+      s"sustained drain incomplete: $bpsTotal of $bpsWritten rows")
+    assert(bpsMaxB <= 100,
+      s"sustained drain exceeded the 2-file cap: $bpsMaxB rows in one batch")
+    println(s"[demo] backpressure-sustained: ${ledger2.size} micro-batches " +
+      s"over 3 pump waves, max $bpsMaxB rows/batch (cap 100), " +
+      s"$bpsTotal total (complete=${bpsTotal == bpsWritten})")
+
     // 3b. built-in session windows over a file stream
     Tables.load(spark, sfDir, "events").limit(500)
       .write.mode("overwrite").parquet(s"$outDir/sess_in")

@@ -76,6 +76,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(ledger.map(_._1) == ledger.map(_._1).sorted, ledger.toString)
   }
 
+  test("s_stream_backpressure_sustained: per-batch intake stays capped " +
+    "while a producer keeps appending mid-drain, and every appended " +
+    "row is accounted for (the bounded-in-flight property the " +
+    "reference's unbounded queue lacks)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bps").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft-bpschk").toString
+    // initial backlog: 6 files x 40 rows
+    val mk = (n: Int) => spark.range(n).select(col("id"), (col("id") % 7).as("k"))
+    mk(240).repartition(6).write.mode("overwrite").parquet(s"$dir/in")
+    val ledger = Streams.sustainedDrainWithBackpressure(
+      spark, mk(1).schema, s"$dir/in", maxFilesPerTrigger = 2, chk,
+      waves = 3) { _ =>
+      // each wave lands 2 more 40-row files while the query runs
+      mk(80).repartition(2).write.mode("append").parquet(s"$dir/in")
+    }
+    // bounded in-flight across EVERY trigger: never more than 2 files'
+    // worth (80 rows) in one batch, pressure or not
+    assert(ledger.map(_._2).max <= 80, ledger.toString)
+    // (6 + 3*2) files / 2 per trigger -> at least 6 batches
+    assert(ledger.size >= 6, ledger.toString)
+    // complete: 240 initial + 3 waves x 80 pumped, in epoch order
+    assert(ledger.map(_._2).sum == 480, ledger.toString)
+    assert(ledger.map(_._1) == ledger.map(_._1).sorted, ledger.toString)
+  }
+
   test("s_stream_session_window: built-in session windows merge within gap") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
