@@ -93,11 +93,15 @@ object Wave69 {
     * orders); everything after the (i, j) match-count aggregate is
     * arithmetic on a ≤ 25×25 dictionary — collected to the driver like
     * a learned model, never joined back at data grain. */
+  /** Exact micro-spend aggregate shared with Wave77's preference-cycle
+    * audit (a def, not a val — the r8 val-init-order trap). */
+  private[queries] def btSpendSql: String =
+    """SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+      |    * (10000 - CAST(ROUND(l.l_discount * 10000, 0) AS BIGINT)))"""
+      .stripMargin
+
   val evalBradleyTerry: Q = {
-    val spendSql =
-      """SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
-        |    * (10000 - CAST(ROUND(l.l_discount * 10000, 0) AS BIGINT)))"""
-        .stripMargin
+    val spendSql = btSpendSql
     Q(
       "q_eval_bradley_terry",
       s"""WITH os AS MATERIALIZED (
