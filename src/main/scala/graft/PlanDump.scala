@@ -523,6 +523,15 @@ object PlanDump {
         |visible plan is the LocalTableScan readout, never a data-grain
         |join-back. Pinned by PlanShapeSpec (output <= brand
         |dictionary).""".stripMargin,
+    "q_pref_cycles" ->
+      """Preference transitivity audit off the SUITE-SHARED bt_pairs
+        |checkpoint (the (order, brand) micro-spend aggregate + merge-
+        |hinted order self-join runs ONCE per suite, shared with
+        |q_eval_bradley_terry — 'Scan ExistingRDD' below, never a
+        |lineitem rescan): majority edges per unordered brand pair,
+        |then two triad equi-joins and three edge lookups, all on the
+        |<= brands²/2 dictionary edge list; the one-row readout joins
+        |two one-row scalar broadcasts. Pinned by PlanShapeSpec.""".stripMargin,
     "q_dedup_prefixfilter" ->
       """PPJoin-lite prefix filtering (r12) with replica-group collapse
         |(r14): docs are fingerprinted by their CANONICAL shingle set

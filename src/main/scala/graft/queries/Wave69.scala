@@ -100,6 +100,33 @@ object Wave69 {
       |    * (10000 - CAST(ROUND(l.l_discount * 10000, 0) AS BIGINT)))"""
       .stripMargin
 
+  /** SUITE-SHARED (w, l, n) match-count frame: the (order, brand)
+    * micro-spend aggregate + the merge-hinted order-key self-join,
+    * materialized once per suite (brand-pair dictionary grain, <=
+    * brands² rows) and consumed by both q_eval_bradley_terry (which
+    * collects it as the MM model input) and q_pref_cycles (which
+    * rolls it to majority edges) — the data-sized work runs once. */
+  private[queries] def btPairFrame(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.SharedFrames.frame(d, "bt_pairs") {
+      val os = Tables.load(s, d, "lineitem").as("l")
+        .join(Tables.load(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")),
+          "l_partkey")
+        .groupBy(col("l_orderkey").as("ok"), col("b"))
+        .agg(expr(btSpendSql.replace("l.l_", "l_")).as("spend"))
+      val a = os.select(col("ok"), col("b").as("ba"), col("spend").as("sa"))
+        .hint("merge")
+      val c = os.select(col("ok").as("ok2"), col("b").as("bc"),
+        col("spend").as("sc")).hint("merge")
+      a.join(c, col("ok") === col("ok2") && col("ba") < col("bc"))
+        .select(
+          when(col("sa") >= col("sc"), col("ba")).otherwise(col("bc")).as("w"),
+          when(col("sa") >= col("sc"), col("bc")).otherwise(col("ba")).as("l"))
+        .groupBy("w", "l").agg(count(lit(1)).as("n"))
+    }
+
   val evalBradleyTerry: Q = {
     val spendSql = btSpendSql
     Q(
@@ -134,22 +161,7 @@ object Wave69 {
          |FROM pl p JOIN r$BtRounds ON r$BtRounds.i = p.i
          |JOIN tm ON tm.i = p.i LEFT JOIN w ON w.i = p.i
          |ORDER BY brand""".stripMargin) { (s, d) =>
-      val os = Tables.load(s, d, "lineitem").as("l")
-        .join(Tables.load(s, d, "part")
-          .select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")),
-          "l_partkey")
-        .groupBy(col("l_orderkey").as("ok"), col("b"))
-        .agg(expr(spendSql.replace("l.l_", "l_")).as("spend"))
-      val a = os.select(col("ok"), col("b").as("ba"), col("spend").as("sa"))
-        .hint("merge")
-      val c = os.select(col("ok").as("ok2"), col("b").as("bc"),
-        col("spend").as("sc")).hint("merge")
-      val pair = a
-        .join(c, col("ok") === col("ok2") && col("ba") < col("bc"))
-        .select(
-          when(col("sa") >= col("sc"), col("ba")).otherwise(col("bc")).as("w"),
-          when(col("sa") >= col("sc"), col("bc")).otherwise(col("ba")).as("l"))
-        .groupBy("w", "l").agg(count(lit(1)).as("n"))
+      val pair = btPairFrame(s, d)
         .collect()
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       // Driver-side bounded MM recursion — exactly the oracle's

@@ -111,11 +111,13 @@ object Wave77 {
     * edges form a directed 3-cycle. cyc_ppm bounds rankability: a
     * cyclic triad is a preference no total order can explain.
     *
-    * Shape at 100TB: the data-sized work is the (order, brand) spend
-    * aggregate + the merge-hinted order-key self-join (identical to
-    * Bradley-Terry, bounded fan-out); everything after the (w, l)
-    * count aggregate — majority edges, the two triad joins — runs on
-    * the <= brands²/2 dictionary edge list (AQE broadcasts it). */
+    * Shape at 100TB: the data-sized work — the (order, brand) spend
+    * aggregate + the merge-hinted order-key self-join — is the
+    * SUITE-SHARED [[Wave69.btPairFrame]] materialization (built once,
+    * consumed by Bradley-Terry and this audit; brand-pair dictionary
+    * grain); everything here — majority edges, the two triad joins —
+    * runs on the <= brands²/2 dictionary edge list (AQE broadcasts
+    * it). */
   val prefCycles: Q = Q(
     "q_pref_cycles",
     s"""WITH os AS MATERIALIZED (
@@ -132,9 +134,8 @@ object Wave77 {
        |    CAST(SUM(CASE WHEN w < l THEN n ELSE 0 END) AS BIGINT) AS wi,
        |    CAST(SUM(CASE WHEN w > l THEN n ELSE 0 END) AS BIGINT) AS wj
        |  FROM pair GROUP BY 1, 2),
-       |e AS (SELECT CASE WHEN wi >= wj THEN i ELSE j END AS src,
-       |             CASE WHEN wi >= wj THEN j ELSE i END AS dst
-       |      FROM up),
+       |ek AS (SELECT i, j, CASE WHEN wi >= wj THEN j ELSE i END AS dst
+       |       FROM up),
        |tri AS (SELECT p1.i AS a, p1.j AS b, p2.j AS c
        |  FROM up p1 JOIN up p2 ON p2.i = p1.j
        |  JOIN up p3 ON p3.i = p1.i AND p3.j = p2.j),
@@ -143,12 +144,9 @@ object Wave77 {
        |           OR (e1.dst = t.a AND e2.dst = t.b AND e3.dst = t.c)
        |         THEN 1 ELSE 0 END AS is_cyc
        |  FROM tri t
-       |  JOIN e e1 ON (e1.src = t.a AND e1.dst = t.b)
-       |            OR (e1.src = t.b AND e1.dst = t.a)
-       |  JOIN e e2 ON (e2.src = t.b AND e2.dst = t.c)
-       |            OR (e2.src = t.c AND e2.dst = t.b)
-       |  JOIN e e3 ON (e3.src = t.a AND e3.dst = t.c)
-       |            OR (e3.src = t.c AND e3.dst = t.a))
+       |  JOIN ek e1 ON e1.i = t.a AND e1.j = t.b
+       |  JOIN ek e2 ON e2.i = t.b AND e2.j = t.c
+       |  JOIN ek e3 ON e3.i = t.a AND e3.j = t.c)
        |SELECT CAST((SELECT COUNT(DISTINCT i) FROM (
        |         SELECT i FROM up UNION ALL SELECT j FROM up) z) AS BIGINT)
        |    AS n_brands,
@@ -160,43 +158,27 @@ object Wave77 {
        |  END AS cyc_ppm
        |FROM cyc
        |ORDER BY n_brands""".stripMargin) { (s, d) =>
-    val os = Tables.load(s, d, "lineitem").as("l")
-      .join(Tables.load(s, d, "part")
-        .select(col("p_partkey").as("l_partkey"), col("p_brand").as("b")),
-        "l_partkey")
-      .groupBy(col("l_orderkey").as("ok"), col("b"))
-      .agg(expr(Wave69.btSpendSql.replace("l.l_", "l_")).as("spend"))
-    val a = os.select(col("ok"), col("b").as("ba"), col("spend").as("sa"))
-      .hint("merge")
-    val c = os.select(col("ok").as("ok2"), col("b").as("bc"),
-      col("spend").as("sc")).hint("merge")
-    val pair = a
-      .join(c, col("ok") === col("ok2") && col("ba") < col("bc"))
-      .select(
-        when(col("sa") >= col("sc"), col("ba")).otherwise(col("bc")).as("w"),
-        when(col("sa") >= col("sc"), col("bc")).otherwise(col("ba")).as("l"))
-      .groupBy("w", "l").agg(count(lit(1)).as("n"))
+    val pair = Wave69.btPairFrame(s, d)
     val up = pair
       .groupBy(least(col("w"), col("l")).as("i"),
         greatest(col("w"), col("l")).as("j"))
       .agg(sum(when(col("w") < col("l"), col("n")).otherwise(0L)).as("wi"),
         sum(when(col("w") > col("l"), col("n")).otherwise(0L)).as("wj"))
-    val e = up.select(
-      when(col("wi") >= col("wj"), col("i")).otherwise(col("j")).as("src"),
+    // edge lookups keyed by the UNORDERED pair (i, j) so every triad
+    // probe is an EQUI-join (the src/dst OR-form planned as a
+    // cartesian product with AQE off)
+    val ek = up.select(col("i"), col("j"),
       when(col("wi") >= col("wj"), col("j")).otherwise(col("i")).as("dst"))
     val tri = up.select(col("i").as("a"), col("j").as("b"))
       .join(up.select(col("i").as("b"), col("j").as("c")), "b")
       .join(up.select(col("i").as("a"), col("j").as("c")), Seq("a", "c"))
     val cyc = tri
-      .join(e.select(col("src").as("e1s"), col("dst").as("e1d")),
-        (col("e1s") === col("a") && col("e1d") === col("b"))
-          || (col("e1s") === col("b") && col("e1d") === col("a")))
-      .join(e.select(col("src").as("e2s"), col("dst").as("e2d")),
-        (col("e2s") === col("b") && col("e2d") === col("c"))
-          || (col("e2s") === col("c") && col("e2d") === col("b")))
-      .join(e.select(col("src").as("e3s"), col("dst").as("e3d")),
-        (col("e3s") === col("a") && col("e3d") === col("c"))
-          || (col("e3s") === col("c") && col("e3d") === col("a")))
+      .join(ek.select(col("i").as("a"), col("j").as("b"),
+        col("dst").as("e1d")), Seq("a", "b"))
+      .join(ek.select(col("i").as("b"), col("j").as("c"),
+        col("dst").as("e2d")), Seq("b", "c"))
+      .join(ek.select(col("i").as("a"), col("j").as("c"),
+        col("dst").as("e3d")), Seq("a", "c"))
       .select(when(
         (col("e1d") === col("b") && col("e2d") === col("c")
           && col("e3d") === col("a"))

@@ -282,6 +282,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bradley-terry output exceeds the $brands-brand dictionary")
   }
 
+  test("q_pref_cycles: consumes the suite-shared bt_pairs frame " +
+    "(checkpointed RDD scan, no lineitem rescan) and plans " +
+    "dictionary-grain joins only — no cartesian product") {
+    val plan = staticPlan("q_pref_cycles")
+    val s = plan.toString
+    // the (order, brand) spend aggregate + order-key self-join live in
+    // the SHARED build (paid once per suite); this query's own plan
+    // must read the checkpoint, not rebuild the data-sized chain
+    assert(s.contains("Scan ExistingRDD"), s.take(2000))
+    assert(!s.contains("Scan parquet"),
+      s"q_pref_cycles must not rescan base tables:\n${s.take(2000)}")
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
   test("q_curation_pipeline: the near-dup pair join reuses one shingle " +
     "exchange (hinted SMJ -> ReusedExchange) and no cartesian product " +
     "appears anywhere") {
