@@ -91,7 +91,8 @@ object SparkEntry {
       graft.queries.Wave76.all ++
       graft.queries.Wave77.all ++
       graft.queries.Wave78.all ++
-      graft.queries.Wave79.all
+      graft.queries.Wave79.all ++
+      graft.queries.Wave80.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
