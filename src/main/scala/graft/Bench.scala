@@ -15,6 +15,19 @@ object Bench {
       // SPARK_GRAFT_AQE=false exists for measuring its per-query cost
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // r14: let AQE coalesce CACHED plans' output partitioning too
+      // (default false). The suite persists many small post-shuffle
+      // relations (BPE vocab, iterative edge caches' aggregates);
+      // without this every consumer job scans them at the static
+      // shuffle-partition count — pure task-scheduling overhead
+      // locally, and at cluster scale the same flag lets AQE right-
+      // size cached relations to advisoryPartitionSizeInBytes instead
+      // of the static 32/200. Scale-adaptive, not a local[32] tune;
+      // explicit repartition(n, key) caches are exempt by AQE's own
+      // user-specified-repartition rule. SPARK_GRAFT_CACHE_AQE=false
+      // is the A/B control.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -23,6 +23,10 @@ object Verify {
       // (Tables.load converts it back to a timestamp column)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r14: mirror Bench's cached-plan AQE coalescing so the hash
+      // gates exercise the same physical configuration the bench runs.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -38,19 +38,29 @@ object RetrievalShared {
     s.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
   /** Vocabulary size (distinct terms) — driver scalar, dictionary-
-    * bounded. */
+    * bounded. Reads the materialized [[tfFrame]], not its own corpus
+    * pass (r14: vsize + the two tf references inside docvecs were
+    * three full explode+aggregate passes over the corpus; now one). */
   def vsize(s: SparkSession, d: String): Int =
     SharedFrames.scalar(d, "vsize") {
-      termFreq(s, d).select("term").distinct().count()
+      tfFrame(s, d).select("term").distinct().count()
     }.toInt
 
-  private def termFreq(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
-      .repartition(parts(s))
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+  /** (doc_id, term, tf) — THE single corpus-wide pass of the sparse
+    * family, materialized once per (dir). docvecs references it twice
+    * (df branch + join side) and vsize once; without the shared
+    * materialization each reference re-ran the corpus explode +
+    * aggregate (guide §1.2: don't recompute what you already have). */
+  private def tfFrame(s: SparkSession, d: String): DataFrame =
+    SharedFrames.frame(d, "tf") {
+      Tables.load(s, d, "documents")
+        .repartition(parts(s))
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+    }
 
   /** The dense per-doc weight-vector index: (doc_id, v array<long>,
     * n2). One corpus shuffle to tf, one to the vector fold; weights
@@ -61,7 +71,7 @@ object RetrievalShared {
   def docvecs(s: SparkSession, d: String): DataFrame =
     SharedFrames.frame(d, "docvecs") {
       val n = vsize(s, d)
-      val tf = termFreq(s, d)
+      val tf = tfFrame(s, d)
       val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val dict = dfq.select(col("term"),
         (row_number().over(BoundedWindow.single(col("term"))) - 1).as("idx"))

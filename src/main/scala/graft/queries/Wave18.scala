@@ -97,37 +97,46 @@ object Wave18 {
         .groupBy("doc_id", "ci", "cj").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       // The similarity self-join sits in EVERY unrolled round's
-      // lineage — cache the symmetric edge list (and the chunk frame
-      // the per-round left join re-reads) so it builds once, not once
-      // per round. Locally this is noise (~5s either way: the 4
-      // unrolled rounds are stage-latency-bound at 12 tiny shuffle
-      // stages, same cost class as hits/ppr/labelprop); at corpus
-      // scale the edge build is the data-sized term and must not
-      // multiply by rounds.
+      // lineage — cache the symmetric edge list so it builds once, not
+      // once per round. r14 optimization (guide §2.4 — remove shuffles
+      // outright): wdeg is a FUNCTION of the edge list, so it is folded
+      // into the persisted edge cache ONCE instead of joined back in
+      // every round (was: 3 joins/round — pr, wdeg, and a chunk-frame
+      // completion left join; now: 1 join + 1 aggregate per round).
+      // The per-round completion join is unnecessary because the edge
+      // list is SYMMETRIC: every chunk with any edge has in-edges, so
+      // the groupBy(cj) emits every endpoint chunk each round, and a
+      // chunk with NO edges keeps pr = 150000 + 85*0 = 150000 in every
+      // round of the original recursion — it is re-attached once at
+      // the end via coalesce(pr, 150000). Output bit-identical (same
+      // truncating-integer arithmetic per edge), gated at both SFs.
       val ed = e0.unionAll(e0.select(col("doc_id"), col("cj").as("ci"),
         col("ci").as("cj"), col("w")))
         .repartition(np, col("doc_id"))
         .persist()
-      val chC = ch.repartition(np, col("doc_id")).persist()
       val wdeg = ed.groupBy(col("doc_id"), col("ci").as("g"))
         .agg(sum("w").as("wdeg"))
         .localCheckpoint(false)
-      var pr = chC.select(col("doc_id"), col("g"), lit(1000000L).as("pr"))
+      // one-time fold of the per-source weighted degree onto each edge,
+      // pre-partitioned on the per-round join key (doc_id, ci)
+      val edW = ed
+        .join(wdeg.toDF("doc_id", "ci", "wdeg"), Seq("doc_id", "ci"))
+        .repartition(np, col("doc_id"), col("ci"))
+        .persist()
+      var pr = wdeg.select(col("doc_id"), col("g"), lit(1000000L).as("pr"))
       for (_ <- 1 to TrRounds) {
-        val fl = ed
+        pr = edW
           .join(pr.toDF("doc_id", "ci", "pru"), Seq("doc_id", "ci"))
-          .join(wdeg.toDF("doc_id", "ci", "wdeg"), Seq("doc_id", "ci"))
           .groupBy(col("doc_id"), col("cj").as("g"))
           .agg(expr("CAST(SUM(pru * w div wdeg) AS BIGINT)").as("fl"))
-        pr = chC.select(col("doc_id"), col("g"))
-          .join(fl, Seq("doc_id", "g"), "left")
           .select(col("doc_id"), col("g"),
-            (lit(150000L) + expr("(85 * COALESCE(fl, 0)) div 100"))
-              .as("pr"))
+            (lit(150000L) + expr("(85 * fl) div 100")).as("pr"))
       }
       val byDoc = Window.partitionBy("doc_id")
         .orderBy(col("pr").desc, col("g").asc)
-      pr.join(chC, Seq("doc_id", "g"))
+      ch.join(pr, Seq("doc_id", "g"), "left")
+        .select(col("doc_id"), col("g"),
+          coalesce(col("pr"), lit(150000L)).as("pr"), col("chunk"))
         .withColumn("rnk", row_number().over(byDoc))
         .filter(col("rnk") <= 2)
         .select(col("doc_id"), col("rnk").cast("long").as("rnk"),

@@ -198,23 +198,53 @@ object Wave19 {
     val b0 = li.agg(expr("CAST(SUM(y) div COUNT(1) AS BIGINT)").as("p0"))
     val r1 = li.crossJoin(broadcast(b0))
       .select(col("qty"), col("dc"), (col("y") - col("p0")).as("r"))
+    // r14 optimization (guide §1.2/§2.3 — fewer passes, aggregate
+    // before shuffling, no explode): the bin edges depend only on the
+    // STATIC features qty/dc (residual updates change r, never the
+    // feature values), so min/max is ONE pass over the fact computed
+    // once for both rounds — the oracle's mm2-over-r2 is value-
+    // identical by construction. Each round then makes ONE map-side-
+    // combined pass to the 32x32 (bin_dc, bin_qty) cell table carrying
+    // (n, Σr, Σr²); both per-feature histograms AND the SSE witness
+    // re-aggregate those 1024 cells, replacing the previous per-round
+    // 2x-exploded min/max pass + 2x-exploded histogram pass + separate
+    // full-fact SSE pass (9 fact passes total -> 5).
+    val mmWide = li.agg(
+      min("dc").as("mn_dc"), max("dc").as("mx_dc"),
+      min("qty").as("mn_qty"), max("qty").as("mx_qty"))
+      .localCheckpoint(false)
+    val mm = mmWide.select(explode(array(
+        struct(lit("dc").as("feature"), col("mn_dc").as("mn"),
+          col("mx_dc").as("mx")),
+        struct(lit("qty").as("feature"), col("mn_qty").as("mn"),
+          col("mx_qty").as("mx")))).as("e"))
+      .select(col("e.feature").as("feature"), col("e.mn").as("mn"),
+        col("e.mx").as("mx"))
 
     // One boosting round: histogram split search over the residual
-    // frame, returns (best-split row, residual frame for next round).
+    // frame, returns (best-split row, residual frame for next round,
+    // SSE-of-input witness).
     def boostRound(rs: org.apache.spark.sql.DataFrame)
-        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-      val lf = rs.select(explode(array(
-          struct(lit("dc").as("feature"), col("dc").as("v"), col("r").as("r")),
-          struct(lit("qty").as("feature"), col("qty").as("v"),
-            col("r").as("r")))).as("e"))
-        .select(col("e.feature").as("feature"), col("e.v").as("v"),
-          col("e.r").as("r"))
-      val mm = lf.groupBy("feature").agg(min("v").as("mn"), max("v").as("mx"))
-      val h = lf.join(broadcast(mm), "feature")
-        .select(col("feature"),
-          expr("(v - mn) * 32 div (mx - mn + 1)").as("bin"), col("r"))
-        .groupBy("feature", "bin")
-        .agg(count(lit(1)).as("n"), sum("r").as("sr"))
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+           org.apache.spark.sql.DataFrame) = {
+      val cells = rs.crossJoin(broadcast(mmWide))
+        .select(
+          expr("(dc - mn_dc) * 32 div (mx_dc - mn_dc + 1)").as("bin_dc"),
+          expr("(qty - mn_qty) * 32 div (mx_qty - mn_qty + 1)").as("bin_qty"),
+          col("r"))
+        .groupBy("bin_dc", "bin_qty")
+        .agg(count(lit(1)).as("n"), sum("r").as("sr"),
+          expr("SUM(CAST(r AS DECIMAL(38,0)) * r)").as("sr2"))
+        .localCheckpoint(false) // 1024 rows, consumed 3x
+      val h = cells.groupBy(col("bin_dc").as("bin"))
+        .agg(sum("n").as("n"), sum("sr").as("sr"))
+        .select(lit("dc").as("feature"), col("bin"), col("n"), col("sr"))
+        .unionAll(cells.groupBy(col("bin_qty").as("bin"))
+          .agg(sum("n").as("n"), sum("sr").as("sr"))
+          .select(lit("qty").as("feature"), col("bin"), col("n"),
+            col("sr")))
+      val sseDf = cells.agg(
+        expr("CAST(SUM(sr2) div 1000000 AS BIGINT)").as("sse_in_e6"))
       val w = Window.partitionBy("feature").orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val t = h.groupBy("feature").agg(sum("n").as("nt"), sum("sr").as("st"))
@@ -243,16 +273,13 @@ object Wave19 {
             expr("""(CASE feature WHEN 'qty' THEN qty ELSE dc END - mn)
                    | * 32 div (mx - mn + 1)""".stripMargin) <= col("bin"),
             col("leaf_l")).otherwise(col("leaf_r"))).as("r"))
-      (best, next)
+      (best, next, sseDf)
     }
-    def sse(rs: org.apache.spark.sql.DataFrame) = rs.agg(
-      expr("CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) div 1000000 AS BIGINT)")
-        .as("sse_in_e6"))
-    val (best1, r2) = boostRound(r1)
+    val (best1, r2, sse1) = boostRound(r1)
     val r2c = r2.localCheckpoint(false)
-    val (best2, _) = boostRound(r2c)
-    best1.crossJoin(broadcast(sse(r1))).select(lit(1L).as("rnd"), col("*"))
-      .unionAll(best2.crossJoin(broadcast(sse(r2c)))
+    val (best2, _, sse2) = boostRound(r2c)
+    best1.crossJoin(broadcast(sse1)).select(lit(1L).as("rnd"), col("*"))
+      .unionAll(best2.crossJoin(broadcast(sse2))
         .select(lit(2L).as("rnd"), col("*")))
       .select("rnd", "feature", "bin", "nl", "nr", "leaf_l", "leaf_r",
         "score", "sse_in_e6")
