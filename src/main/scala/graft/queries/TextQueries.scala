@@ -94,10 +94,17 @@ object TextQueries {
          |FROM sc ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
     Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        Text.langScoresUdf(col("text")).as("sc"))
+      .select(col("doc_id") +: col("labeled_lang") +:
+        Text.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+          col("sc").getItem(i).as(s"s_$l") }: _*)
       .select(
         col("doc_id"),
-        col("lang").as("labeled_lang"),
-        Text.langId(toks).as("predicted_lang"))
+        col("labeled_lang"),
+        Text.langIdFromScores(
+          Text.langMarkers.map { case (l, _) => l -> col(s"s_$l") })
+          .as("predicted_lang"))
       .orderBy("doc_id")
   }
 

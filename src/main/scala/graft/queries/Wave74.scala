@@ -63,9 +63,20 @@ object Wave74 {
          |FROM lt LEFT JOIN lp ON lp.lang = lt.lang
          |LEFT JOIN tp ON tp.lang = lt.lang
          |ORDER BY lt.lang""".stripMargin) { (s, d) =>
-      val toks = expr("filter(split(lower(text), ' '), x -> x <> '')")
-      val p = Tables.load(s, d, "documents")
-        .select(col("lang").as("labeled"), Text.langId(toks).as("pred"))
+      // two-step language ID (r14): all marker counts in ONE compiled
+      // UDF pass (the single-expression argmax inlined every score into
+      // every CASE branch — ~46 interpreted size(filter(...)) per row),
+      // then the argmax CASE folds over the projected ATTRIBUTES
+      val scored = Tables.load(s, d, "documents")
+        .select(col("lang").as("labeled"),
+          Text.langScoresUdf(col("text")).as("sc"))
+        .select(col("labeled") +:
+          Text.langMarkers.zipWithIndex.map { case ((l, _), i) =>
+            col("sc").getItem(i).as(s"s_$l") }: _*)
+      val p = scored.select(col("labeled"),
+        Text.langIdFromScores(
+          Text.langMarkers.map { case (l, _) => l -> col(s"s_$l") })
+          .as("pred"))
       val cells = p.groupBy("labeled", "pred").agg(count(lit(1)).as("n"))
       val lt = cells.groupBy(col("labeled").as("lang"))
         .agg(sum("n").as("n_true"))

@@ -165,8 +165,61 @@ object Text {
     "fr" -> Seq("le", "la", "les", "et", "des", "un", "est"),
     "zh" -> Seq("de5", "le5", "shi4", "bu4", "wo3", "ni3", "ta1"))
 
+  /** Per-language marker-hit scores, as named columns. Consumers that
+    * argmax over these should project them FIRST (a separate select)
+    * and fold the CASE over the resulting attributes: folding over the
+    * raw markerCount expressions inlines every score into every CASE
+    * branch — ~46 interpreted `size(filter(...))` evaluations per row
+    * instead of 5 (r14; CollapseProject will not re-inline a non-cheap
+    * alias referenced more than once, so the two-step projection keeps
+    * each score computed exactly once). */
+  def langScores(toks: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+
+  /** All [[langMarkers]] hit counts in ONE compiled pass over the raw
+    * text (r14): HOF filter lambdas run interpreted (~10x slower than
+    * compiled code in hot paths — CLAUDE.md lore), and the two-step
+    * langScores form still walks the token array once per language.
+    * This UDF lowercases, splits and counts every language's markers
+    * in a single token walk. Empty tokens are never markers, so the
+    * usual `x <> ''` filter is unnecessary; counts are multiplicity-
+    * preserving, identical to `size(filter(toks, isin(markers)))`. */
+  val langScoresUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val sets: Array[Set[String]] = langMarkers.map(_._2.toSet).toArray
+    udf { (text: String) =>
+      val c = new Array[Long](sets.length)
+      if (text != null) {
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ")
+        var j = 0
+        while (j < toks.length) {
+          var i = 0
+          while (i < sets.length) {
+            if (sets(i).contains(toks(j))) c(i) += 1
+            i += 1
+          }
+          j += 1
+        }
+      }
+      c
+    }
+  }
+
+  /** Argmax over already-projected score COLUMNS (one per language,
+    * in [[langMarkers]] order) with the fixed first-listed-wins
+    * tie-break — the cheap second step of the two-step language ID. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
+    val (firstLang, firstScore) = scores.head
+    scores.tail.foldLeft((lit(firstLang), firstScore)) {
+      case ((accLang, accScore), (lang, score)) =>
+        (when(score > accScore, lit(lang)).otherwise(accLang),
+          when(score > accScore, score).otherwise(accScore))
+    }._1
+  }
+
   /** Language-ID: argmax of marker-vocab hit counts with a fixed
-    * tie-break order (first language listed wins ties). */
+    * tie-break order (first language listed wins ties). Single-column
+    * form — prefer langScores + langIdFromScores over a projection
+    * boundary in per-row hot paths (see [[langScores]]). */
   def langId(toks: Column): Column = {
     val scores = langMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
     // fold from the last language to the first: earlier langs win ties
