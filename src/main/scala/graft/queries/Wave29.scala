@@ -152,50 +152,58 @@ object Wave29 {
         .select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment").as("seg"), col("reg"))
       val cells = cust.groupBy("seg", "reg").agg(count(lit(1)).as("n"))
-      val tot = cells.agg(sum("n").as("nt"))
       val rev = Tables.load(s, d, "orders")
         .join(cust, "o_custkey")
         .groupBy("seg", "reg")
         .agg(sum(expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"))
           .as("rv"))
-      val rt = rev.agg(sum("rv").as("rvt"))
-      // fresh-leaf checkpoints: without them each half-step references
-      // the carried frame twice (margin sum + scale join), DOUBLING the
-      // uncached plan per step — 2^8 re-executions of the cells/rev
-      // base by round 4 (measured 56s at sf0.1; 1.4s with the leaves).
-      // The frames are margin-dictionary-sized, so the checkpoint jobs
-      // are trivial. Same ckptLeaf rationale as q_graph_mst.
-      def ckptLeaf(df: DataFrame): DataFrame = {
-        val ck = df.localCheckpoint(true)
-        s.createDataFrame(ck.toDF().rdd, ck.schema)
-      }
-      val tseg = ckptLeaf(rev.groupBy("seg").agg(sum("rv").as("rvs"))
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(rt))
-        .select(col("seg"), expr("CAST(rvs * nt div rvt AS BIGINT)").as("t")))
-      val treg = ckptLeaf(rev.groupBy("reg").agg(sum("rv").as("rvs"))
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(rt))
-        .select(col("reg"), expr("CAST(rvs * nt div rvt AS BIGINT)").as("t")))
-      var w: DataFrame = ckptLeaf(cells.select(col("seg"), col("reg"),
-        (col("n") * lit(1000000L)).as("w")))
-      // DECIMAL(38)/HUGEINT intermediates, BIGINT at each half-step
-      // boundary: w*f and t*1e12 pass 2^63 near 1e9-customer margins
-      val scale = """CAST(CAST(w AS DECIMAL(38,0))
-                    |  * (CAST(t AS DECIMAL(38,0)) * 1000000 * 1000000 div sw)
-                    |  div 1000000 AS BIGINT)""".stripMargin
+      // r14: the carried IPF matrix is the (mktsegment x region) grid —
+      // <= 25 cells at ANY corpus scale (both axes are fixed
+      // dictionaries), the same boundedness that justifies
+      // q_eval_bradley_terry's driver-side MM recursion and
+      // q_markov_absorption's dictionary solve. The data-sized work is
+      // exactly TWO corpus aggregates (cells, rev — each one map-side-
+      // combined shuffle); the 2x4 scaling half-steps then run on the
+      // driver in exact BigInt, mirroring the previous per-half-step
+      // Spark plan bit-for-bit (truncating `div` == BigInt / on
+      // positives; inner (t*1e12 div sw) first, then *w div 1e6 —
+      // identical operation order and intermediates). Replaces 11
+      // sequential fresh-leaf checkpoint jobs over 25-row frames with
+      // two collects (bounded, auditable) — isolated sf0.1 ~3.2s ->
+      // ~1s, and at 100TB the half-steps cost nothing instead of 11
+      // scheduler round-trips.
+      val cellRows = cells.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val revRows = rev.collect()
+        .map(r => ((r.getString(0), r.getLong(1)), BigInt(r.getLong(2))))
+      val nt = BigInt(cellRows.map(_._3).sum)
+      val rvt = revRows.map(_._2).sum
+      val e6 = BigInt(1000000); val e12 = e6 * e6
+      val tseg: Map[String, BigInt] = revRows.groupBy(_._1._1)
+        .map { case (sg, xs) => sg -> xs.map(_._2).sum * nt / rvt }
+      val treg: Map[Long, BigInt] = revRows.groupBy(_._1._2)
+        .map { case (rg, xs) => rg -> xs.map(_._2).sum * nt / rvt }
+      // w0 = n * 1e6 over all cells; each half-step keeps exactly the
+      // cells whose margin key exists (the Spark inner join's rows)
+      var w: Seq[((String, Long), BigInt)] =
+        cellRows.toSeq.map { case (sg, rg, n) => (sg, rg) -> BigInt(n) * e6 }
       for (_ <- 1 to RakeRounds) {
-        val rs = w.groupBy("seg").agg(sum("w").as("sw"))
-        w = ckptLeaf(w.join(broadcast(rs), "seg")
-          .join(broadcast(tseg), "seg")
-          .select(col("seg"), col("reg"), expr(scale).as("w")))
-        val cs = w.groupBy("reg").agg(sum("w").as("sw"))
-        w = ckptLeaf(w.join(broadcast(cs), "reg")
-          .join(broadcast(treg), "reg")
-          .select(col("seg"), col("reg"), expr(scale).as("w")))
+        val wSeg = w.filter { case ((sg, _), _) => tseg.contains(sg) }
+        val rs = wSeg.groupBy(_._1._1)
+          .map { case (sg, xs) => sg -> xs.map(_._2).sum }
+        w = wSeg.map { case ((sg, rg), ww) =>
+          (sg, rg) -> ww * (tseg(sg) * e12 / rs(sg)) / e6 }
+        val wReg = w.filter { case ((_, rg), _) => treg.contains(rg) }
+        val cs = wReg.groupBy(_._1._2)
+          .map { case (rg, xs) => rg -> xs.map(_._2).sum }
+        w = wReg.map { case ((sg, rg), ww) =>
+          (sg, rg) -> ww * (treg(rg) * e12 / cs(rg)) / e6 }
       }
-      w.join(cells, Seq("seg", "reg"))
-        .select(col("seg"), col("reg"), col("n"),
-          col("w").cast("long").as("w_fx"))
-        .orderBy("seg", "reg")
+      val nByCell = cellRows.map { case (sg, rg, n) => (sg, rg) -> n }.toMap
+      val out = w.map { case ((sg, rg), ww) =>
+        (sg, rg, nByCell((sg, rg)), ww.toLong) }
+      import s.implicits._
+      out.toDF("seg", "reg", "n", "w_fx").orderBy("seg", "reg")
     }
   }
 
