@@ -31,6 +31,34 @@ class TextSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "en"))
   }
 
+  test("langScoresUdf: single compiled pass equals the per-language " +
+    "HOF marker counts, and the two-step argmax equals langId") {
+    val docs = Seq(
+      "the cat and the dog is in a house",
+      "el perro y la casa de un gato que",
+      "der hund und die katze ist ein nicht",
+      "le chat et la maison les des un est",
+      "de5 le5 shi4 bu4 wo3 ni3 ta1",
+      "  the   de5 de la  und ", // multi-space + cross-lang ties
+      "", "xyz qrs").toDF("text")
+    val toks = Text.tokens(col("text"))
+    val hof = docs.select(
+      Text.langScores(toks).map { case (l, c) => c.as(s"h_$l") }: _*)
+      .collect().map(r => (0 until Text.langMarkers.size).map(r.getLong))
+    val fast = docs.select(Text.langScoresUdf(col("text")).as("sc"))
+      .collect().map(_.getSeq[Long](0).toIndexedSeq)
+    assert(hof.toSeq.map(_.toIndexedSeq) == fast.toSeq)
+    // two-step argmax == single-expression langId (the r14 rewrite)
+    val twoStep = docs
+      .select(Text.langScoresUdf(col("text")).as("sc"))
+      .select(Text.langIdFromScores(Text.langMarkers.zipWithIndex
+        .map { case ((l, _), i) => l -> col("sc").getItem(i) }).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    val oneStep = docs.select(Text.langId(toks))
+      .collect().map(_.getString(0)).toSeq
+    assert(twoStep == oneStep)
+  }
+
   test("quality features: ratios and counts") {
     val feats = Text.qualityFeatures(col("text"))
     val row = Seq("the the cat!").toDF("text")
