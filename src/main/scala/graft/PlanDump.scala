@@ -390,19 +390,24 @@ object PlanDump {
     "q_textrank_chunks" ->
       """TextRank summarization: the chunk-similarity self-join is an
         |EQUI-join on (doc_id, tok) — the chunk graph never leaves its
-        |document, so nothing is cross-doc. The symmetric edge list and
-        |chunk frame are persisted ONCE (InMemoryRelation feeding every
-        |unrolled round — the edge build is the data-sized term and must
-        |not multiply by rounds); each round is a doc-partitioned join +
-        |aggregate; the top-2 readout is a doc-partitioned rank
-        |window.""".stripMargin,
+        |document, so nothing is cross-doc. The symmetric edge list is
+        |persisted ONCE with the per-source weighted degree FOLDED IN
+        |(r14: wdeg is a function of the edges, so it rides the one
+        |edge cache instead of joining back every round), so each round
+        |is ONE doc-partitioned join + aggregate; isolated chunks
+        |re-attach once at the end (coalesce 150000); the top-2 readout
+        |is a doc-partitioned rank window.""".stripMargin,
     "q_tree_boost" ->
       """Histogram GBDT: per round ONE map-side-combined aggregate
-        |collapses the fact scan to 2x32 (feature, bin) histogram rows;
-        |split selection is a 64-row sort/limit; the round-2 residual
-        |update joins the ONE-row best-split frame back via broadcast.
-        |Nothing downstream of the histogram aggregate is data-sized —
-        |the XGBoost data layout.""".stripMargin,
+        |collapses the fact scan to a 32x32 (bin_dc, bin_qty) cell
+        |table carrying (n, sum r, sum r^2) — both per-feature
+        |histograms AND the SSE witness re-aggregate those 1024 rows
+        |(r14: was two exploded passes + a separate SSE pass per
+        |round); the static-feature bin edges are ONE min/max pass
+        |shared by both rounds; split selection is a 64-row sort/limit;
+        |the round-2 residual update joins the ONE-row best-split frame
+        |back via broadcast. Nothing downstream of the cell aggregate
+        |is data-sized — the XGBoost data layout.""".stripMargin,
     "q_bootstrap_ci" ->
       """Poisson bootstrap: the 200x replica fan-out is Generate(explode)
         |of a CONSTANT sequence INSIDE the scan's WholeStageCodegen span,
