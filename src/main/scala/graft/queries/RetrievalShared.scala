@@ -62,6 +62,26 @@ object RetrievalShared {
         .agg(count(lit(1)).as("tf"))
     }
 
+  /** Compiled dense-vector fold: (idx, w) pairs -> the length-n dense
+    * weight array with zeros elsewhere. Value-identical to the HOF
+    * formulation it replaced (transform(sequence(0, n-1),
+    * i -> coalesce(element_at(map, i), 0)) over map_from_entries):
+    * every idx is unique per doc and lives in [0, n), so positional
+    * stores and map lookups build the same array. One compiled pass
+    * per doc instead of n interpreted element_at probes (HOF lambdas
+    * evaluate interpreted — the repo's measured ~10x lore); pinned by
+    * RetrSharedSpec. */
+  private[graft] def denseFoldUdf(n: Int) =
+    udf { (pairs: Seq[org.apache.spark.sql.Row]) =>
+      val a = new Array[Long](n)
+      val it = pairs.iterator
+      while (it.hasNext) {
+        val r = it.next()
+        a(r.getInt(0)) = r.getLong(1)
+      }
+      a.toSeq
+    }
+
   /** The dense per-doc weight-vector index: (doc_id, v array<long>,
     * n2). One corpus shuffle to tf, one to the vector fold; weights
     * are the exact integers w = tf * (100000 div df). Materialized
@@ -79,12 +99,9 @@ object RetrievalShared {
         .select(col("doc_id"), col("idx"),
           (col("tf") * expr("100000 div df")).as("w"))
         .groupBy("doc_id")
-        .agg(map_from_entries(collect_list(struct(col("idx"), col("w"))))
-          .as("mw"),
+        .agg(collect_list(struct(col("idx"), col("w"))).as("iw"),
           sum(col("w") * col("w")).as("n2"))
-        .select(col("doc_id"),
-          transform(sequence(lit(0), lit(n - 1)),
-            i => coalesce(element_at(col("mw"), i), lit(0L))).as("v"),
+        .select(col("doc_id"), denseFoldUdf(n)(col("iw")).as("v"),
           col("n2"))
     }
 

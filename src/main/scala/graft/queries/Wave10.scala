@@ -84,7 +84,18 @@ object Wave10 {
       round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
       graft.functions.Exact.bucket(ms(col("o_orderdate")), 86400000L).as("day"),
       col("o_orderpriority").as("pri"))
-    val a = v.agg(
+    // r15 (guide §7.2 read-the-plan + §5 operator choice): min/max
+    // over STRING columns put UTF8String fields in the aggregation
+    // buffer, which disqualifies HashAggregate — the whole 7-way
+    // multi-distinct Expand path (7x the fact rows) fell back to
+    // SortAggregate, paying TWO full sorts of the expanded rows on the
+    // 7-part grouping key. Splitting the four string min/max into a
+    // side aggregate (keyless — SortAggregate without grouping keys
+    // needs NO sort, it is a single fold) leaves only BIGINT buffers
+    // in the Expand path, which now runs as HashAggregate end to end.
+    // Same aggregate functions over the same input = same values; the
+    // one-row side frame re-attaches via a broadcast cross join.
+    val a0 = v.agg(
       count(lit(1)).as("n"),
       count(col("k")).as("nn_k"), countDistinct(col("k")).as("nd_k"),
       min(col("k")).as("mn_k"), max(col("k")).as("mx_k"),
@@ -95,11 +106,13 @@ object Wave10 {
       count(col("day")).as("nn_d"), countDistinct(col("day")).as("nd_d"),
       min(col("day")).as("mn_d"), max(col("day")).as("mx_d"),
       count(col("st")).as("nn_st"), countDistinct(col("st")).as("nd_st"),
-      min(col("st")).as("mns_st"), max(col("st")).as("mxs_st"),
       coalesce(sum(length(col("st"))), lit(0L)).cast(LongType).as("ls_st"),
       count(col("pri")).as("nn_p"), countDistinct(col("pri")).as("nd_p"),
-      min(col("pri")).as("mns_p"), max(col("pri")).as("mxs_p"),
       coalesce(sum(length(col("pri"))), lit(0L)).cast(LongType).as("ls_p"))
+    val aStr = v.agg(
+      min(col("st")).as("mns_st"), max(col("st")).as("mxs_st"),
+      min(col("pri")).as("mns_p"), max(col("pri")).as("mxs_p"))
+    val a = a0.crossJoin(broadcast(aStr))
     a.selectExpr(
       """stack(6,
         |'o_orderkey', n, n - nn_k, nd_k, mn_k, mx_k,

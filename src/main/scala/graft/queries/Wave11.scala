@@ -60,12 +60,18 @@ object Wave11 {
          |  SELECT 'hub' AS role, c AS id, score FROM h$HitsRounds)
          |ORDER BY role, id""".stripMargin) { (s, d) =>
       val np = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      // r15 (guide §2.4, two operations keyed the same way share one
+      // exchange): repartition(c) FIRST, then dedup — hashpartitioning
+      // on c satisfies the (c, s) clustered distribution, so the
+      // distinct aggregate rides the repartition exchange instead of
+      // adding its own (c, s) exchange: one edge-sized shuffle, not
+      // two, and the cache keeps the c-partitioning the rounds need.
       val ed = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
         .join(Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-        .distinct()
         .repartition(np, col("c"))
+        .dropDuplicates("c", "s")
         .persist() // 2 joins per round reuse one edge build
       def norm(raw: DataFrame, key: String): DataFrame = {
         val mx = raw.agg(max(col("raw")).as("mx"))

@@ -123,6 +123,13 @@ object Wave18 {
         .join(wdeg.toDF("doc_id", "ci", "wdeg"), Seq("doc_id", "ci"))
         .repartition(np, col("doc_id"), col("ci"))
         .persist()
+      // r15 (ADVICE): ed is only read to build wdeg and edW — force
+      // edW's (and, through the join, wdeg's) materialization once,
+      // then drop ed's cache so the rounds don't carry TWO edge-sized
+      // residencies. The count is work the first action would do
+      // anyway; everything downstream reads edW/wdeg only.
+      edW.count()
+      ed.unpersist(false)
       var pr = wdeg.select(col("doc_id"), col("g"), lit(1000000L).as("pr"))
       for (_ <- 1 to TrRounds) {
         pr = edW
@@ -135,6 +142,12 @@ object Wave18 {
       val byDoc = Window.partitionBy("doc_id")
         .orderBy(col("pr").desc, col("g").asc)
       ch.join(pr, Seq("doc_id", "g"), "left")
+        // The 150000 fallback is the edge-free chunk's fixed point and
+        // DEPENDS ON TrRounds >= 1: after round 1 an edgeless chunk's
+        // pr is 150000 + 85*0 forever; at 0 rounds the recursion's
+        // value would be the 1000000 seed instead. If TrRounds ever
+        // becomes data-dependent or 0, derive this constant from the
+        // recursion's base term rather than editing it by hand.
         .select(col("doc_id"), col("g"),
           coalesce(col("pr"), lit(150000L)).as("pr"), col("chunk"))
         .withColumn("rnk", row_number().over(byDoc))

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -112,7 +111,8 @@ object Wave25 {
       // k-core lesson, now with a stats-estimation failure mode).
       var comp = ckptLeaf(nodes.withColumn("c", col("node")))
       var selected: DataFrame = null
-      for (_ <- 1 to MstRounds) {
+      var done = false
+      for (_ <- 1 to MstRounds if !done) {
         val cu = comp.select(col("node").as("u"), col("c").as("cu"))
         val cv = comp.select(col("node").as("v"), col("c").as("cv"))
         val ce = ep.join(broadcast(cu), "u").join(broadcast(cv), "v")
@@ -121,9 +121,20 @@ object Wave25 {
             col("cv").as("oc"))
           .unionAll(ce.select(col("cv").as("c"), col("u"), col("v"),
             col("w"), col("cu").as("oc")))
-        val pick = ckptLeaf(inc.withColumn("rn", row_number().over(
-            Window.partitionBy("c").orderBy(col("w"), col("u"), col("v"))))
-          .filter(col("rn") === 1).drop("rn"))
+        // r15 (guide §2.3, aggregate before you shuffle): the per-
+        // component argmin is a min_by aggregate under the same
+        // (w, u, v) total order the ROW_NUMBER pick used — (w, u, v)
+        // is unique within a component (distinct edges, direction
+        // split by cu<>cv), so the argmin row is THE pick row and the
+        // rewrite is value-identical. The window shuffled and SORTED
+        // every inc row; the hash aggregate map-side-combines to one
+        // partial row per (mapper, live component) before the
+        // exchange — strictly fewer bytes, no sort, at any scale.
+        val pick = ckptLeaf(inc.groupBy("c")
+          .agg(min_by(struct(col("u"), col("v"), col("w"), col("oc")),
+            struct(col("w"), col("u"), col("v"))).as("m"))
+          .select(col("c"), col("m.u").as("u"), col("m.v").as("v"),
+            col("m.w").as("w"), col("m.oc").as("oc")))
         val mutual = pick.select(col("c").as("bc"), col("oc").as("boc"))
         val ptr0 = pick.join(broadcast(mutual),
             col("bc") === col("oc"), "left")
@@ -134,11 +145,17 @@ object Wave25 {
           // pick's key c, unique per component — so p stays 1-per-c
           .dropDuplicates("c")
         val ids = comp.select(col("c")).distinct()
-        var ptr = ckptLeaf(ids.join(ptr0.withColumnRenamed("c", "pc"),
+        // r15: the ptr materialization is LAZY — the jump chain
+        // references the checkpointed leaf 2x per jump (16 refs of the
+        // LEAF, not of the origin plan), the cache fills on first use
+        // inside comp's checkpoint job, and one scheduled job per
+        // round disappears. Stats stay bounded: comp's fresh-leaf
+        // rebuild below still resets the digit growth every round
+        // (the Boruvka wedge needed COMPOUNDING across rounds).
+        var ptr: DataFrame = ids.join(ptr0.withColumnRenamed("c", "pc"),
             col("c") === col("pc"), "left")
-          .select(col("c"), coalesce(col("p"), col("c")).as("p")))
-        // jumps build on the checkpointed leaf: 2 refs per jump over a
-        // LogicalRDD keeps the plan a small constant, no per-jump jobs
+          .select(col("c"), coalesce(col("p"), col("c")).as("p"))
+          .localCheckpoint(false)
         for (_ <- 1 to MstJumps) {
           val b = ptr.select(col("c").as("jc"), col("p").as("jp"))
           ptr = ptr.select(col("c"), col("p").as("jc"))
@@ -150,6 +167,12 @@ object Wave25 {
           .select(col("node"), col("p").as("c")))
         val sel = pick.select("u", "v", "w")
         selected = if (selected == null) sel else selected.unionAll(sel)
+        // r15 early exit: once no component has a cross edge, pick is
+        // empty and every later round is the identity (ce stays empty)
+        // — the oracle's remaining unrolled rounds contribute zero
+        // SELECT rows too, so stopping is output-identical. pick is
+        // already materialized (eager ckptLeaf); isEmpty reads cache.
+        done = pick.isEmpty
       }
       selected.distinct().orderBy("u", "v")
     }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 
@@ -76,12 +75,22 @@ object Wave28 {
       var matched: DataFrame = null
       var done = false
       for (_ <- 1 to MatchRounds if !done) {
-        val bs = edges.withColumn("rn", row_number().over(
-            Window.partitionBy("s").orderBy(col("a").desc, col("p"))))
-          .filter(col("rn") === 1).select("s", "p")
-        val bp = edges.withColumn("rn", row_number().over(
-            Window.partitionBy("p").orderBy(col("a").desc, col("s"))))
-          .filter(col("rn") === 1)
+        // r15 (guide §2.3, aggregate before you shuffle): each side's
+        // best-remaining-partner is an argmax under the total order
+        // (a DESC, partner ASC) — unique per key since (s, p) pairs
+        // are distinct after the e0 groupBy — so the ROW_NUMBER
+        // windows (full shuffle + SORT of the edge frame, twice per
+        // round) collapse to max_by hash aggregates with map-side
+        // partial combine: one partial row per (mapper, key) crosses
+        // the wire, no sort. struct(a, -partner) orders ties toward
+        // the smaller partner id, exactly the window's ORDER BY.
+        val bs = edges.groupBy("s")
+          .agg(max_by(col("p"), struct(col("a"), (-col("p")).as("np")))
+            .as("p"))
+          .select("s", "p")
+        val bp = edges.groupBy("p")
+          .agg(max_by(col("s"), struct(col("a"), (-col("s")).as("ns")))
+            .as("s"))
           .select(col("s").as("s2"), col("p").as("p2"))
         val m = ckptLeaf(
           bs.join(bp, col("p") === col("p2") && col("s") === col("s2"))
@@ -90,7 +99,11 @@ object Wave28 {
         edges = ckptLeaf(edges
           .join(broadcast(m.select(col("s"))), Seq("s"), "left_anti")
           .join(broadcast(m.select(col("p"))), Seq("p"), "left_anti"))
-        done = m.isEmpty
+        // r15: also stop when NO edges remain — every later round's
+        // mutual set is empty by construction (the old loop ran one
+        // more full round just to observe that). Output-identical:
+        // the oracle's remaining m$r CTEs are empty selects.
+        done = m.isEmpty || edges.isEmpty
       }
       matched.join(e0, Seq("s", "p"))
         .select(col("s"), col("p"), col("a"))

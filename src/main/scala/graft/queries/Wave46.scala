@@ -154,27 +154,45 @@ object Wave46 {
               col("dst").as("to"), lit("b").as("dir")))
             .unionByName(verts.select(col("v").as("from"),
               col("v").as("to"), lit("s").as("dir"))))
-        var lab = eagerLeaf(verts.select(col("v"), col("v").as("f"),
-          col("v").as("b")))
         // 38-digit sums: id * |V| products outgrow BIGINT long before
         // they outgrow the corpus (restrided sf1 ids are ~1e10 already)
         def labSum(l: DataFrame): java.math.BigDecimal = l
           .agg(sum(col("f").cast("decimal(38,0)"))
             + sum(col("b").cast("decimal(38,0)")))
           .head().getDecimal(0)
+        def step(l: DataFrame): DataFrame =
+          tmpl.join(broadcast(l), col("from") === col("v"))
+            .groupBy(col("to").as("v"))
+            .agg(
+              min(when(col("dir") =!= "b", col("f"))).as("f"),
+              min(when(col("dir") =!= "f", col("b"))).as("b"))
+        // r15 (guide §2, halve the sequential barrier count): TWO
+        // propagation rounds fuse into ONE materialization — the round
+        // references the carried frame once, so the fused plan stays
+        // linear (no 2^R blowup; the inner round rides the outer's
+        // broadcast build), and the convergence probe doubles as the
+        // materializing action: the checkpoint is LAZY and labSum's
+        // aggregate is the first (and only) full pass, so each fused
+        // step is ONE scheduled job instead of r14's two-per-round
+        // (eager checkpoint + separate sum). Early exit stays sound
+        // under fusion: labels are monotone non-increasing, so the
+        // two-round sum is unchanged iff BOTH rounds changed nothing,
+        // and a converged chain's remaining rounds are no-ops in the
+        // oracle's full unroll too — output bit-identical.
+        var lab = verts.select(col("v"), col("v").as("f"),
+          col("v").as("b")).localCheckpoint(false)
         var prevSum = labSum(lab)
         var converged = false
         var k = 0
         while (k < SccRounds && !converged) {
-          lab = eagerLeaf(tmpl.join(broadcast(lab), col("from") === col("v"))
-            .groupBy(col("to").as("v"))
-            .agg(
-              min(when(col("dir") =!= "b", col("f"))).as("f"),
-              min(when(col("dir") =!= "f", col("b"))).as("b")))
+          val fuse = math.min(2, SccRounds - k)
+          var nxt = lab
+          (1 to fuse).foreach(_ => nxt = step(nxt))
+          lab = nxt.localCheckpoint(false)
           val s = labSum(lab)
           converged = s.compareTo(prevSum) == 0
           prevSum = s
-          k += 1
+          k += fuse
         }
         lab
       }

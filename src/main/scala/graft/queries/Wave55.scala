@@ -19,11 +19,13 @@ object Wave55 {
     * and coverage ppm of all orders — non-increasing marginal gains
     * by submodularity (asserted in-spec).
     *
-    * Shape at 100TB: the (order, part) incidence materializes once;
-    * each round is one semi-join of the incidence against the shrunk
-    * uncovered set (checkpointed fresh leaf), one part-keyed count,
-    * a 1-row argmax broadcast back. k bounded rounds, no data-sized
-    * collect (the argmax row is the only driver value).
+    * Shape at 100TB: the (order, part) incidence and the per-part
+    * base counts materialize once; each round is one semi-join of the
+    * incidence against the COVERED set (the coverage won so far — at
+    * most the order set, usually far smaller), one part-keyed count
+    * folded against the base counts, a 1-row argmax back. k bounded
+    * rounds, no data-sized collect (the argmax row is the only
+    * driver value).
     */
   val maxCoverage: Q = {
     def rounds: String = (1 to CoverK).map { k =>
@@ -64,13 +66,38 @@ object Wave55 {
       val inc = ckptLeaf(Tables.load(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct())
-      var unc = ckptLeaf(inc.select("ok").distinct())
-      val total = unc.count()
+      val total = inc.select("ok").distinct().count()
+      // r15 (guide §2.3, shuffle/broadcast fewer bytes): the old loop
+      // semi-joined the incidence against the UNCOVERED order set —
+      // order-set-sized, rebroadcast every round while shrinking by
+      // only the picked part's gain. Track the complement instead:
+      // unc0 is exactly the incidence's order set, so
+      //   gain_k(p) = |inc(p)| − |inc(p) ∩ covered_k|
+      // with base(p) = |inc(p)| aggregated ONCE and covered_k the
+      // union of picked parts' orders — bounded by the coverage the
+      // greedy has actually won, never larger than the order set the
+      // old loop shipped every round (and ~400 rows vs ~147k here).
+      // Parts with gain 0 appear in the new argmax input (the old
+      // semi-join dropped them) but can never win while any part
+      // covers >= 1 uncovered order — same argmax, same (gain DESC,
+      // pk ASC) tie-break, same picks; both formulations degenerate
+      // only in the everything-covered case where the oracle's
+      // LIMIT 1 row is empty too.
+      val base = ckptLeaf(inc.groupBy("pk").agg(count(lit(1)).as("base")))
+      var cov: DataFrame = null
       var covered = 0L
       val picks = collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       for (k <- 1 to CoverK) {
-        val best = inc.join(broadcast(unc), Seq("ok"), "left_semi")
-          .groupBy("pk").agg(count(lit(1)).as("gain"))
+        val gains =
+          if (cov == null) base.select(col("pk"), col("base").as("gain"))
+          else {
+            val dec = inc.join(broadcast(cov), Seq("ok"), "left_semi")
+              .groupBy("pk").agg(count(lit(1)).as("dec"))
+            base.join(broadcast(dec), Seq("pk"), "left")
+              .select(col("pk"),
+                (col("base") - coalesce(col("dec"), lit(0L))).as("gain"))
+          }
+        val best = gains
           .agg(max(struct(col("gain"), (-col("pk")).as("npk"))).as("m"))
           .select(expr("-m.npk").as("pk"), col("m.gain").as("gain"))
           .collect()(0)
@@ -78,7 +105,8 @@ object Wave55 {
         covered += gain
         picks += ((k.toLong, pk, gain))
         val hit = inc.filter(col("pk") === pk).select("ok")
-        unc = ckptLeaf(unc.join(broadcast(hit), Seq("ok"), "left_anti"))
+        cov = ckptLeaf(
+          if (cov == null) hit else cov.unionAll(hit).distinct())
       }
       import s.implicits._
       var run = 0L
